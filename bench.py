@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness — driver contract.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via the `noop` sink (executes the whole
+plan, no collect-to-driver, no disk write) — wall-clock measures plan
+execution only. A warm-up run at sf0.001 amortizes JVM/codegen startup,
+mirroring the reference's warm-up (benchmarks.py:37-43).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from laposte_data_engineering_jedha_spark import queries as q  # noqa: E402
+from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def run_query(fn, spark, sf_dir) -> None:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="laposte_bench")
+
+    registry = q.queries()
+    for name, fn in registry.items():  # warm-up
+        try:
+            run_query(fn, spark, WARMUP_SF_DIR)
+        except Exception as exc:  # pragma: no cover - warm-up is best-effort
+            print(f"warmup {name} failed: {exc}", file=sys.stderr)
+
+    times: dict[str, float] = {}
+    for name, fn in registry.items():
+        t0 = time.perf_counter()
+        run_query(fn, spark, sf_dir)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

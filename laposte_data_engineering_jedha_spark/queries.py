@@ -1,0 +1,291 @@
+"""Query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+`(spark, sf_dir) -> DataFrame` callable plus (where SQL-expressible) a
+DuckDB oracle twin. `__spark_entry__.py` re-exports `queries()` /
+`oracle_sql()` from this module.
+
+Cross-engine determinism rules (so the driver's order-insensitive
+value-hash matches bit-for-bit):
+
+- 2-decimal rounding uses `round(x * 100) / 100` on BOTH sides. Engine-
+  native `round(x, 2)` on doubles diverges between Spark (HALF_UP on the
+  shortest decimal repr, e.g. 1.005 -> 1.01) and DuckDB (1.005 -> 1.0);
+  at scale 0 both engines agree for every double, so the multiply/divide
+  form is identical by construction.
+- numeric literals in oracle SQL are CAST to DOUBLE (DuckDB parses bare
+  `1.2` as DECIMAL, which changes result types and rounding paths).
+- every computed column is aliased identically in the DataFrame code and
+  the SQL.
+- arithmetic is written in the same association order on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import exprs
+from .operators import transform as tf
+from .schemas import ENRICHED_COLUMNS
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared SQL fragment builders (keep CASE chains in lockstep) ------------
+
+
+def sql_str_case(col: str, mapping: Mapping[str, str], default: str) -> str:
+    arms = " ".join(f"WHEN {col} = '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE {arms} ELSE '{default}' END"
+
+
+def sql_num_case(col: str, mapping: Mapping[str, float], default: float) -> str:
+    arms = " ".join(
+        f"WHEN {col} = '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in mapping.items()
+    )
+    return f"CASE {arms} ELSE CAST({default!r} AS DOUBLE) END"
+
+
+def sql_round2(x: str) -> str:
+    """SQL twin of exprs.round2 — the cross-engine 2-decimal convention."""
+    return f"round(({x}) * 100) / 100"
+
+
+SQL_WEEKDAY_NAME = (
+    "CASE isodow({ts}) "
+    + " ".join(f"WHEN {i} THEN '{n}'" for i, n in exprs.WEEKDAY_NAMES.items())
+    + " END"
+)
+
+SQL_WEATHER_FACTOR = (
+    "CASE WHEN {c} IS NULL THEN CAST(1.0 AS DOUBLE) "
+    "WHEN regexp_matches({c}, '(?i)rain|drizzle') THEN CAST(1.2 AS DOUBLE) "
+    "WHEN regexp_matches({c}, '(?i)snow|blizzard|sleet') THEN CAST(1.8 AS DOUBLE) "
+    "WHEN regexp_matches({c}, '(?i)fog|mist') THEN CAST(1.1 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) END"
+)
+
+SQL_PEAK_FACTOR = (
+    "CASE WHEN {h} BETWEEN 7 AND 9 THEN CAST(1.3 AS DOUBLE) "
+    "WHEN {h} BETWEEN 17 AND 19 THEN CAST(1.4 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) END"
+)
+
+SQL_DAY_FACTOR = (
+    "CASE WHEN {w} IN ('Monday', 'Friday') THEN CAST(1.2 AS DOUBLE) "
+    "WHEN {w} IN ('Saturday', 'Sunday') THEN CAST(0.9 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) END"
+)
+
+
+def sql_theoretical(
+    dist: str = "Distance",
+    pkg: str = "Package_Type",
+    zone: str = "Delivery_Zone",
+    hour: str = "Hour",
+    weekday: str = "Weekday",
+    weather: str = "Weather_Condition",
+) -> str:
+    """SQL twin of exprs.theoretical_time — same association order."""
+    return (
+        f"(CAST(30.0 AS DOUBLE) + {dist} * CAST(0.8 AS DOUBLE))"
+        f" * {sql_num_case(pkg, exprs.PACKAGE_FACTORS, 1.0)}"
+        f" * {sql_num_case(zone, exprs.ZONE_FACTORS, 1.0)}"
+        f" * {SQL_PEAK_FACTOR.format(h=hour)}"
+        f" * {SQL_DAY_FACTOR.format(w=weekday)}"
+        f" * {SQL_WEATHER_FACTOR.format(c=weather)}"
+    )
+
+
+# --- deliveries view over the driver's TPC-H-ish tables ----------------------
+#
+# The reference's "deliveries" table doesn't exist in /root/testdata, so the
+# flagship pipeline derives a deterministic deliveries view from
+# orders ⟕ customer (SURVEY.md §7.1): every mapping is pure arithmetic /
+# CASE on o_orderkey so the DuckDB oracle reproduces it exactly.
+
+PRIORITY_TO_PACKAGE = {
+    "1-URGENT": "Special",
+    "2-HIGH": "Extra Large",
+    "3-MEDIUM": "Medium",
+    "4-NOT SPECIFIED": "Small",
+    "5-LOW": "Large",
+}
+SEGMENT_TO_ZONE = {
+    "AUTOMOBILE": "Urban",
+    "BUILDING": "Suburban",
+    "FURNITURE": "Rural",
+    "MACHINERY": "Industrial",
+    "HOUSEHOLD": "Shopping Center",
+}
+
+# 9 conditions exercising every weather-factor regex arm (incl. the
+# "drizzle hits the rain arm first" subtlety, core/transform.py:164-170).
+WEATHER_CONDITIONS = [
+    "Sunny",
+    "Clear",
+    "Partly cloudy",
+    "Light rain",
+    "Patchy light drizzle",
+    "Heavy snow",
+    "Blizzard",
+    "Fog",
+    "Mist",
+]
+_WEATHER_EPOCH = "1990-01-01"
+
+
+def deliveries_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 6-column deliveries view from orders ⟕ customer.
+
+    customer is the small side -> broadcast (zero shuffle on orders at any
+    scale)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    k = F.col("o_orderkey")
+    pickup = F.timestamp_add(
+        "MINUTE", (k % 60).cast("int"), F.timestamp_add("HOUR", (k % 24).cast("int"), F.col("o_orderdate"))
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            exprs.sequential_string_id(k).alias("Delivery_ID"),
+            pickup.alias("Pickup_DateTime"),
+            F.timestamp_add("MINUTE", (F.lit(20) + (k % 341)).cast("int"), pickup).alias(
+                "Delivery_Timestamp"
+            ),
+            exprs.dict_map_strict("o_orderpriority", PRIORITY_TO_PACKAGE, "Small").alias(
+                "Package_Type"
+            ),
+            (F.lit(1) + (k % 4900) / F.lit(100.0)).alias("Distance"),
+            exprs.dict_map_strict("c_mktsegment", SEGMENT_TO_ZONE, "Urban").alias(
+                "Delivery_Zone"
+            ),
+        )
+    )
+
+
+SQL_DELIVERIES_CTE = f"""
+deliveries AS (
+  SELECT
+    'SC' || CAST(o_orderkey + 1000 AS VARCHAR) AS Delivery_ID,
+    o_orderdate + to_hours(o_orderkey % 24) + to_minutes(o_orderkey % 60)
+      AS Pickup_DateTime,
+    o_orderdate + to_hours(o_orderkey % 24) + to_minutes(o_orderkey % 60)
+      + to_minutes(20 + (o_orderkey % 341)) AS Delivery_Timestamp,
+    {sql_str_case('o_orderpriority', PRIORITY_TO_PACKAGE, 'Small')} AS Package_Type,
+    1 + (o_orderkey % 4900) / CAST(100.0 AS DOUBLE) AS Distance,
+    {sql_str_case('c_mktsegment', SEGMENT_TO_ZONE, 'Urban')} AS Delivery_Zone
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+)"""
+
+
+def synthetic_weather(spark: SparkSession, deliveries: DataFrame) -> DataFrame:
+    """Deterministic hourly weather dim over the distinct pickup dates —
+    stands in for the reference's WeatherAPI side table (same shape as
+    core/transform.py:82-85). (k % 11) rows are dropped to exercise the
+    left join's unmatched-null path."""
+    dates = deliveries.select(exprs.date_of("Pickup_DateTime").alias("date")).distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("Hour"))
+    k = F.datediff(F.col("date"), F.lit(_WEATHER_EPOCH).cast("date")) * 24 + F.col("Hour")
+    return (
+        dates.crossJoin(hours)
+        .withColumn("k", k)
+        .where(F.col("k") % 11 != 0)
+        .select(
+            "date",
+            "Hour",
+            F.element_at(
+                F.array(*[F.lit(c) for c in WEATHER_CONDITIONS]), (F.col("k") % 9 + 1).cast("int")
+            ).alias("Weather_Condition"),
+        )
+    )
+
+
+_SQL_WX_LIST = "[" + ", ".join(f"'{c}'" for c in WEATHER_CONDITIONS) + "]"
+SQL_WEATHER_CTE = f"""
+wx AS (
+  SELECT date, CAST(h.range AS INTEGER) AS Hour,
+         ({_SQL_WX_LIST})[
+           (datediff('day', DATE '{_WEATHER_EPOCH}', date) * 24 + h.range) % 9 + 1
+         ] AS Weather_Condition
+  FROM (SELECT DISTINCT CAST(Pickup_DateTime AS DATE) AS date FROM deliveries)
+  CROSS JOIN range(0, 24) h
+  WHERE (datediff('day', DATE '{_WEATHER_EPOCH}', date) * 24 + h.range) % 11 <> 0
+)"""
+
+# Full pipeline SQL twin of operators/transform.py:transform_deliveries.
+_SECS = "date_diff('second', Pickup_DateTime, Delivery_Timestamp)"
+FLAGSHIP_SQL = f"""
+WITH {SQL_DELIVERIES_CTE.strip()},
+{SQL_WEATHER_CTE.strip()},
+t1 AS (
+  SELECT d.*,
+         CAST(hour(Pickup_DateTime) AS INTEGER) AS Hour,
+         {SQL_WEEKDAY_NAME.format(ts='Pickup_DateTime')} AS Weekday
+  FROM deliveries d
+),
+t2 AS (
+  SELECT t1.*, wx.Weather_Condition
+  FROM t1 LEFT JOIN wx
+    ON CAST(t1.Pickup_DateTime AS DATE) = wx.date AND t1.Hour = wx.Hour
+),
+t3 AS (
+  SELECT t2.*,
+         {sql_round2(f"{_SECS} / 60")} AS Actual_Delivery_Time_Minutes,
+         CAST({_SECS} // 60 AS VARCHAR) || '.' ||
+           lpad(CAST({_SECS} % 60 AS VARCHAR), 2, '0')
+           AS Actual_Delivery_Time_Display,
+         {sql_theoretical()} AS theo
+  FROM t2
+)
+SELECT Delivery_ID, Pickup_DateTime, Delivery_Timestamp, Package_Type, Distance,
+       Delivery_Zone, Hour, Weekday, Weather_Condition,
+       Actual_Delivery_Time_Minutes, Actual_Delivery_Time_Display,
+       {sql_round2('theo')} AS Theoretical_Time_Minutes,
+       CASE WHEN Actual_Delivery_Time_Minutes > theo * CAST(1.2 AS DOUBLE)
+            THEN 'Delayed' ELSE 'On-time' END AS Status
+FROM t3
+"""
+
+
+@query("pipeline_delay_status", oracle=FLAGSHIP_SQL)
+def pipeline_delay_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's entire transform chain end-to-end
+    (temporal features -> broadcast weather join -> duration -> rule-model
+    status), recast onto the orders/customer tables."""
+    deliveries = deliveries_from_orders(spark, sf_dir)
+    weather = synthetic_weather(spark, deliveries)
+    out = tf.transform_deliveries(deliveries, weather)
+    return out.select(*ENRICHED_COLUMNS)
+
+
+# --- driver contract exports --------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(SPARK_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE_SQL)
