@@ -3,21 +3,26 @@
 Every implemented operator from SURVEY.md §2 registers here as a
 `(spark, sf_dir) -> DataFrame` callable plus (where SQL-expressible) a
 DuckDB oracle twin. `__spark_entry__.py` re-exports `queries()` /
-`oracle_sql()` from this module.
+`oracle_sql()` from this package.
 
 Cross-engine determinism rules (so the driver's order-insensitive
 value-hash matches bit-for-bit):
 
-- 2-decimal rounding uses `round(x * 100) / 100` on BOTH sides. Engine-
-  native `round(x, 2)` on doubles diverges between Spark (HALF_UP on the
-  shortest decimal repr, e.g. 1.005 -> 1.01) and DuckDB (1.005 -> 1.0);
-  at scale 0 both engines agree for every double, so the multiply/divide
-  form is identical by construction.
+- 2-decimal rounding uses `round(x * 100) / 100` on BOTH sides (see
+  exprs.round2). Engine-native `round(x, 2)` on doubles diverges between
+  Spark (HALF_UP on the shortest decimal repr, e.g. 1.005 -> 1.01) and
+  DuckDB (1.005 -> 1.0); at scale 0 both engines agree for every double.
 - numeric literals in oracle SQL are CAST to DOUBLE (DuckDB parses bare
   `1.2` as DECIMAL, which changes result types and rounding paths).
 - every computed column is aliased identically in the DataFrame code and
   the SQL.
 - arithmetic is written in the same association order on both sides.
+- queries that LIMIT must sort on a unique key first (Spark row order is
+  not deterministic across partitions).
+
+Submodules:
+    parity      — SURVEY.md §2 reference-parity operators
+    llmops      — 100 TB-scale extensions (dedup, similarity, text, …)
 """
 
 from __future__ import annotations
@@ -27,9 +32,7 @@ from collections.abc import Callable, Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import exprs
-from .operators import transform as tf
-from .schemas import ENRICHED_COLUMNS
+from ..functions import exprs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -120,7 +123,7 @@ def sql_theoretical(
 # --- deliveries view over the driver's TPC-H-ish tables ----------------------
 #
 # The reference's "deliveries" table doesn't exist in /root/testdata, so the
-# flagship pipeline derives a deterministic deliveries view from
+# parity queries derive a deterministic deliveries view from
 # orders ⟕ customer (SURVEY.md §7.1): every mapping is pure arithmetic /
 # CASE on o_orderkey so the DuckDB oracle reproduces it exactly.
 
@@ -234,50 +237,13 @@ wx AS (
   WHERE (datediff('day', DATE '{_WEATHER_EPOCH}', date) * 24 + h.range) % 11 <> 0
 )"""
 
-# Full pipeline SQL twin of operators/transform.py:transform_deliveries.
-_SECS = "date_diff('second', Pickup_DateTime, Delivery_Timestamp)"
-FLAGSHIP_SQL = f"""
-WITH {SQL_DELIVERIES_CTE.strip()},
-{SQL_WEATHER_CTE.strip()},
-t1 AS (
-  SELECT d.*,
-         CAST(hour(Pickup_DateTime) AS INTEGER) AS Hour,
-         {SQL_WEEKDAY_NAME.format(ts='Pickup_DateTime')} AS Weekday
-  FROM deliveries d
-),
-t2 AS (
-  SELECT t1.*, wx.Weather_Condition
-  FROM t1 LEFT JOIN wx
-    ON CAST(t1.Pickup_DateTime AS DATE) = wx.date AND t1.Hour = wx.Hour
-),
-t3 AS (
-  SELECT t2.*,
-         {sql_round2(f"{_SECS} / 60")} AS Actual_Delivery_Time_Minutes,
-         CAST({_SECS} // 60 AS VARCHAR) || '.' ||
-           lpad(CAST({_SECS} % 60 AS VARCHAR), 2, '0')
-           AS Actual_Delivery_Time_Display,
-         {sql_theoretical()} AS theo
-  FROM t2
-)
-SELECT Delivery_ID, Pickup_DateTime, Delivery_Timestamp, Package_Type, Distance,
-       Delivery_Zone, Hour, Weekday, Weather_Condition,
-       Actual_Delivery_Time_Minutes, Actual_Delivery_Time_Display,
-       {sql_round2('theo')} AS Theoretical_Time_Minutes,
-       CASE WHEN Actual_Delivery_Time_Minutes > theo * CAST(1.2 AS DOUBLE)
-            THEN 'Delayed' ELSE 'On-time' END AS Status
-FROM t3
-"""
 
-
-@query("pipeline_delay_status", oracle=FLAGSHIP_SQL)
-def pipeline_delay_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the reference's entire transform chain end-to-end
-    (temporal features -> broadcast weather join -> duration -> rule-model
-    status), recast onto the orders/customer tables."""
-    deliveries = deliveries_from_orders(spark, sf_dir)
-    weather = synthetic_weather(spark, deliveries)
-    out = tf.transform_deliveries(deliveries, weather)
-    return out.select(*ENRICHED_COLUMNS)
+def with_deliveries(body: str, weather: bool = False) -> str:
+    """Wrap a SQL body with the deliveries (and optionally weather) CTEs."""
+    ctes = SQL_DELIVERIES_CTE.strip()
+    if weather:
+        ctes += ",\n" + SQL_WEATHER_CTE.strip()
+    return f"WITH {ctes}\n{body}"
 
 
 # --- driver contract exports --------------------------------------------------
@@ -289,3 +255,9 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE_SQL)
+
+
+# Submodules register their queries on import (kept at the bottom so they can
+# import the helpers above).
+from . import parity  # noqa: E402,F401
+from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)

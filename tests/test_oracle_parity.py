@@ -50,7 +50,12 @@ def _canon_value(v):
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         if pd.isna(v):
             return "NULL"
-        return pd.Timestamp(v).isoformat()
+        ts = pd.Timestamp(v)
+        # DuckDB's pandas bridge yields DATE columns as datetime64 midnights
+        # while Spark yields datetime.date — canonicalize midnight to date.
+        if ts.time() == datetime.time(0, 0) and ts.tz is None:
+            return ts.date().isoformat()
+        return ts.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
