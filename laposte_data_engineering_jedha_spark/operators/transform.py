@@ -77,9 +77,14 @@ def transform_deliveries(df: DataFrame, weather_df: DataFrame | None) -> DataFra
     the lazy plan on zero rows is already a no-op — but a `df.isEmpty()`
     guard would force an action, so we deliberately skip it.
     """
-    return (
+    out = (
         df.transform(add_temporal_features)
         .transform(lambda d: enrich_with_weather(d, weather_df))
         .transform(calculate_delivery_duration)
         .transform(determine_delay_status)
     )
+    # the key-list join floats `Hour` to the front — restore the reference's
+    # 13-column output order (schemas.ENRICHED_COLUMNS)
+    from ..schemas import ENRICHED_COLUMNS
+
+    return out.select(*ENRICHED_COLUMNS)

@@ -1,0 +1,94 @@
+"""Load stage — format fan-out + run manifest (reference core/load.py).
+
+The reference re-consumes an eagerly materialized frame per sink for free;
+Spark would recompute the lineage per format, so the Loader caches the
+DataFrame before a multi-format fan-out (SURVEY.md §4.1) and unpersists
+after.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pyspark
+from pyspark.sql import DataFrame
+
+from ..sources.writers import WRITER_MAP
+
+ALL_FORMATS = ["csv", "json", "parquet", "sqlite", "xlsx"]
+EXTENSIONS = {"csv": ".csv", "json": ".json", "parquet": ".parquet", "sqlite": ".db", "xlsx": ".xlsx"}
+
+
+def _xlsx_available() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def formats_to_write(fmt: str) -> list[str]:
+    """'all' -> five writers, 'all_but_xlsx' -> four, else the single
+    format (reference core/load.py:79-94). 'all' degrades to four formats
+    with a warning when openpyxl is absent (explicit 'xlsx' stays strict
+    and raises NotImplementedError at write time)."""
+    if fmt == "all":
+        if not _xlsx_available():
+            print("warning: openpyxl not installed — 'all' writes csv/json/parquet/sqlite only")
+            return [f for f in ALL_FORMATS if f != "xlsx"]
+        return list(ALL_FORMATS)
+    if fmt == "all_but_xlsx":
+        return [f for f in ALL_FORMATS if f != "xlsx"]
+    if fmt in WRITER_MAP:
+        return [fmt]
+    raise ValueError(f"Unknown output format: {fmt}")
+
+
+def generate_manifest(df: DataFrame, output_conf: dict, n_rows: int | None = None) -> dict:
+    """Run manifest (reference core/load.py:96-119): engine version, UTC
+    timestamp, output config, shape, column names."""
+    return {
+        "engine": "pyspark",
+        "pyspark_version": pyspark.__version__,
+        "generated_at_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "output": dict(output_conf),
+        "shape": {
+            "rows": n_rows if n_rows is not None else df.count(),
+            "cols": len(df.columns),
+        },
+        "columns": list(df.columns),
+    }
+
+
+def load_data(df: DataFrame, config: dict) -> dict:
+    """Resolve formats, fan out writers over one cached DataFrame, then
+    write the manifest (reference core/load.py:33-77). 'preview' prints
+    df.show(5) instead of writing (load.py:50-52). Returns the manifest."""
+    output_conf = config.get("output", {})
+    out_path = output_conf.get("path", "output")
+    fmt = output_conf.get("format", "preview")
+
+    if fmt == "preview":
+        df.show(5)
+        return generate_manifest(df, output_conf)
+
+    formats = formats_to_write(fmt)
+    os.makedirs(out_path, exist_ok=True)
+    if len(formats) > 1:
+        df = df.cache()
+    try:
+        n_rows = df.count()  # one action: warms the cache + manifest shape
+        for f in formats:
+            target = os.path.join(out_path, f"deliveries{EXTENSIONS[f]}")
+            WRITER_MAP[f](target).write(df)
+        manifest = generate_manifest(df, output_conf, n_rows=n_rows)
+        manifest_path = os.path.join(out_path, "results_manifest.json")
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh, indent=2, default=str)
+        return manifest
+    finally:
+        if len(formats) > 1:
+            df.unpersist()

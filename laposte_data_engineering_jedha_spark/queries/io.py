@@ -1,0 +1,91 @@
+"""Source/sink queries — SURVEY.md §2.1/§2.2 Op-IDs as write→read→return
+round-trips so the DuckDB oracle verifies BOTH directions of each format.
+
+Each round-trip materializes the deterministic deliveries view through a
+sink, reads it back through the matching reader, applies the timestamp-
+cast contract, and returns the canonical 6 columns — the oracle is simply
+the deliveries view itself, so any loss in either direction (type,
+precision, encoding) fails the hash.
+
+src_generate has no SQL twin (Spark-side rand) -> rows-only check.
+src_xlsx/sink_xlsx register only when openpyxl is importable (absent in
+this sandbox; the writer/reader plumbing is real and import-gated).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import RAW_COLUMNS
+from ..sources import writers
+from ..sources.generate import generate_deliveries
+from ..sources.readers import READER_MAP, cast_timestamp_contract
+from . import deliveries_from_orders, query, with_deliveries
+
+_DELIVERIES_ORACLE = with_deliveries("SELECT * FROM deliveries")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, ext: str) -> DataFrame:
+    df = deliveries_from_orders(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix=f"laposte_rt_{fmt}_")
+    path = os.path.join(tmp, f"deliveries{ext}")
+    writers.WRITER_MAP[fmt](path).write(df)
+    back = READER_MAP[ext](path).read(spark)
+    return cast_timestamp_contract(back).select(*RAW_COLUMNS)
+
+
+@query("src_csv_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_csv + src_csv + src_cast_ts: header CSV out, inferred-schema
+    read back, ISO timestamp strings re-cast (reference readers.py:30-33,
+    writers.py:24-29, extract.py:77-80)."""
+    return _roundtrip(spark, sf_dir, "csv", ".csv")
+
+
+@query("src_json_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_json (NDJSON) + src_json (reference readers.py:35-38,
+    writers.py:31-36)."""
+    return _roundtrip(spark, sf_dir, "json", ".json")
+
+
+@query("src_parquet_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_parquet + src_parquet (reference readers.py:40-43,
+    writers.py:38-43)."""
+    return _roundtrip(spark, sf_dir, "parquet", ".parquet")
+
+
+@query("src_sqlite_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_sqlite (chunked appends) + src_sqlite (`SELECT * FROM
+    deliveries`) (reference readers.py:45-50, writers.py:45-59)."""
+    return _roundtrip(spark, sf_dir, "sqlite", ".db")
+
+
+def _xlsx_available() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _xlsx_available():  # pragma: no cover - env-dependent
+
+    @query("src_xlsx_roundtrip", oracle=_DELIVERIES_ORACLE)
+    def src_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """sink_xlsx (streaming write) + src_xlsx (reference
+        readers.py:52-55, writers.py:61-70)."""
+        return _roundtrip(spark, sf_dir, "xlsx", ".xlsx")
+
+
+@query("src_generate")  # rows-only check: rand() has no DuckDB twin
+def src_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded synthetic generator (reference core/extract.py:82-119) —
+    distributional parity is asserted in tests/test_sources.py."""
+    return generate_deliveries(spark, 1000, seed=42, num_partitions=8)

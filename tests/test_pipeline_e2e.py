@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests — the reference's integration pattern
+(tests/test_pipeline.py:7-64): file round-trip, output shape (N, 13),
+manifest fields; plus multi-format fan-out and the CLI front-end."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from laposte_data_engineering_jedha_spark.plans.load import formats_to_write
+from laposte_data_engineering_jedha_spark.plans.pipeline import Pipeline
+from laposte_data_engineering_jedha_spark.schemas import ENRICHED_COLUMNS
+from laposte_data_engineering_jedha_spark.sources.weather import FakeWeatherClient
+
+
+def test_e2e_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "one.csv"
+    src.write_text(
+        "Delivery_ID,Pickup_DateTime,Delivery_Timestamp,Package_Type,Distance,Delivery_Zone\n"
+        "SC1000,2025-09-05T10:00:00,2025-09-05T11:30:00,Large,10.0,Urban\n"
+    )
+    out = tmp_path / "out"
+    config = {
+        "source": {"type": "file", "path": str(src)},
+        "output": {"path": str(out), "format": "csv"},
+    }
+    duration = Pipeline(config, spark, weather_client=FakeWeatherClient(fail=True)).run()
+    assert duration > 0
+
+    assert (out / "deliveries.csv").is_file()
+    manifest = json.loads((out / "results_manifest.json").read_text())
+    assert manifest["shape"] == {"rows": 1, "cols": 13}
+    assert manifest["columns"] == ENRICHED_COLUMNS
+    assert manifest["engine"] == "pyspark"
+
+    header = (out / "deliveries.csv").read_text().splitlines()[0]
+    assert header.split(",") == ENRICHED_COLUMNS
+
+
+def test_e2e_multiformat_fanout(spark, tmp_path):
+    out = tmp_path / "fan"
+    config = {
+        "source": {"type": "generate", "rows": 100, "seed": 5},
+        "output": {"path": str(out), "format": "all_but_xlsx"},
+    }
+    Pipeline(config, spark, weather_client=FakeWeatherClient()).run()
+    for name in ["deliveries.csv", "deliveries.json", "deliveries.parquet", "deliveries.db"]:
+        assert (out / name).is_file(), name
+    with sqlite3.connect(out / "deliveries.db") as conn:
+        n = conn.execute("SELECT count(*) FROM deliveries").fetchone()[0]
+    assert n == 100
+    back = spark.read.parquet(str(out / "deliveries.parquet"))
+    assert back.count() == 100 and back.columns == ENRICHED_COLUMNS
+
+
+def test_formats_resolution():
+    try:
+        import openpyxl  # noqa: F401
+
+        expected_all = ["csv", "json", "parquet", "sqlite", "xlsx"]
+    except ImportError:
+        expected_all = ["csv", "json", "parquet", "sqlite"]
+    assert formats_to_write("all") == expected_all
+    assert formats_to_write("all_but_xlsx") == ["csv", "json", "parquet", "sqlite"]
+    assert formats_to_write("parquet") == ["parquet"]
+    with pytest.raises(ValueError):
+        formats_to_write("carrier-pigeon")
+
+
+def test_cli_builds_config_and_runs(spark, tmp_path, monkeypatch):
+    from laposte_data_engineering_jedha_spark.plans import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(
+        "laposte_data_engineering_jedha_spark.plans.pipeline.WeatherAPIClient",
+        lambda key: FakeWeatherClient(fail=True),
+    )
+    out = tmp_path / "cli_out"
+    cli.main(
+        [
+            "--generate-rows",
+            "25",
+            "--output-path",
+            str(out),
+            "--output-format",
+            "json",
+        ]
+    )
+    assert (out / "deliveries.json").is_file()
+    lines = (out / "deliveries.json").read_text().strip().splitlines()
+    assert len(lines) == 25  # NDJSON contract (writers.py docstring)
+
+
+def test_cli_mutually_exclusive_sources():
+    from laposte_data_engineering_jedha_spark.plans import cli
+
+    with pytest.raises(SystemExit):
+        cli.build_config(
+            cli.argparse.Namespace(
+                generate_rows=10, source_file="x.csv", output_path="o", output_format="csv", seed=1
+            )
+        )

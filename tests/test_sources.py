@@ -1,0 +1,89 @@
+"""Sources: generator distributions, reader dispatch semantics, timestamp
+contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from laposte_data_engineering_jedha_spark.schemas import RAW_COLUMNS
+from laposte_data_engineering_jedha_spark.sources.generate import generate_deliveries
+from laposte_data_engineering_jedha_spark.sources.readers import (
+    extract_data,
+    read_file,
+)
+
+
+def test_generator_schema_and_ids(spark):
+    df = generate_deliveries(spark, 100, seed=7, num_partitions=4)
+    assert df.columns == RAW_COLUMNS
+    rows = df.collect()
+    assert len(rows) == 100
+    ids = sorted(r.Delivery_ID for r in rows)
+    assert ids[0] == "SC1000" and "SC1099" in ids and len(set(ids)) == 100
+
+
+def test_generator_distributions(spark):
+    """Distributional parity with core/extract.py:94-113 (seedless there,
+    so moments/frequencies, not rows)."""
+    df = generate_deliveries(spark, 20_000, seed=42, num_partitions=8)
+    agg = df.agg(
+        F.min("Distance").alias("dmin"),
+        F.max("Distance").alias("dmax"),
+        F.avg((F.col("Package_Type") == "Small").cast("int")).alias("p_small"),
+        F.avg((F.col("Delivery_Zone") == "Urban").cast("int")).alias("p_urban"),
+        F.min(
+            (F.unix_timestamp("Delivery_Timestamp") - F.unix_timestamp("Pickup_DateTime")) / 60
+        ).alias("dur_min"),
+        F.max(
+            (F.unix_timestamp("Delivery_Timestamp") - F.unix_timestamp("Pickup_DateTime")) / 60
+        ).alias("dur_max"),
+    ).first()
+    assert 1.0 <= agg.dmin and agg.dmax < 50.0
+    assert agg.p_small == pytest.approx(0.40, abs=0.02)
+    assert agg.p_urban == pytest.approx(0.35, abs=0.02)
+    assert 20 <= agg.dur_min and agg.dur_max < 360
+
+
+def test_generator_deterministic(spark):
+    a = generate_deliveries(spark, 500, seed=42, num_partitions=4).collect()
+    b = generate_deliveries(spark, 500, seed=42, num_partitions=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_read_file_missing_path(spark):
+    with pytest.raises(FileNotFoundError):
+        read_file(spark, "/nonexistent/file.csv")
+
+
+def test_read_file_unknown_extension(spark, tmp_path):
+    p = tmp_path / "data.xyz"
+    p.write_text("hi")
+    with pytest.raises(ValueError, match="Unsupported file type"):
+        read_file(spark, str(p))
+
+
+def test_extract_unknown_source_type(spark):
+    with pytest.raises(ValueError, match="Unknown or missing source type"):
+        extract_data(spark, {"source": {"type": "teleport"}})
+
+
+def test_extract_csv_casts_timestamps(spark, tmp_path):
+    """The reference integration test's CSV contract
+    (tests/test_pipeline.py:27-34): ISO strings parse back to timestamps."""
+    p = tmp_path / "one.csv"
+    p.write_text(
+        "Delivery_ID,Pickup_DateTime,Delivery_Timestamp,Package_Type,Distance,Delivery_Zone\n"
+        "SC1000,2025-09-05T10:00:00,2025-09-05T11:30:00,Large,10.0,Urban\n"
+    )
+    df = extract_data(spark, {"source": {"type": "file", "path": str(p)}})
+    row = df.first()
+    assert df.schema["Pickup_DateTime"].dataType.typeName().startswith("timestamp")
+    assert row.Pickup_DateTime.hour == 10 and row.Delivery_Timestamp.minute == 30
+
+
+def test_extract_generate(spark):
+    df = extract_data(spark, {"source": {"type": "generate", "rows": 50}})
+    assert df.count() == 50 and df.columns == RAW_COLUMNS
