@@ -1,0 +1,217 @@
+"""Text-analysis expression layer for the 100 TB training-data pipeline ops.
+
+Everything here returns a Catalyst `Column` built from higher-order array
+functions (`transform`/`aggregate`/`filter`) and built-in string/hash
+functions — zero Python UDFs, so token counting, shingling, MinHash,
+SimHash and fingerprinting all run inside whole-stage codegen and scale
+linearly with executors (per-row compute, no shuffle).
+
+Cross-engine determinism: every hash bottoms out in `md5` (identical in
+Spark and DuckDB), lifted to a 32-bit int via the first 8 hex chars, so
+the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MinHash parameters — small-prime linear hash family over the md5-derived
+# 32-bit shingle hash: h_j(x) = (x * A_j + B_j) % MERSENNE31.
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows: ~P(collide) = 1-(1-j^4)^4
+SHINGLE_WIDTH = 3
+SIMHASH_BITS = 32
+FINGERPRINT_MOD = 1_000_000_007
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "en", "du"],
+    "es": ["el", "la", "de", "y", "un", "una", "los", "en", "que", "del"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "von", "mit", "zu", "im"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta", "zhe", "bu"],
+}
+LANG_TIEBREAK = ["en", "fr", "es", "de", "zh"]  # deterministic argmax order
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+# (the shape GPT-2-style pre-tokenization produces, minus unicode classes).
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def md5int32(col: Column | str) -> Column:
+    """First 8 hex chars of md5 as a BIGINT in [0, 2^32) — the portable hash
+    primitive (DuckDB twin: `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased whitespace tokens of trimmed text."""
+    return F.split(F.trim(F.lower(_c(col))), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count ('' -> 0)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT_RE)))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def shingles(tokens_col: Column, n: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles (space-joined) of a token array.
+
+    Docs shorter than n tokens yield an empty array. Built with
+    `transform(sequence)` + `slice`, all codegen'd array ops.
+    """
+    count = F.size(tokens_col) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+    )
+    return F.array_distinct(F.when(count >= 1, grams).otherwise(F.array()))
+
+
+def shingle_hashes(col: Column | str, n: int = SHINGLE_WIDTH) -> Column:
+    """Distinct 32-bit hashes of word n-gram shingles of a text column."""
+    return F.transform(shingles(tokens(col), n), md5int32)
+
+
+def minhash_signature(hashes: Column, perms: int = MINHASH_PERMS) -> Column:
+    """MinHash signature: per permutation j, min over shingle hashes of
+    `(x*(2j+3) + (j*j+7)) % (2^31-1)`. Empty shingle sets sign as all
+    MERSENNE31 (matches nothing). Array of `perms` BIGINTs, computed per-row
+    — the classic MinHash estimator of Jaccard similarity (Broder 1997).
+
+    SINGLE-PASS over the hash array: one `aggregate` with a `perms`-wide
+    running-min accumulator. The naive per-permutation formulation (`perms`
+    independent aggregates) re-evaluates the md5 shingle pipeline once per
+    permutation after Catalyst project-collapse — 16x the hashing work."""
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), perms)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(perms - 1)),
+                lambda j: (x * (j * 2 + 3) + (j * j + 7)) % MERSENNE31,
+            ),
+            lambda a, c: F.least(a, c),
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int = MINHASH_BANDS) -> Column:
+    """Split a MinHash signature into `bands` (band_idx, band_key) structs;
+    band_key packs the band's rows into one string. Docs sharing any band
+    key are near-dup candidates — explode + equi-join on the key turns the
+    O(n^2) pair search into a hash-partitioned bucket join."""
+    rows = MINHASH_PERMS // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws("_", F.slice(sig, b * rows + 1, rows)).alias("key"),
+        ),
+    )
+
+
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash (Charikar 2002) over 32-bit token/shingle hashes: bit b is the
+    sign of sum(+-1) of bit b across hashes; packed MSB-first into a BIGINT.
+    Pure per-row array math — no shuffle, vectorizable, oracle-reproducible.
+
+    SINGLE-PASS over the hash array: one `aggregate` carrying a `bits`-wide
+    vote accumulator (a per-bit formulation re-evaluates the md5 token
+    pipeline `bits` times after Catalyst project-collapse). Bit b of h is
+    extracted as `floor(h / 2^b) % 2` — exact, since dividing by a power of
+    two only shifts the double's exponent."""
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2 * 2 - 1,
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    return F.aggregate(
+        F.transform(
+            votes,
+            lambda v: F.when(v >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed hash longs via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    `acc = (acc*31 + md5int32(token)) % 1e9+7` over the token stream.
+    Distinguishes permutations (unlike set-based MinHash)."""
+    return F.aggregate(
+        F.transform(tokens(col), md5int32),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-voting language ID: argmax over per-language stopword hit
+    counts, ties broken by LANG_TIEBREAK order; no hits at all -> 'und'.
+    The cheap first-pass filter of a corpus pipeline (fastText et al. would
+    be a Pandas-UDF drop-in; this stays JVM-side)."""
+    scores = {lang: stopword_hits(col, lang) for lang in LANG_TIEBREAK}
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_TIEBREAK:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1] from four codegen'd signals:
+    length band, mean word length band, symbol ratio, stopword ratio.
+    The C4/Gopher-style rule filter shape, expressed as one Catalyst tree.
+    Returned UNROUNDED (callers round for display/oracle hashing)."""
+    c = _c(col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    mean_word = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    symbols = F.size(F.regexp_extract_all(c, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    symbol_ratio = symbols.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stopword_hits(c, "en").cast("double") / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 5000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 10.0), 1.0).otherwise(0.0)
+    sym_ok = F.when(symbol_ratio <= 0.1, 1.0).otherwise(0.0)
+    return (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * word_ok
+        + F.lit(0.25) * sym_ok
+        + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+    )

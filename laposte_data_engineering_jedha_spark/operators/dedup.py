@@ -1,0 +1,240 @@
+"""Deduplication operators for corpus-scale (100 TB) pipelines.
+
+Five strategies, cheapest to richest, all pure DataFrame ops:
+
+- exact:       hash-groupBy on normalized text — one shuffle on a 32-hex key.
+- ngram:       exact Jaccard over word n-gram shingles via shingle-inverted
+               index self-join (only pairs sharing >=1 shingle are compared).
+- minhash_lsh: MinHash signatures + banded LSH bucket join — the sublinear
+               candidate generator (Broder 1997; Leskovec MMDS ch.3); exact
+               Jaccard verification on candidates only.
+- simhash:     32-bit SimHash + band join + Hamming filter (Charikar 2002,
+               Manku et al. 2007).
+- embedding:   cosine near-dup pairs over an embedding column.
+
+Scale notes (1000-executor / 100 TB):
+- Signatures (minhash/simhash) are per-row map-side compute inside codegen;
+  the only shuffles are the band-key equi-joins, which hash-partition by
+  band key — no O(n^2) stage anywhere except `embedding_dup_pairs`, whose
+  documented scale path is `similarity.lsh_bucket` pre-bucketing.
+- Band-key hot spots (a shingle/band shared by millions of docs) are the
+  skew risk: AQE skew-join splitting is on in the session factory, and
+  `ngram_jaccard_pairs` drops shingles with document frequency above
+  `max_shingle_df` — the standard stop-shingle guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import texts, vectors
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: md5-groupBy keeping the lowest id.
+
+    Returns one row per distinct normalized text: (dup_key, keep_id, copies).
+    One shuffle, partial-aggregated map-side; the 32-hex key keeps shuffle
+    rows narrow regardless of document size.
+    """
+    key = F.md5(F.trim(F.lower(F.col(text_col))))
+    return (
+        df.select(key.alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, max_shingle_df: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index over distinct word n-gram shingles, with
+    the optional stop-shingle document-frequency cap."""
+    sh = df.select(
+        F.col(id_col), F.explode(texts.shingles(texts.tokens(text_col))).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.where(F.col("df") <= max_shingle_df), "shingle")
+            .select(id_col, "shingle")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted-index self-join: |A∩B| comes from counting shared shingles per
+    pair, |A∪B| from per-doc shingle counts — no array re-materialization on
+    the pair side, so the shuffle carries only (id, id) pairs.
+    """
+    # Repartition on the join key: the explicit Exchange (a) is exactly the
+    # distribution the self-join needs, (b) is REUSED for both sides
+    # (ReuseExchange — one scan+shingle pass, not two), and (c) stops
+    # Catalyst project-collapse from re-deriving the shingle pipeline per
+    # downstream reference.
+    sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
+    sizes = df.select(
+        F.col(id_col), F.size(texts.shingles(texts.tokens(text_col))).alias("n_shingles")
+    ).where(F.col("n_shingles") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", (F.round(jac * 10000) / 10000).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature -> banded bucket join for
+    candidates, exact Jaccard on candidates only.
+
+    Output: (id_a, id_b, est_jaccard, jaccard) for verified pairs. The
+    est_jaccard column is the signature agreement fraction (the MinHash
+    estimator itself). Docs with no shingles (< n tokens) are excluded
+    before banding — their empty-set signatures would otherwise all
+    collide into one catastrophic bucket.
+    """
+    hashes = texts.shingle_hashes(text_col)
+    sigs = (
+        df.select(F.col(id_col), hashes.alias("hashes"))
+        .where(F.size("hashes") > 0)
+        .select(id_col, "hashes", texts.minhash_signature(F.col("hashes")).alias("sig"))
+        # Exchange barrier: signatures are hashed ONCE, the band self-join
+        # reuses the same exchange for both sides (ReuseExchange), and
+        # project-collapse can't re-derive the md5 pipeline per reference.
+        .repartition(id_col)
+    )
+    bands = sigs.select(
+        id_col, "sig", "hashes", F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
+    ).select(id_col, "sig", "hashes", F.col("band.band").alias("band"), F.col("band.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.hashes").alias("h_a"),
+            F.col("b.hashes").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = n_inter / (F.size("h_a") + F.size("h_b") - n_inter)
+    # signature agreement fraction = the MinHash Jaccard estimator
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x - y), lambda d: d == 0))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (F.round(agree / F.lit(texts.MINHASH_PERMS) * 10000) / 10000).alias("est_jaccard"),
+            (F.round(jac * 10000) / 10000).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit simhash per doc, candidates from a
+    band join (any identical 8-bit band), Hamming-distance filter.
+
+    Output: (id_a, id_b, hamming). Manku et al. 2007's observation applies:
+    a pair within Hamming distance d must agree on >= 1 band when
+    bands > d / (bits/bands), so banding loses no close pairs while cutting
+    the candidate space by ~2^bits/band.
+    """
+    width = texts.SIMHASH_BITS // bands
+    sims = df.select(
+        F.col(id_col),
+        texts.simhash(F.transform(texts.tokens(text_col), texts.md5int32)).alias("sim"),
+    ).repartition(id_col)  # hash once; both join sides reuse this exchange
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # (sim >> b*width) & mask as exact long arithmetic
+            F.expr(f"(sim div {1 << (b * width)}) % {1 << width}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sims.select(
+        id_col, "sim", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            texts.hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Brute-force O(n^2) — correct baseline for the oracle gate. The 100 TB
+    path pre-buckets both sides with `vectors.lsh_bucket` (see
+    similarity.lsh_knn) so the self-join keys on bucket id instead of
+    crossing; this function is the verify kernel either way.
+
+    The per-pair cosine runs in the Arrow-batched numpy kernel
+    (vectors.pd_dot / pd_norm) — bit-identical left-to-right float64
+    accumulation, vectorized across the pair batch.
+    """
+    n = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), vectors.pd_norm(vec_col).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    a = n.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

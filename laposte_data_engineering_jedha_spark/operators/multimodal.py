@@ -1,0 +1,122 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The 100 TB pattern: media (image/audio/video) lives as a `binary` column
+with a typed metadata struct beside it; decode / feature-extraction runs as
+Arrow-batched Python over `mapInPandas`, so bytes move driver-free from
+parquet scan to Python in columnar batches and the stage parallelizes by
+input partition.
+
+The actual codec step is STUBBED (no image/audio libs in this container):
+`decode_stub` raises NotImplementedError for real decoding and instead
+emits a deterministic md5-derived feature vector, so the Spark-side
+plumbing — schema, batch iteration, partition-parallelism, output shape —
+is fully real and oracle-checkable (md5 is reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_TYPES = ["image", "audio", "video"]
+FEATURE_DIM = 4
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("n_bytes", LongType()),
+                    StructField("source", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Build the canonical media table from `documents`: the text payload
+    stands in for encoded media bytes; media_type round-robins by doc_id."""
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+    )
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_real(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """REAL decode hook — intentionally unimplemented in this container.
+
+    Production wiring: image -> PIL.Image.open(io.BytesIO(payload)),
+    audio -> soundfile/librosa frame decode, video -> pyav keyframe sample;
+    each returns a numpy array the feature extractor consumes.
+    """
+    raise NotImplementedError("media codecs are not available in this environment")
+
+
+def _fake_features(payload: bytes) -> tuple[int, list[float]]:
+    """Deterministic stand-in features: 32-bit md5 prefix ints scaled to
+    [0,1) by 2^-32 (exact in double, so the SQL oracle reproduces them)."""
+    h = hashlib.md5(payload).hexdigest()
+    content_hash = int(h[:8], 16)
+    feats = [int(h[8 * i : 8 * i + 8], 16) / 4294967296 for i in range(FEATURE_DIM)]
+    return content_hash, feats
+
+
+def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    mapInPandas: each input partition arrives as an iterator of Arrow-backed
+    pandas batches; output schema is fixed (`FEATURES_SCHEMA`), so Catalyst
+    can prune/push around the Python stage. Per-row Python cost is the only
+    non-JVM hot path in the package, and it is batch-amortized by Arrow.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media_type, payload, meta in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                if use_real_codecs:
+                    _decode_real(data, media_type)  # raises: stub boundary
+                content_hash, feats = _fake_features(data)
+                rows.append(
+                    (int(doc_id), media_type, int(meta["n_bytes"]), content_hash, feats)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "n_bytes", "content_hash", "features"]
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)

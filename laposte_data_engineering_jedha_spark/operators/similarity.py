@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+
+- `brute_force_knn` — exact top-k by cosine: the small-query-set pattern.
+  The query side is broadcast, so the big side streams through one
+  narrow map stage + a per-query top-k window; no all-pairs shuffle.
+- `lsh_knn` — sign-random-projection (hyperplane) LSH: both sides get a
+  deterministic bucket id (`vectors.lsh_bucket`), candidates come from a
+  bucket equi-join, exact cosine re-ranks. The 100 TB path: bucket ids are
+  per-row map-side compute, the join hash-partitions on bucket, and recall
+  is tuned by the number of hyperplanes (fewer bits -> bigger buckets ->
+  higher recall, more compute).
+
+An IVF variant (k-means coarse quantizer via `pyspark.ml.clustering.KMeans`,
+then probe nearest centroids) slots in the same shape: assign -> equi-join
+on centroid id -> re-rank. LSH is preferred here because its bucketing is
+closed-form and therefore oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vectors
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Top-k per query by (cosine desc, cand_id asc) — deterministic ties."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _sides(
+    df: DataFrame, queries: DataFrame, vec_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus + query sides with Arrow-kernel norms precomputed per row."""
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        vectors.pd_norm(vec_col).alias("cn"),
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vectors.pd_norm(vec_col).alias("qn"),
+    )
+    return cand, qry
+
+
+def brute_force_knn(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self excluded).
+
+    `queries` is broadcast (the typical ANN shape: few queries, huge corpus)
+    so the corpus never shuffles; the only exchange is the per-query top-k
+    window, keyed by query_id. Cosine math runs in the Arrow-batched numpy
+    kernel (vectors.pd_dot), vectorized across the candidate batch.
+    """
+    cand, qry = _sides(df, queries, vec_col, id_col)
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def lsh_knn(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join, exact cosine re-rank.
+
+    With `planes` bits, two vectors at angle theta share a bucket with
+    probability (1 - theta/pi)^planes — 8 bits keeps ~1/256 of the corpus
+    per bucket in expectation. Queries may return < k rows (recall < 1);
+    that is the documented ANN trade-off, not a bug.
+    """
+    cand, qry = _sides(df, queries, vec_col, id_col)
+    cand = cand.withColumn("bucket", vectors.pd_lsh_bucket("cv", dim, planes))
+    qry = qry.withColumn("bucket", vectors.pd_lsh_bucket("qv", dim, planes))
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        cand.join(F.broadcast(qry), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)

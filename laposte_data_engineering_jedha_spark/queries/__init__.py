@@ -54,6 +54,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as a proper TimestampType.
+
+    The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    (set in the session factory) it arrives as nanos-since-epoch LongType.
+    `div 1000` truncates to micros — bit-identical to DuckDB's ns->us read
+    path (truncation, not rounding; verified empirically)."""
+    df = table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 # --- shared SQL fragment builders (keep CASE chains in lockstep) ------------
 
 
@@ -259,5 +273,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, parity  # noqa: E402,F401
+from . import io, llmops, parity  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)

@@ -1,0 +1,470 @@
+"""100 TB training-data pipeline queries — dedup, similarity search, text
+analysis, events analytics, multimodal, streaming — each registered with a
+DuckDB oracle twin (SURVEY.md §7.2 M6).
+
+Every hash bottoms out in md5 (bit-identical across engines); every double
+reduction is strict left-to-right on both sides (Spark `aggregate` with 0.0
+init == DuckDB `list_reduce` over a 0.0-prepended list); money-style sums
+aggregate DECIMAL internally so partition order can't perturb low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texts, vectors
+from ..operators import dedup, multimodal, similarity
+from ..streaming import jobs as streaming_jobs
+from . import events_table, query, table
+
+# --- DuckDB SQL fragments mirroring functions/texts.py + vectors.py ----------
+
+
+def sql_md5i(x: str) -> str:
+    """Twin of texts.md5int32."""
+    return f"CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def sql_toks(c: str) -> str:
+    """Twin of texts.tokens."""
+    return rf"string_split_regex(trim(lower({c})), '\s+')"
+
+
+def sql_reduce_sum(products: str) -> str:
+    """Strict left-to-right double sum — twin of F.aggregate(_, 0.0, +)."""
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {products}), (a, x) -> a + x)"
+
+
+def sql_round(x: str, scale: int) -> str:
+    m = 10**scale
+    return f"round(({x}) * {m}) / {m}"
+
+
+SQL_SHINGLES = "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])"
+SQL_STOP = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in texts.STOPWORDS.items()}
+
+
+def sql_stop_hits(lang: str) -> str:
+    return f"len([x for x in t if list_contains({SQL_STOP[lang]}, x)])"
+
+
+SQL_NORM = (
+    "sqrt(" + sql_reduce_sum("[CAST(x AS DOUBLE) * x for x in embedding]") + ")"
+)
+
+
+def sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return sql_reduce_sum(f"[CAST({a}[i] AS DOUBLE) * {b}[i] for i in range(1, {dim + 1})]")
+
+
+# =============================== text analysis ===============================
+
+
+@query(
+    "text_token_count",
+    rf"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '{texts.BPE_TOKEN_RE}')) AS n_bpe
+FROM documents""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-token counts per document — the unit of
+    corpus budgeting. Pure codegen'd string ops; no shuffle at all."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        texts.token_count("text").alias("n_tokens"),
+        texts.bpe_token_count("text").alias("n_bpe"),
+    )
+
+
+_LANG_HITS = ",\n       ".join(f"{sql_stop_hits(lang)} AS h_{lang}" for lang in texts.LANG_TIEBREAK)
+_LANG_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in texts.LANG_TIEBREAK) + ")"
+_LANG_CASE = (
+    "CASE WHEN best <= 0 THEN 'und' "
+    + " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in texts.LANG_TIEBREAK)
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+WITH toks AS (SELECT doc_id, lang, {sql_toks('text')} AS t FROM documents),
+hits AS (SELECT doc_id, lang,
+       {_LANG_HITS}
+       FROM toks),
+best AS (SELECT *, {_LANG_BEST} AS best FROM hits)
+SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM best""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID next to the labeled lang column."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", texts.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "text_quality",
+    rf"""
+WITH base AS (
+  SELECT doc_id, text, {sql_toks('text')} AS t, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_sym
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_word,
+         CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS sym_ratio,
+         CAST({sql_stop_hits('en')} AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+         n_chars
+  FROM base)
+SELECT doc_id,
+  {sql_round(
+      "CAST(0.25 AS DOUBLE) * (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+      " + CAST(0.25 AS DOUBLE) * (CASE WHEN mean_word >= CAST(3.0 AS DOUBLE) AND mean_word <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+      " + CAST(0.25 AS DOUBLE) * (CASE WHEN sym_ratio <= CAST(0.1 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+      " + CAST(0.25 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE))",
+      4,
+  )} AS quality
+FROM sig""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic quality score per document."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", (F.round(texts.quality_score("text") * 10000) / 10000).alias("quality")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), [{sql_md5i('x')} for x in t]),
+                   (a, b) -> (a * 31 + b) % {texts.FINGERPRINT_MOD}) AS fingerprint
+FROM toks""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", texts.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ================================== dedup ====================================
+
+
+@query(
+    "dedup_exact",
+    """
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text FROM documents)
+SELECT md5(trim(lower(text))) AS dup_key, min(doc_id) AS keep_id,
+       count(*) AS copies
+FROM d2 GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus unioned with a shifted copy of itself, so
+    every text has >= 2 copies and the keep-lowest-id policy is exercised."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled)
+
+
+_SQL_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks)"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SQL_SHINGLE_CTES},
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       {sql_round('CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)', 4)} AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE jaccard >= CAST(0.5 AS DOUBLE)""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
+    return dedup.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_P = texts.MERSENNE31
+_SQL_SIG = (
+    f"[coalesce(list_min([(x * (j * 2 + 3) + (j * j + 7)) % {_P} for x in h]), {_P}) "
+    f"for j in range(0, {texts.MINHASH_PERMS})]"
+)
+_ROWS = texts.MINHASH_PERMS // texts.MINHASH_BANDS
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SQL_SHINGLE_CTES},
+sigs AS (
+  SELECT doc_id, h, {_SQL_SIG} AS sig
+  FROM (SELECT doc_id, [{sql_md5i('x')} for x in s] AS h FROM sh)
+  WHERE len(h) > 0),
+bands AS (
+  SELECT doc_id, sig, h, r.range AS band,
+         array_to_string(sig[r.range * {_ROWS} + 1 : r.range * {_ROWS} + {_ROWS}], '_') AS key
+  FROM sigs CROSS JOIN range(0, {texts.MINHASH_BANDS}) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+    len([i for i in range(1, {texts.MINHASH_PERMS + 1}) if sa.sig[i] = sb.sig[i]]) AS agree,
+    len(list_intersect(sa.h, sb.h)) AS inter, len(sa.h) AS na, len(sb.h) AS nb
+  FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+SELECT id_a, id_b,
+       {sql_round(f'CAST(agree AS DOUBLE) / {texts.MINHASH_PERMS}', 4)} AS est_jaccard,
+       {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} AS jaccard
+FROM scored WHERE jaccard >= CAST(0.5 AS DOUBLE)""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH candidate join, exact-Jaccard verified."""
+    return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_W = texts.SIMHASH_BITS // 4
+_SQL_SIMHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"[CASE WHEN list_sum([((x >> b) & 1) * 2 - 1 for x in h]) >= 0 THEN 1 ELSE 0 END "
+    f"for b in range(0, {texts.SIMHASH_BITS})]), (a, x) -> a * 2 + x)"
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
+sims AS (
+  SELECT doc_id, {_SQL_SIMHASH} AS sim
+  FROM (SELECT doc_id, [{sql_md5i('x')} for x in t] AS h FROM toks)),
+bands AS (
+  SELECT doc_id, sim, r.range AS band,
+         (sim >> (CAST(r.range AS INTEGER) * {_W})) & {(1 << _W) - 1} AS key
+  FROM sims CROSS JOIN range(0, 4) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates + Hamming filter. The
+    threshold is tight (<=1) because 32-bit simhashes of short same-domain
+    docs correlate heavily through the shared vocabulary."""
+    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=1)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
+           WHERE {SQL_NORM} > 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 4)} AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE cosine >= CAST(0.4 AS DOUBLE)""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (brute-force verify kernel)."""
+    return dedup.embedding_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ============================= similarity search =============================
+
+_SQL_KNN_BASE = f"""
+n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 8)"""
+
+
+@query(
+    "knn_brute_force",
+    f"""
+WITH {_SQL_KNN_BASE},
+pairs AS (
+  SELECT query_id, c.vec_id AS cand_id,
+         {sql_round(f"{sql_dot('qe', 'c.e')} / (qn * c.nrm)", 6)} AS cosine
+  FROM n c CROSS JOIN q WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM pairs)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5""",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 8."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_knn(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+def _sql_bucket(e: str) -> str:
+    w = f"(((p * 64 + i) * {vectors.LCG_A} + {vectors.LCG_C}) % {vectors.LCG_RANGE} - {vectors.LCG_SHIFT})"
+    d = sql_reduce_sum(f"[CAST({e}[i + 1] AS DOUBLE) * CAST({w} AS DOUBLE) for i in range(0, 64)]")
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CASE WHEN {d} >= 0 THEN 1 ELSE 0 END for p in range(0, 8)]), (a, x) -> a * 2 + x)"
+    )
+
+
+@query(
+    "knn_lsh",
+    f"""
+WITH {_SQL_KNN_BASE},
+cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e')} AS bucket FROM n),
+qb AS (SELECT query_id, qe, qn, {_sql_bucket('qe')} AS bucket FROM q),
+pairs AS (
+  SELECT query_id, c.vec_id AS cand_id,
+         {sql_round(f"{sql_dot('qe', 'c.e')} / (qn * c.nrm)", 6)} AS cosine
+  FROM cb c JOIN qb USING (bucket) WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM pairs)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5""",
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 (recall < 1 by design)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64, planes=8)
+
+
+# ============================== events analytics =============================
+
+
+@query(
+    "events_sessionize",
+    """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM z GROUP BY user_id, session_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via window functions (batch twin of a
+    `applyInPandasWithState` streaming sessionizer). Single shuffle on
+    user_id serves both windows and the final group-by; gap math in integer
+    microseconds so both engines compare exactly."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "ts", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window counts — the batch run of the SAME plan the
+    Structured Streaming job executes (streaming/jobs.py; the streaming
+    equivalence itself is asserted in tests/test_streaming.py)."""
+    return streaming_jobs.tumbling_counts(events_table(spark, sf_dir))
+
+
+@query(
+    "events_topk_spenders",
+    """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+       count(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10""",
+)
+def events_topk_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 purchasers by exact decimal spend (deterministic ordering)."""
+    return (
+        events_table(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("spend"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy(F.col("spend").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n_events
+FROM events GROUP BY 1""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + group count (semi-structured props)."""
+    return (
+        events_table(spark, sf_dir)
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ================================ multimodal =================================
+
+
+@query(
+    "multimodal_features",
+    f"""
+SELECT doc_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       {sql_md5i('text')} AS content_hash,
+       [CAST('0x' || substr(md5(text), 1 + 8 * i, 8) AS BIGINT) / 4294967296
+        for i in range(0, {multimodal.FEATURE_DIM})] AS features
+FROM documents""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payload -> Arrow-batched mapInPandas feature extraction
+    (deterministic md5 fake behind the stubbed codec boundary)."""
+    media = multimodal.media_table(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

@@ -47,6 +47,19 @@ WEATHER_HOURLY_SCHEMA = T.StructType(
     ]
 )
 
+# Events stream table (driver testdata: events.parquet) — explicit schema so
+# readStream needs no inference pass.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 PACKAGE_TYPES = ["Small", "Medium", "Large", "Extra Large", "Special"]
 PACKAGE_TYPE_PROBS = [0.4, 0.3, 0.15, 0.1, 0.05]
 DELIVERY_ZONES = ["Urban", "Suburban", "Rural", "Industrial", "Shopping Center"]

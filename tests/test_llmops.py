@@ -1,0 +1,131 @@
+"""Semantic unit tests for the 100 TB extension operators (dedup,
+similarity, text analysis) on hand-built micro-corpora — complements the
+DuckDB oracle gate (tests/test_oracle_parity.py covers cross-engine value
+parity; these assert the *behavior* is right on known inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from laposte_data_engineering_jedha_spark.functions import texts, vectors
+from laposte_data_engineering_jedha_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "tiny"),  # < shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse, lowest id kept
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    rows = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 4) in got and got[(1, 4)]["jaccard"] == 1.0
+    assert got[(1, 4)]["est_jaccard"] == 1.0  # identical sigs
+    assert (1, 2) in got  # near-dup must band-collide at j~0.7
+    # doc 5 (no shingles) must not appear anywhere
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    rows = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got[(1, 4)] == 0
+
+
+def test_simhash_value_is_deterministic(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    v1 = df.select(texts.simhash(F.transform(texts.tokens("text"), texts.md5int32)).alias("s")).first()["s"]
+    v2 = df.select(texts.simhash(F.transform(texts.tokens("text"), texts.md5int32)).alias("s")).first()["s"]
+    assert v1 == v2 and 0 <= v1 < 2**32
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.05, 0.0, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(vecs):
+    row = vecs.where("vec_id = 0").crossJoin(
+        vecs.where("vec_id = 3").select(F.col("embedding").alias("other"))
+    ).select(vectors.cosine("embedding", "other").alias("c")).first()
+    assert abs(row["c"] + 1.0) < 1e-12
+
+
+def test_brute_force_knn_ordering(vecs):
+    out = similarity.brute_force_knn(vecs, vecs.where("vec_id = 0"), k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["cand_id"] for r in ranked] == [4, 1]  # nearest first
+    assert ranked[0]["cosine"] > ranked[1]["cosine"] > 0
+
+
+def test_lsh_knn_subset_of_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = similarity.brute_force_knn(emb, q, k=5).collect()
+    approx = similarity.lsh_knn(emb, q, k=5, dim=64, planes=8).collect()
+    exact_set = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact}
+    # every LSH cosine must equal the exact cosine for that pair (same kernel)
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_set:
+            assert exact_set[key] == r["cosine"]
+    # buckets cannot return more than k per query
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(n <= 5 for n in per_q.values())
+
+
+def test_lang_id_and_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat"),
+            (2, "le chat est sur le tapis avec un chapeau"),
+            (3, "xyzzy plugh"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        texts.lang_id("text").alias("lang"),
+        texts.token_count("text").alias("n"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "fr"
+    assert out[3]["lang"] == "und"
+    assert out[4]["n"] == 0
+    assert out[1]["n"] == 9
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "beta alpha")], "id long, text string")
+    fps = [r["fp"] for r in df.select(texts.rolling_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] != fps[1]  # same tokens, different order -> different prints
