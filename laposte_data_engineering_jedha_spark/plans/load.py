@@ -20,6 +20,13 @@ from ..sources.writers import WRITER_MAP
 ALL_FORMATS = ["csv", "json", "parquet", "sqlite", "xlsx"]
 EXTENSIONS = {"csv": ".csv", "json": ".json", "parquet": ".parquet", "sqlite": ".db", "xlsx": ".xlsx"}
 
+# Above this row count, "auto" single-file mode switches csv/json/parquet to
+# parallel multi-part directories: a coalesce(1) write serializes the whole
+# output through one task, which is exact-parity-correct but is the one thing
+# that cannot scale. The reference contract (one file per format) is kept for
+# human-scale outputs; big runs get `deliveries.csv/` part directories.
+SINGLE_FILE_MAX_ROWS = 1_000_000
+
 
 def _xlsx_available() -> bool:
     try:
@@ -81,9 +88,12 @@ def load_data(df: DataFrame, config: dict) -> dict:
         df = df.cache()
     try:
         n_rows = df.count()  # one action: warms the cache + manifest shape
+        single = output_conf.get("single_file", "auto")
+        if single == "auto":
+            single = n_rows <= SINGLE_FILE_MAX_ROWS
         for f in formats:
             target = os.path.join(out_path, f"deliveries{EXTENSIONS[f]}")
-            WRITER_MAP[f](target).write(df)
+            WRITER_MAP[f](target, single_file=single).write(df)
         manifest = generate_manifest(df, output_conf, n_rows=n_rows)
         manifest_path = os.path.join(out_path, "results_manifest.json")
         with open(manifest_path, "w") as fh:
