@@ -25,9 +25,17 @@ Scale notes (1000-executor / 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import texts, vectors
+from ..functions import texts
+from ..functions.vectors import _ltr_dot
+
+
+def _ltr_sq(m):
+    """Left-to-right sum of squares per row (norm^2, oracle-order)."""
+    return _ltr_dot(m, m)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -51,7 +59,7 @@ def _shingle_index(
     """(id, shingle) inverted index over distinct word n-gram shingles, with
     the optional stop-shingle document-frequency cap."""
     sh = df.select(
-        F.col(id_col), F.explode(texts.shingles(texts.tokens(text_col))).alias("shingle")
+        F.col(id_col), F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
     )
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -82,7 +90,7 @@ def ngram_jaccard_pairs(
     # downstream reference.
     sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
     sizes = df.select(
-        F.col(id_col), F.size(texts.shingles(texts.tokens(text_col))).alias("n_shingles")
+        F.col(id_col), F.size(texts.pd_shingles(texts.tokens(text_col))).alias("n_shingles")
     ).where(F.col("n_shingles") > 0)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -114,11 +122,13 @@ def minhash_lsh_pairs(
     before banding — their empty-set signatures would otherwise all
     collide into one catastrophic bucket.
     """
-    hashes = texts.shingle_hashes(text_col)
+    hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
     sigs = (
         df.select(F.col(id_col), hashes.alias("hashes"))
         .where(F.size("hashes") > 0)
-        .select(id_col, "hashes", texts.minhash_signature(F.col("hashes")).alias("sig"))
+        # Arrow kernel: identical values to texts.minhash_signature, minus
+        # the per-element lambda interpreter (md5 hashing stays JVM-side)
+        .select(id_col, "hashes", texts.pd_minhash_signature("hashes").alias("sig"))
         # Exchange barrier: signatures are hashed ONCE, the band self-join
         # reuses the same exchange for both sides (ReuseExchange), and
         # project-collapse can't re-derive the md5 pipeline per reference.
@@ -176,10 +186,11 @@ def simhash_pairs(
     the candidate space by ~2^bits/band.
     """
     width = texts.SIMHASH_BITS // bands
-    sims = df.select(
-        F.col(id_col),
-        texts.simhash(F.transform(texts.tokens(text_col), texts.md5int32)).alias("sim"),
-    ).repartition(id_col)  # hash once; both join sides reuse this exchange
+    sims = (
+        df.select(F.col(id_col), texts.pd_token_hashes(texts.tokens(text_col)).alias("h"))
+        .select(F.col(id_col), texts.pd_simhash("h").alias("sim"))
+        .repartition(id_col)  # hash once; both join sides reuse this exchange
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -223,18 +234,51 @@ def embedding_dup_pairs(
     similarity.lsh_knn) so the self-join keys on bucket id instead of
     crossing; this function is the verify kernel either way.
 
-    The per-pair cosine runs in the Arrow-batched numpy kernel
-    (vectors.pd_dot / pd_norm) — bit-identical left-to-right float64
-    accumulation, vectorized across the pair batch.
+    BLOCK-NESTED-LOOP shape: the full corpus matrix is captured driver-side
+    (the "inner"/build relation — at 100 TB this is whichever side fits,
+    exactly like a broadcast join build side) and each partition of the
+    outer side computes its (batch x corpus) cosine block in one numpy
+    pass via mapInPandas, emitting only pairs near the threshold. This
+    avoids materializing the O(n^2) pair rows through a join + Arrow
+    transfer entirely. Accumulation is left-to-right over dimensions
+    (vectorized across the block), so raw cosines are bit-identical to
+    `vectors.dot`/the SQL oracle; final round+threshold happens JVM-side
+    with the library round2/round4 convention.
     """
-    n = df.select(
-        F.col(id_col), F.col(vec_col).alias("v"), vectors.pd_norm(vec_col).alias("nrm")
-    ).where(F.col("nrm") > 0)
-    a = n.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pdf = src.toPandas()
+    ids_b = pdf["_id"].to_numpy()
+    mat_b = np.array([np.asarray(v, dtype="float64") for v in pdf["_v"]], dtype="float64")
+    nrm_b = np.sqrt(_ltr_sq(mat_b))
+    keep = nrm_b > 0
+    ids_b, mat_b, nrm_b = ids_b[keep], mat_b[keep], nrm_b[keep]
+    # emit margin: anything whose ROUNDED cosine could still reach the
+    # threshold (round4 moves a value by at most 5e-5)
+    margin = threshold - 1e-4
+
+    def block(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            ids_a = batch["_id"].to_numpy()
+            mat_a = np.array(
+                [np.asarray(v, dtype="float64") for v in batch["_v"]], dtype="float64"
+            )
+            nrm_a = np.sqrt(_ltr_sq(mat_a))
+            ok = nrm_a > 0
+            ids_a, mat_a, nrm_a = ids_a[ok], mat_a[ok], nrm_a[ok]
+            if len(ids_a) == 0:
+                continue
+            acc = np.zeros((len(ids_a), len(ids_b)), dtype="float64")
+            for i in range(mat_a.shape[1]):  # left-to-right over dimensions
+                acc += mat_a[:, i][:, None] * mat_b[None, :, i]
+            cos = acc / (nrm_a[:, None] * nrm_b[None, :])
+            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= margin))
+            yield pd.DataFrame(
+                {"id_a": ids_a[ia], "id_b": ids_b[ib], "raw": cos[ia, ib]}
+            )
+
+    pairs = src.mapInPandas(block, schema="id_a long, id_b long, raw double")
+    return pairs.select(
+        "id_a", "id_b", (F.round(F.col("raw") * 10000) / 10000).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
