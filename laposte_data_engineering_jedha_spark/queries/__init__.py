@@ -273,5 +273,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, parity  # noqa: E402,F401
+from . import io, llmops, olap, parity  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)

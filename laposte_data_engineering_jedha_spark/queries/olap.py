@@ -1,0 +1,173 @@
+"""OLAP analytics queries over the TPC-H-shaped tables — the classic
+warehouse shapes (pricing summary, selective revenue scan, join+top-k,
+windowed ranking) expressed Catalyst-first, each with a DuckDB oracle twin.
+
+These go beyond the reference's surface (it has no group-by at all) and
+exist to prove the engine side of "analytics engine": multi-key hash
+aggregation with partial (map-side) combine, broadcast dimension joins,
+deterministic top-k, and window ranking — the plans Spark must get right
+at 100 TB.
+
+Cross-engine float discipline: every SUM over row-dependent doubles runs
+through DECIMAL(18,4) internally (exact, order-free — a double sum would
+be partition-order dependent) and casts to double at the end; AVG is the
+quotient of two exact decimal aggregates, divided in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query, table
+
+_DEC = "decimal(18,4)"
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast(_DEC))
+
+
+@query(
+    "olap_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass multi-aggregate scan. One shuffle over
+    (returnflag, linestatus) — 6 groups — after map-side partial
+    aggregation; the scan prunes to 5 columns and pushes the shipdate
+    predicate into parquet."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (_dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "olap_revenue_filter",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24.0 AS DOUBLE)""",
+)
+def olap_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan -> global aggregate. All four
+    predicates push down to the parquet reader (PushedFilters); the
+    aggregate is a two-phase partial/final with no group keys."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "olap_topk_customers",
+    """
+SELECT c_custkey, c_mktsegment,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_custkey, c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT 10""",
+)
+def olap_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-to-dim joins + grouped revenue + deterministic
+    top-k. customer and (filtered) orders both broadcast, so lineitem — the
+    only big table — never shuffles for the joins; the single exchange is
+    the group-by on custkey, and the top-k is a TakeOrderedAndProject (no
+    global sort materialization)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "olap_monthly_top_supplier",
+    """
+WITH rev AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month, l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY ship_month
+                         ORDER BY revenue DESC, l_suppkey) AS rnk
+  FROM rev)
+SELECT ship_month, l_suppkey, revenue FROM ranked WHERE rnk = 1""",
+)
+def olap_monthly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ranking: revenue per (month, supplier), keep each month's
+    top supplier. Group-by shuffle on (month, suppkey), then a window
+    shuffle on month; rank ties broken by suppkey for determinism."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("ship_month"), "l_suppkey"
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("ship_month").orderBy(F.col("revenue").desc(), "l_suppkey")
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") == 1)
+        .select("ship_month", "l_suppkey", "revenue")
+    )

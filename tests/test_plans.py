@@ -1,0 +1,73 @@
+"""Physical-plan regression tests — the scale properties the engine relies
+on (broadcast joins, parquet predicate pushdown, column pruning, partial
+aggregation, top-k without global sort) asserted against explain output so
+they can't silently regress into shuffle-heavy plans."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from laposte_data_engineering_jedha_spark import queries as q
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_text(q.queries()[name](spark, sf_dir))
+
+    return get
+
+
+def test_flagship_joins_are_broadcast(plans):
+    p = plans("pipeline_delay_status")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the fact table must never shuffle
+
+
+def test_flagship_prunes_order_columns(plans):
+    p = plans("pipeline_delay_status")
+    m = re.search(r"ReadSchema: struct<(o_[^>]*)>", p)
+    assert m, "orders scan not found"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"}
+
+
+def test_q6_predicates_push_to_parquet(plans):
+    p = plans("olap_revenue_filter")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "l_shipdate" in pushed.group(1)
+    assert "l_discount" in pushed.group(1) and "l_quantity" in pushed.group(1)
+
+
+def test_q1_uses_partial_aggregation(plans):
+    p = plans("olap_pricing_summary")
+    # two-phase agg: partial (map-side) HashAggregate before the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_avoids_global_sort(plans):
+    p = plans("olap_topk_customers")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_weather_join_is_broadcast(plans):
+    p = plans("join_weather_left")
+    assert "BroadcastHashJoin LeftOuter" in p
+
+
+def test_knn_query_side_is_broadcast(plans):
+    p = plans("knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
