@@ -449,6 +449,22 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_sessionize")  # no SQL oracle: custom stateful streaming op
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState
+    sessionizer) driven end-to-end: events re-written as an in-order file
+    stream, availableNow micro-batches, event-time timeouts. Rows-only
+    driver check; the batch-equivalence proof lives in
+    tests/test_streaming.py::test_stateful_sessionizer_matches_batch."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_sessionize_") + "/events"
+    events_table(spark, sf_dir).coalesce(1).write.parquet(out)
+    return streaming_jobs.run_sessionize_available_now(
+        spark, out, query_name=f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+    )
+
+
 # ================================ multimodal =================================
 
 

@@ -6,14 +6,19 @@ SAME plan runs (a) in batch mode for the DuckDB oracle gate and (b) under
 Spark pattern for keeping batch and streaming semantics provably aligned.
 
 Scale notes: tumbling-window counts are a streaming state store keyed by
-(window, event_type) — bounded by watermark expiry; sessionization's
-streaming twin would use `applyInPandasWithState` keyed by user_id (the
-batch window-function version lives in queries/llmops.py).
+(window, event_type) — bounded by watermark expiry. Sessionization is the
+custom stateful operator: `applyInPandasWithState` keyed by user_id, with
+per-user open-session state emitted on gap timeout (the batch
+window-function twin lives in queries/llmops.py:events_sessionize).
 """
 
 from __future__ import annotations
 
+import datetime
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import EVENTS_SCHEMA
 
@@ -44,6 +49,105 @@ def tumbling_counts(events: DataFrame, with_watermark: bool = False) -> DataFram
             "total_value",
         )
     )
+
+
+SESSION_GAP_S = 1800  # 30 min, matches queries/llmops.py:events_sessionize
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long"  # micros since epoch
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: 30-minute-gap sessionization via
+    `applyInPandasWithState` keyed by user_id.
+
+    State per user = the open session (start, last-event, count) in integer
+    microseconds. Each micro-batch folds its (watermark-ordered-enough)
+    events into the open session; a gap > 30 min closes and emits the
+    previous session. Event-time timeout (last_event + gap past the
+    watermark) closes idle sessions, so state size is bounded by the number
+    of users active inside one watermark horizon — the property that makes
+    this run forever on an unbounded stream.
+
+    Note the ordering contract: within a micro-batch, events of one user
+    arrive as one pandas group and are sorted here; ACROSS micro-batches,
+    ordering holds only beyond the watermark. That is the same guarantee
+    Spark's own session_window operator gives.
+    """
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            start, end, n = state.get
+            out.append((user_id, start, end, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                rows = rows.sort_values(["ts", "event_id"])
+                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+                if state.exists:
+                    start, end, n = state.get
+                else:
+                    start, end, n = int(ts_us[0]), int(ts_us[0]), 0
+                for t in ts_us:
+                    t = int(t)
+                    if n > 0 and t - end > SESSION_GAP_S * 1_000_000:
+                        out.append((user_id, start, end, n))
+                        start, n = t, 0
+                    if n == 0:
+                        start = t
+                    end = t
+                    n += 1
+                state.update((start, end, n))
+                # close when the watermark passes last event + gap; clamp to
+                # just past the current watermark for users whose events ran
+                # behind it (out-of-order micro-batch arrival)
+                timeout_ms = end // 1000 + SESSION_GAP_S * 1000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1000)
+                )
+        for user, s_us, e_us, n_ev in out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(s_us, unit="us")],
+                    "session_end": [pd.Timestamp(e_us, unit="us")],
+                    "n_events": [n_ev],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Drive the stateful sessionizer over the whole directory with
+    availableNow into a memory sink; returns emitted (closed) sessions."""
+    stream = sessionize_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
