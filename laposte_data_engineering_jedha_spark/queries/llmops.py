@@ -449,6 +449,50 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_topterms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({sql_toks('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF x rational-IDF.
+
+    idf is the RATIONAL form (N+1)/(df+1) rather than its log: the ranking
+    is order-isomorphic (log is monotone) and the score is a single IEEE
+    division+multiply, exactly reproducible across engines — ln() is only
+    ulp-accurate and engine-dependent. Plan: explode -> two hash aggs
+    (term-frequency, doc-frequency) -> broadcast-join the term dim ->
+    per-doc top-k window."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(texts.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
 @query("stream_sessionize")  # no SQL oracle: custom stateful streaming op
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState

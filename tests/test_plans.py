@@ -71,3 +71,24 @@ def test_weather_join_is_broadcast(plans):
 def test_knn_query_side_is_broadcast(plans):
     p = plans("knn_brute_force")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + date predicate -> partition pruning (the
+    scan must show a PartitionFilters entry and read only matching dirs)."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.queries import events_table
+    from laposte_data_engineering_jedha_spark.sources.writers import write_partitioned
+
+    out = str(tmp_path / "events_by_day")
+    ev = events_table(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    write_partitioned(ev, out, ["event_date"])
+
+    back = spark.read.parquet(out).where(F.col("event_date") == "2024-01-05")
+    p = plan_text(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_date" in m.group(1)
+    n_days = events_table(spark, sf_dir).select(F.to_date("ts")).distinct().count()
+    assert back.count() > 0
+    assert back.count() < events_table(spark, sf_dir).count() / max(n_days - 5, 1)
