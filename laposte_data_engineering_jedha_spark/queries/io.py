@@ -84,6 +84,41 @@ if _xlsx_available():  # pragma: no cover - env-dependent
         return _roundtrip(spark, sf_dir, "xlsx", ".xlsx")
 
 
+_WX_DATES = ["2025-03-01", "2025-03-02", "2025-03-03"]
+_WX_CONDS = ["Clear", "Light rain", "Fog", "Heavy snow"]
+_WX_LIST = "[" + ", ".join(f"'{c}'" for c in _WX_CONDS) + "]"
+
+
+@query(
+    "src_weather_flatten",
+    f"""
+WITH dates AS (
+  SELECT CAST(d AS DATE) AS date
+  FROM (VALUES {", ".join(f"('{d}')" for d in _WX_DATES)}) v(d)),
+grid AS (
+  SELECT date, CAST(h.range AS INTEGER) AS Hour
+  FROM dates CROSS JOIN range(0, 24) h)
+SELECT date, Hour,
+       ({_WX_LIST})[
+         (datediff('day', DATE '0001-01-01', date) + 1 + Hour) % 4 + 1
+       ] AS Weather_Condition
+FROM grid""",
+)
+def src_weather_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native JSON flatten path (reference core/transform.py:78-85 ->
+    from_json + explode, SURVEY.md §2.1 src_weather_flatten) driven over
+    the fake client's canned payloads; the oracle recomputes the fake's
+    closed-form condition rule (conditions[(toordinal(date)+hour) % 4])
+    directly, so the whole parse->explode->project pipeline is value-checked."""
+    import datetime
+
+    from ..sources.weather import FakeWeatherClient, fetch_payloads, flatten_weather
+
+    dates = [datetime.date.fromisoformat(d) for d in _WX_DATES]
+    payloads = fetch_payloads(FakeWeatherClient(conditions=_WX_CONDS), dates)
+    return flatten_weather(spark, payloads)
+
+
 @query("src_generate")  # rows-only check: rand() has no DuckDB twin
 def src_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded synthetic generator (reference core/extract.py:82-119) —

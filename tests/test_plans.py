@@ -73,6 +73,41 @@ def test_knn_query_side_is_broadcast(plans):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Pre-bucketing both sides on the join key makes the join
+    exchange-free: the classic co-located join for repeated large-large
+    joins (the bucket layout is the shuffle, paid once at write time)."""
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ["t_orders_b", "t_lineitem_b"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # orphan locations
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("t_orders_b"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("t_lineitem_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_lineitem_b").join(
+            spark.table("t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_text(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucket layout replaces the shuffle
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ["t_orders_b", "t_lineitem_b"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     """Date-partitioned layout + date predicate -> partition pruning (the
     scan must show a PartitionFilters entry and read only matching dirs)."""
