@@ -12,10 +12,15 @@ Two paths:
   is tuned by the number of hyperplanes (fewer bits -> bigger buckets ->
   higher recall, more compute).
 
-An IVF variant (k-means coarse quantizer via `pyspark.ml.clustering.KMeans`,
-then probe nearest centroids) slots in the same shape: assign -> equi-join
-on centroid id -> re-rank. LSH is preferred here because its bucketing is
-closed-form and therefore oracle-checkable.
+`ivf_knn` is the IVF variant: a k-means coarse quantizer
+(pyspark.ml.clustering.KMeans, seeded) assigns every corpus vector to a
+centroid list; queries probe their `n_probe` nearest centroids and re-rank
+exactly within those lists. Same join shape as LSH (equi-join on a
+map-side-computed bucket id); recall/cost is tuned by n_probe/n_centroids
+instead of hyperplane count. LSH remains the oracle-checked variant
+(closed-form bucketing); IVF's k-means fit is seeded-deterministic but not
+SQL-expressible, so its guarantees are covered by tests
+(tests/test_llmops.py) rather than the DuckDB gate.
 """
 
 from __future__ import annotations
@@ -101,5 +106,73 @@ def lsh_knn(
         cand.join(F.broadcast(qry), "bucket")
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def ivf_knn(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantization,
+    probe the query's `n_probe` nearest centroid lists, exact cosine
+    re-rank inside them.
+
+    At 100 TB the fit runs on a sample, the assignment is one map-side
+    `transform`, and the probe join hash-partitions on centroid id — the
+    index "build" is an embarrassingly parallel assignment pass, unlike
+    graph indexes (HNSW) that need sequential construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+
+    def assign(side: DataFrame, id_alias: str, v_alias: str, n: int) -> DataFrame:
+        withvec = side.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(v_alias),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        # nearest-n centroids per row via the model's centers broadcast as
+        # a literal array of (centroid_id, squared-distance) — pure exprs
+        centers = model.clusterCenters()
+        dists = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("c"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(v_alias),
+                            F.array(*[F.lit(float(x)) for x in centers[i]]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                )
+                for i in range(len(centers))
+            ]
+        )
+        top = F.slice(F.array_sort(dists, lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(a["c"] - b["c"])), 1, n)
+        return withvec.select(
+            id_alias, v_alias, F.explode(F.transform(top, lambda s: s["c"])).alias("centroid")
+        )
+
+    cand = assign(df, "cand_id", "cv", 1).withColumn("cn", vectors.pd_norm("cv"))
+    qry = assign(queries, "query_id", "qv", n_probe).withColumn("qn", vectors.pd_norm("qv"))
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        cand.join(F.broadcast(qry), "centroid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+        .dropDuplicates(["query_id", "cand_id"])
     )
     return _ranked_topk(pairs, k)

@@ -409,6 +409,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_counts",
+    """
+SELECT bucket_start, event_type, count(*) AS n_events
+FROM (
+  SELECT ((epoch_us(ts) // 300000000) - r.range) * 300 AS bucket_start,
+         event_type
+  FROM events CROSS JOIN range(0, 2) r)
+GROUP BY 1, 2""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    buckets. The oracle enumerates the two slide-aligned window starts per
+    event; Spark's window(ts, '10 minutes', '5 minutes') produces the same
+    starts. Batch run of the streaming-capable plan (streaming/jobs.py)."""
+    return streaming_jobs.sliding_counts(events_table(spark, sf_dir))
+
+
+@query(
     "events_topk_spenders",
     """
 SELECT user_id,

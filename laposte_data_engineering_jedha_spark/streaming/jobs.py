@@ -51,6 +51,27 @@ def tumbling_counts(events: DataFrame, with_watermark: bool = False) -> DataFram
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    with_watermark: bool = False,
+) -> DataFrame:
+    """Sliding-window per-type counts: each event lands in window/slide
+    overlapping buckets. Same batch/streaming duality as tumbling_counts;
+    state per open (window, type) pair, expired by the watermark."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 SESSION_GAP_S = 1800  # 30 min, matches queries/llmops.py:events_sessionize
 
 SESSION_OUT_SCHEMA = (

@@ -103,6 +103,22 @@ def test_lsh_knn_subset_of_brute_force(spark, sf_dir):
     assert all(n <= 5 for n in per_q.values())
 
 
+def test_ivf_knn_recall_and_exactness(spark, sf_dir):
+    """IVF results must use the exact cosine kernel (values equal to brute
+    force for the same pair) and reach reasonable recall with 4/16 probes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_knn(emb, q, k=5).collect()
+    ivf = similarity.ivf_knn(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    exact_cos = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_cos:
+            assert exact_cos[key] == r["cosine"]
+    hits = sum(1 for r in ivf if (r["query_id"], r["cand_id"]) in exact_cos)
+    assert hits / len(exact) >= 0.2  # 4/16 probes on clusterless vectors
+
+
 def test_lang_id_and_tokens(spark):
     df = spark.createDataFrame(
         [

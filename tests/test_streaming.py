@@ -57,6 +57,58 @@ def test_stream_plan_is_incremental(spark, events_dir):
     assert df.isStreaming
 
 
+def test_sliding_counts_two_buckets_per_event(spark, events_dir):
+    batch = jobs.sliding_counts(spark.read.parquet(events_dir))
+    total_bucketed = sum(r["n_events"] for r in batch.collect())
+    n_events = spark.read.parquet(events_dir).count()
+    assert total_bucketed == 2 * n_events  # 10-min window / 5-min slide
+
+
+def test_late_events_dropped_by_watermark(spark, tmp_path):
+    """Append-mode + watermark semantics: an event arriving later than the
+    watermark is dropped before the stateful aggregation — its
+    already-finalized window is not re-emitted or recounted."""
+    import datetime
+    import time
+
+    from laposte_data_engineering_jedha_spark.schemas import EVENTS_SCHEMA
+
+    out = str(tmp_path / "late_events")
+    t = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            schema=EVENTS_SCHEMA,
+        )
+
+    # batch 1: three events 10:00-10:04, one at 10:20
+    mk([t, t + datetime.timedelta(minutes=2), t + datetime.timedelta(minutes=4),
+        t + datetime.timedelta(minutes=20)]).coalesce(1).write.mode("append").parquet(out)
+    time.sleep(0.1)
+    # batch 2: 10:40 advances the watermark to 10:30 -> every earlier
+    # window is finalized and emitted
+    mk([t + datetime.timedelta(minutes=40)]).coalesce(1).write.mode("append").parquet(out)
+    time.sleep(0.1)
+    # batch 3: a LATE replay of 10:02 — its window is already emitted, the
+    # row is beyond the watermark, so it must be dropped (no duplicate
+    # emission, no recount)
+    mk([t + datetime.timedelta(minutes=2)]).coalesce(1).write.mode("append").parquet(out)
+
+    stream = jobs.tumbling_counts(jobs.read_events_stream(spark, out), with_watermark=True)
+    q = (
+        stream.writeStream.format("memory").queryName("late_drop_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["bucket_start"]: r["n_events"] for r in spark.table("late_drop_test").collect()}
+    first_bucket = int(t.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # 10:00-10:05 holds events 10:00, 10:02, 10:04 from batch 1 ONLY — the
+    # late replay of 10:02 in batch 2 must not inflate it
+    assert got[first_bucket] == 3
+    assert len([b for b in got if b == first_bucket]) == 1
+
+
 def test_stateful_sessionizer_matches_batch(spark, sf_dir, events_dir):
     """The applyInPandasWithState sessionizer must emit exactly the batch
     window-function sessions for every session that is CLOSED by the end of
