@@ -522,9 +522,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="stream_sessionize_") + "/events"
     events_table(spark, sf_dir).coalesce(1).write.parquet(out)
-    return streaming_jobs.run_sessionize_available_now(
-        spark, out, query_name=f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # fewer state-store partitions for this bounded run: per-micro-batch
+    # state store open/commit overhead scales with shuffle partitions, and
+    # the per-user state here is tiny (conf is captured at stream start)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return streaming_jobs.run_sessionize_available_now(
+            spark, out, query_name=f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # ================================ multimodal =================================

@@ -106,6 +106,10 @@ class SqliteWriter(BaseWriter):
             df.write.mode("overwrite").parquet(tmp)
             dataset = ds.dataset(tmp, format="parquet")
             with sqlite3.connect(self.path) as conn:
+                # bulk-load pragmas: this writer owns the file for the
+                # duration; durability is re-established by the final commit
+                conn.execute("PRAGMA journal_mode=OFF")
+                conn.execute("PRAGMA synchronous=OFF")
                 conn.execute(
                     f'CREATE TABLE IF NOT EXISTS {self.TABLE} ({", ".join(chr(34) + c + chr(34) for c in cols)})'
                 )

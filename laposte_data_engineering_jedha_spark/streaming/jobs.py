@@ -131,13 +131,13 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
                 state.setTimeoutTimestamp(
                     max(timeout_ms, state.getCurrentWatermarkMs() + 1000)
                 )
-        for user, s_us, e_us, n_ev in out:
+        if out:  # one batched frame per group call, not one per session
             yield pd.DataFrame(
                 {
-                    "user_id": [user],
-                    "session_start": [pd.Timestamp(s_us, unit="us")],
-                    "session_end": [pd.Timestamp(e_us, unit="us")],
-                    "n_events": [n_ev],
+                    "user_id": [r[0] for r in out],
+                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "n_events": [r[3] for r in out],
                 }
             )
 
