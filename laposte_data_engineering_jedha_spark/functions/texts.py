@@ -25,7 +25,11 @@ MERSENNE31 = 2_147_483_647  # 2^31 - 1
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows: ~P(collide) = 1-(1-j^4)^4
 SHINGLE_WIDTH = 3
-SIMHASH_BITS = 32
+# 60 bits = 15 md5 hex chars — the widest hash that stays inside a signed
+# BIGINT in both engines. 32 bits is too small a space for simhash on short
+# same-domain docs: vocabulary correlation + birthday collisions flood the
+# candidate set at >=100k docs (measured in SCALE.md).
+SIMHASH_BITS = 60
 FINGERPRINT_MOD = 1_000_000_007
 
 STOPWORDS = {
@@ -51,6 +55,12 @@ def md5int32(col: Column | str) -> Column:
     """First 8 hex chars of md5 as a BIGINT in [0, 2^32) — the portable hash
     primitive (DuckDB twin: `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`)."""
     return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def md5int60(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as a BIGINT in [0, 2^60) — the wide variant
+    for simhash, where 32 bits of space is not enough (see SIMHASH_BITS)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
 def tokens(col: Column | str) -> Column:
@@ -136,8 +146,15 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     SINGLE-PASS over the hash array: one `aggregate` carrying a `bits`-wide
     vote accumulator (a per-bit formulation re-evaluates the md5 token
     pipeline `bits` times after Catalyst project-collapse). Bit b of h is
-    extracted as `floor(h / 2^b) % 2` — exact, since dividing by a power of
-    two only shifts the double's exponent."""
+    extracted as `(h % 2^(b+1)) >= 2^b` in pure LONG arithmetic — the 2^b
+    literals come from pow() (exact: powers of two) cast to long, so this
+    stays exact for 60-bit hashes where a float division would lose low
+    bits (doubles only hold 53)."""
+
+    def bit_vote(h, b):
+        p_b = F.pow(F.lit(2.0), b).cast("long")
+        return F.when(h % (p_b * 2) >= p_b, 1).otherwise(-1)
+
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -145,7 +162,7 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2 * 2 - 1,
+                lambda b: bit_vote(h, b),
             ),
             lambda a, c: a + c,
         ),
@@ -226,16 +243,20 @@ def pd_shingle_hashes(tokens_col: Column | str, n: int = SHINGLE_WIDTH) -> Colum
     return kernel(_c(tokens_col))
 
 
-def pd_token_hashes(tokens_col: Column | str) -> Column:
-    """Arrow-batched md5int32 over each token of a JVM-tokenized array
-    (non-distinct — SimHash weights by frequency)."""
+def pd_token_hashes(tokens_col: Column | str, hex_chars: int = 8) -> Column:
+    """Arrow-batched md5-prefix hash over each token of a JVM-tokenized
+    array (non-distinct — SimHash weights by frequency). `hex_chars=8`
+    mirrors md5int32; 15 mirrors md5int60."""
     import hashlib
 
     @pandas_udf("array<long>")
     def kernel(s: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks]
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:hex_chars], 16)
+                    for t in toks
+                ]
                 for toks in s
             ]
         )

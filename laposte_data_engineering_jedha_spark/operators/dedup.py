@@ -175,19 +175,29 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 32-bit simhash per doc, candidates from a
-    band join (any identical 8-bit band), Hamming-distance filter.
+    band join (any identical band), Hamming-distance filter.
 
-    Output: (id_a, id_b, hamming). Manku et al. 2007's observation applies:
-    a pair within Hamming distance d must agree on >= 1 band when
-    bands > d / (bits/bands), so banding loses no close pairs while cutting
-    the candidate space by ~2^bits/band.
+    Output: (id_a, id_b, hamming). By pigeonhole (Manku et al. 2007), a
+    pair within Hamming distance d agrees on >= 1 of any d+1 disjoint
+    bands — so `bands` defaults to the MINIMUM that guarantees full
+    recall, d+1, giving the WIDEST keys and the smallest candidate set.
+    At 100k docs, 8-bit bands (4 for d<=3) generate ~80M spurious
+    candidates from random collisions alone, while 16-bit bands (2 for
+    d<=1) stay linear — band width, not band count, is the scale knob.
+    Final results are band-layout independent (full recall either way),
+    which is why the DuckDB oracle may band differently.
     """
+    if bands is None:
+        bands = min(max_hamming + 1, 4)
     width = texts.SIMHASH_BITS // bands
     sims = (
-        df.select(F.col(id_col), texts.pd_token_hashes(texts.tokens(text_col)).alias("h"))
+        df.select(
+            F.col(id_col),
+            texts.pd_token_hashes(texts.tokens(text_col), hex_chars=15).alias("h"),
+        )
         .select(F.col(id_col), texts.pd_simhash("h").alias("sim"))
         .repartition(id_col)  # hash once; both join sides reuse this exchange
     )

@@ -257,7 +257,9 @@ _SQL_SIMHASH = (
 WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
 sims AS (
   SELECT doc_id, {_SQL_SIMHASH} AS sim
-  FROM (SELECT doc_id, [{sql_md5i('x')} for x in t] AS h FROM toks)),
+  FROM (SELECT doc_id,
+               [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in t] AS h
+        FROM toks)),
 bands AS (
   SELECT doc_id, sim, r.range AS band,
          (sim >> (CAST(r.range AS INTEGER) * {_W})) & {(1 << _W) - 1} AS key
@@ -267,13 +269,13 @@ cand AS (
          bit_count(xor(a.sim, b.sim)) AS hamming
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1""",
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidates + Hamming filter. The
-    threshold is tight (<=1) because 32-bit simhashes of short same-domain
-    docs correlate heavily through the shared vocabulary."""
-    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=1)
+    """SimHash near-dup pairs: banded candidates + Hamming <= 3 over 60-bit
+    simhashes (32 bits is too small a space for short same-domain docs —
+    vocabulary correlation floods the candidate set at scale; SCALE.md)."""
+    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @query(
@@ -389,6 +391,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_session_window_native",
+    """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_close,
+       count(*) AS n_events
+FROM z GROUP BY user_id, session_id""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (one groupBy, merge-on-overlap
+    sessionization — no window functions). Boundary semantics: events merge
+    while the gap is <= 30 min, and the emitted window end is last event +
+    gap — exactly the lag/cumsum formulation's sessions with close =
+    max(ts) + 30 min, which is what the oracle computes. The same operator
+    runs under Structured Streaming with a watermark unchanged."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
         )
     )
 

@@ -55,9 +55,25 @@ def test_simhash_exact_dup_distance_zero(docs):
 
 def test_simhash_value_is_deterministic(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
-    v1 = df.select(texts.simhash(F.transform(texts.tokens("text"), texts.md5int32)).alias("s")).first()["s"]
-    v2 = df.select(texts.simhash(F.transform(texts.tokens("text"), texts.md5int32)).alias("s")).first()["s"]
-    assert v1 == v2 and 0 <= v1 < 2**32
+    hashes = F.transform(texts.tokens("text"), texts.md5int60)
+    v1 = df.select(texts.simhash(hashes).alias("s")).first()["s"]
+    v2 = df.select(texts.simhash(hashes).alias("s")).first()["s"]
+    assert v1 == v2 and 0 <= v1 < 2**texts.SIMHASH_BITS
+
+
+def test_simhash_hof_spec_equals_arrow_kernel(spark):
+    """The interpreted HOF builder is the executable spec; the Arrow kernel
+    must compute the identical 60-bit value."""
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("jumps over lazy dogs today",)], "text string"
+    )
+    spec = df.select(
+        texts.simhash(F.transform(texts.tokens("text"), texts.md5int60)).alias("s")
+    ).collect()
+    kernel = df.select(
+        texts.pd_simhash(texts.pd_token_hashes(texts.tokens("text"), hex_chars=15)).alias("s")
+    ).collect()
+    assert [r["s"] for r in spec] == [r["s"] for r in kernel]
 
 
 @pytest.fixture(scope="module")
