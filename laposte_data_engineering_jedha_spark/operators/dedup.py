@@ -134,9 +134,13 @@ def minhash_lsh_pairs(
         # project-collapse can't re-derive the md5 pipeline per reference.
         .repartition(id_col)
     )
+    # Band join carries ONLY (id, band, key): shuffling the shingle-hash
+    # arrays through the 4x band explode would quadruple the heavy shuffle
+    # for no reason — signatures/hashes are re-attached by id afterwards
+    # (both lookups reuse the same barrier Exchange).
     bands = sigs.select(
-        id_col, "sig", "hashes", F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
-    ).select(id_col, "sig", "hashes", F.col("band.band").alias("band"), F.col("band.key").alias("key"))
+        F.col(id_col), F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
+    ).select(id_col, F.col("band.band").alias("band"), F.col("band.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -148,13 +152,16 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.hashes").alias("h_a"),
-            F.col("b.hashes").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), F.col("hashes").alias("h_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), F.col("hashes").alias("h_b")
+    )
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
     n_inter = F.size(F.array_intersect("h_a", "h_b"))
     jac = n_inter / (F.size("h_a") + F.size("h_b") - n_inter)
     # signature agreement fraction = the MinHash Jaccard estimator

@@ -1,0 +1,138 @@
+"""Differential property test (SURVEY.md §5d): the Catalyst delay-status
+kernel vs an independent pure-Python reimplementation of the reference
+rules (core/transform.py:120-190) over randomized inputs.
+
+Hypothesis drives the input space (including the categorical domains, the
+regex arms, nulls, and boundary hours); one Spark job evaluates the whole
+batch. Float comparison is exact — both sides compute in IEEE doubles with
+the same association order."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from laposte_data_engineering_jedha_spark.functions import exprs
+from laposte_data_engineering_jedha_spark.operators.transform import (
+    calculate_delivery_duration,
+    determine_delay_status,
+)
+from laposte_data_engineering_jedha_spark.schemas import DELIVERIES_RAW_SCHEMA
+
+WEATHER_DOMAIN = [
+    None, "Sunny", "Clear", "Light rain", "Patchy light drizzle",
+    "Freezing drizzle", "Heavy snow", "Blizzard", "Sleet", "Fog", "Mist",
+    "PARTLY CLOUDY", "torrential RAIN shower",
+]
+
+
+def py_reference(row: dict) -> dict:
+    """Independent reimplementation of reference core/transform.py:120-190."""
+    secs = int(
+        (row["Delivery_Timestamp"] - row["Pickup_DateTime"]).total_seconds()
+    )
+    minutes = round(secs / 60 * 100) / 100  # library round2 convention
+    display = f"{secs // 60}.{str(secs % 60).zfill(2)}"
+    hour = row["Pickup_DateTime"].hour
+    weekday = [
+        "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+    ][row["Pickup_DateTime"].weekday()]
+    pkg = {"Small": 1.0, "Medium": 1.2, "Large": 1.5, "Extra Large": 2.0, "Special": 2.5}.get(
+        row["Package_Type"], 1.0
+    )
+    zone = {"Urban": 1.2, "Suburban": 1.0, "Rural": 1.3, "Industrial": 0.9,
+            "Shopping Center": 1.4}.get(row["Delivery_Zone"], 1.0)
+    peak = 1.3 if 7 <= hour <= 9 else (1.4 if 17 <= hour <= 19 else 1.0)
+    day = 1.2 if weekday in ("Monday", "Friday") else (0.9 if weekday in ("Saturday", "Sunday") else 1.0)
+    wx = row["Weather_Condition"]
+    if wx is None:
+        wf = 1.0
+    elif re.search(r"(?i)rain|drizzle", wx):
+        wf = 1.2
+    elif re.search(r"(?i)snow|blizzard|sleet", wx):
+        wf = 1.8
+    elif re.search(r"(?i)fog|mist", wx):
+        wf = 1.1
+    else:
+        wf = 1.0
+    theo = (30.0 + row["Distance"] * 0.8) * pkg * zone * peak * day * wf
+    status = "Delayed" if minutes > theo * 1.2 else "On-time"
+    return {
+        "Actual_Delivery_Time_Minutes": minutes,
+        "Actual_Delivery_Time_Display": display,
+        "Theoretical_Time_Minutes": round(theo * 100) / 100,
+        "Status": status,
+    }
+
+
+row_strategy = st.fixed_dictionaries(
+    {
+        "pickup": st.datetimes(
+            min_value=datetime.datetime(2020, 1, 1),
+            max_value=datetime.datetime(2026, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+        "duration_s": st.integers(min_value=0, max_value=400 * 60),
+        "package": st.sampled_from(
+            ["Small", "Medium", "Large", "Extra Large", "Special", "???"]
+        ),
+        "distance": st.floats(min_value=1.0, max_value=50.0, allow_nan=False),
+        "zone": st.sampled_from(
+            ["Urban", "Suburban", "Rural", "Industrial", "Shopping Center", "???"]
+        ),
+        "weather": st.sampled_from(WEATHER_DOMAIN),
+    }
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(row_strategy, min_size=1, max_size=25))
+def test_delay_status_kernel_differential(spark, batch):
+    rows = []
+    for i, r in enumerate(batch):
+        rows.append(
+            {
+                "Delivery_ID": f"SC{1000 + i}",
+                "Pickup_DateTime": r["pickup"],
+                "Delivery_Timestamp": r["pickup"] + datetime.timedelta(seconds=r["duration_s"]),
+                "Package_Type": r["package"],
+                "Distance": r["distance"],
+                "Delivery_Zone": r["zone"],
+                "Weather_Condition": r["weather"],
+                "Hour": r["pickup"].hour,
+                "Weekday": None,  # recomputed below
+            }
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(DELIVERIES_RAW_SCHEMA.fields)
+        + [StructField("Weather_Condition", StringType(), True)]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                x["Delivery_ID"], x["Pickup_DateTime"], x["Delivery_Timestamp"],
+                x["Package_Type"], x["Distance"], x["Delivery_Zone"], x["Weather_Condition"],
+            )
+            for x in rows
+        ],
+        schema,
+    ).withColumn("Hour", exprs.hour_of("Pickup_DateTime")).withColumn(
+        "Weekday", exprs.weekday_name("Pickup_DateTime")
+    )
+    got = {
+        r["Delivery_ID"]: r.asDict()
+        for r in determine_delay_status(calculate_delivery_duration(df)).collect()
+    }
+    for x in rows:
+        expect = py_reference(x)
+        g = got[x["Delivery_ID"]]
+        for k, v in expect.items():
+            if isinstance(v, float):
+                assert g[k] == v or math.isclose(g[k], v, abs_tol=0.0), (k, x, g[k], v)
+            else:
+                assert g[k] == v, (k, x, g[k], v)
