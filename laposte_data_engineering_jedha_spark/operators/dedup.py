@@ -89,9 +89,11 @@ def ngram_jaccard_pairs(
     # Catalyst project-collapse from re-deriving the shingle pipeline per
     # downstream reference.
     sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
-    sizes = df.select(
-        F.col(id_col), F.size(texts.pd_shingles(texts.tokens(text_col))).alias("n_shingles")
-    ).where(F.col("n_shingles") > 0)
+    # Per-doc sizes come from the SAME (possibly df-capped) index, so the
+    # Jaccard denominator stays consistent with the intersection's shingle
+    # universe — sizing over the uncapped set would silently deflate every
+    # similarity as soon as a cap is active.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -55,6 +55,10 @@ def main() -> None:
     timed("exact_dedup @100k docs", dedup.exact_dedup(docs100k))
     timed("minhash_lsh_pairs @100k docs", dedup.minhash_lsh_pairs(docs100k))
     timed("simhash_pairs @100k docs", dedup.simhash_pairs(docs100k, max_hamming=1))
+    timed(
+        "ngram_jaccard (df cap 100) @100k docs",
+        dedup.ngram_jaccard_pairs(docs100k, threshold=0.5, max_shingle_df=100),
+    )
     docs100k.unpersist()
 
     docs1m = blown_up_docs(spark, 200)
