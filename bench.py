@@ -46,23 +46,27 @@ def main() -> None:
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in registry.items():
         t0 = time.perf_counter()
-        run_query(fn, spark, sf_dir)
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            run_query(fn, spark, sf_dir)
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # fault isolation: one query never sinks BENCH
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"bench {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,19 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+FRAME_SIZE = 256  # bytes per fake "frame"
+MAX_FRAMES = 4
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -120,3 +133,37 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Frame sampling — the 1 -> N multimodal batch shape: each payload
+    expands to up to MAX_FRAMES fixed-size "frames" (the keyframe-sample /
+    audio-window pattern). Real video decode is behind the same stub
+    boundary as extract_features; the fake deterministically chunks the
+    payload bytes so the output is oracle-reproducible (md5 per chunk).
+
+    Output rows-per-input varies, which is exactly what mapInPandas allows
+    and column-count-preserving UDFs don't.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                if use_real_codecs:
+                    _decode_real(data, media_type)  # raises: stub boundary
+                n = min(MAX_FRAMES, (len(data) + FRAME_SIZE - 1) // FRAME_SIZE)
+                for i in range(n):
+                    chunk = data[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    h = int(hashlib.md5(chunk).hexdigest()[:8], 16)
+                    rows.append((int(doc_id), media_type, i, len(chunk), h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "frame_idx", "n_bytes", "frame_hash"],
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -584,6 +584,33 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         text AS payload
+  FROM documents),
+f AS (
+  SELECT doc_id, media_type, CAST(r.range AS BIGINT) AS frame_idx,
+         substr(payload, 1 + CAST(r.range AS INTEGER) * {multimodal.FRAME_SIZE},
+                {multimodal.FRAME_SIZE}) AS chunk
+  FROM b CROSS JOIN range(0, {multimodal.MAX_FRAMES}) r
+  WHERE CAST(r.range AS INTEGER) * {multimodal.FRAME_SIZE} < length(payload))
+SELECT doc_id, media_type, frame_idx, length(chunk) AS n_bytes,
+       {sql_md5i('chunk')} AS frame_hash
+FROM f""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 -> N mapInPandas shape): each payload expands to
+    <=4 fixed-size frames, md5-hashed. The oracle chunks with VARCHAR
+    substr — byte-exact here because the corpus is pure ASCII (verified:
+    octet_length(text) == length(text) for every fixture row)."""
+    media = multimodal.media_table(table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+@query(
     "multimodal_features",
     f"""
 SELECT doc_id,

@@ -48,6 +48,27 @@ def test_real_codec_path_is_stubbed(spark, media):
         multimodal.extract_features(media.limit(1), use_real_codecs=True).collect()
 
 
+def test_frame_sampling_chunks(spark, media):
+    frames = multimodal.sample_frames(media)
+    one = media.first()
+    got = sorted(
+        (r["frame_idx"], r["n_bytes"], r["frame_hash"])
+        for r in frames.where(F.col("doc_id") == one["doc_id"]).collect()
+    )
+    data = bytes(one["payload"])
+    expect = []
+    n = min(multimodal.MAX_FRAMES, (len(data) + multimodal.FRAME_SIZE - 1) // multimodal.FRAME_SIZE)
+    for i in range(n):
+        chunk = data[i * multimodal.FRAME_SIZE : (i + 1) * multimodal.FRAME_SIZE]
+        expect.append((i, len(chunk), int(hashlib.md5(chunk).hexdigest()[:8], 16)))
+    assert got == expect and len(got) >= 1
+
+
+def test_frame_sampling_real_codec_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.sample_frames(media.limit(1), use_real_codecs=True).collect()
+
+
 def test_extraction_is_partition_parallel(spark, media):
     """Repartitioned input must produce identical results — no per-partition
     state leaks into the features."""
