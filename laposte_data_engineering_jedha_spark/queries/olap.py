@@ -137,6 +137,156 @@ def olap_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_semi_open_orders",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY o_orderpriority""",
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (TPC-H Q4 shape): orders having >=1 late-shipped line.
+    Semi joins never duplicate the left side, so no post-join distinct is
+    needed — the probe side short-circuits on first match."""
+    orders = table(spark, sf_dir, "orders")
+    late = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_anti_customers_no_orders",
+    """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY c_mktsegment""",
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order since 1997, by segment — the
+    null-safe NOT EXISTS shape (anti join avoids NOT IN's null trap)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "setop_intersect_repeat_buyers",
+    """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'""",
+)
+def setop_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers active in both 1996 and
+    1997. Catalyst plans it as a left-semi join over pre-aggregated sides."""
+    orders = table(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return active(1996).intersect(active(1997))
+
+
+@query(
+    "setop_except_lapsed_buyers",
+    """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+)
+def setop_except_lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): customers who ordered before 1997 but
+    never after — planned as a left-anti join."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    before = orders.where(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    after = orders.where(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return before.subtract(after)
+
+
+@query(
+    "olap_rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status) -> (flag) -> grand total in one
+    pass — Spark expands grouping sets map-side, so the scan is still
+    single. NULL grouping markers match ANSI semantics in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "events_pivot_type_counts",
+    f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id""",
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. The value list is
+    explicit (EVENT_TYPES) — at scale an unlisted pivot forces an extra
+    distinct-values job and an unbounded schema; the oracle is the
+    equivalent conditional aggregation."""
+    from . import events_table
+
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
     "olap_monthly_top_supplier",
     """
 WITH rev AS (
