@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts, vectors
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, joins, multimodal, similarity
 from ..streaming import jobs as streaming_jobs
 from . import events_table, query, table
 
@@ -578,6 +578,38 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@query(
+    "events_asof_last_purchase",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS pval, 1 AS side
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, value, 0
+  FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(pval IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, side
+                 ROWS UNBOUNDED PRECEDING) AS asof_value
+  FROM tagged)
+SELECT user_id, event_id, ts, asof_value FROM w WHERE side = 1""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/joins.py): every click event annotated with the
+    value of that user's latest purchase at or before it — the time-series
+    join Spark lacks natively, in its scalable union+window formulation
+    (one shuffle on the key; neither side needs to broadcast). The oracle
+    is the same formulation in SQL."""
+    ev = events_table(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = joins.asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["value"])
+    return out.select("user_id", "event_id", "ts", F.col("asof_value").cast("double"))
 
 
 # ================================ multimodal =================================
