@@ -496,6 +496,32 @@ def events_topk_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_quantiles",
+    """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       count(*) AS n_events
+FROM events GROUP BY event_type""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per event type (Spark `percentile` == DuckDB
+    `quantile_cont`: same sort + linear interpolation, verified bit-equal).
+    Exact percentile is a full-sort aggregate; the 100 TB path swaps in
+    `approx_percentile` (t-digest sketch, mergeable map-side) at the cost
+    of leaving the oracle gate."""
+    return (
+        events_table(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "events_json_extract",
     """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

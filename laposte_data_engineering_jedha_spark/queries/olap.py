@@ -287,6 +287,41 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "olap_above_class_avg",
+    """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(avg(CAST(o_totalprice AS DECIMAL(18,4)))
+              OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS class_avg
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_above,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
+FROM w WHERE o_totalprice > class_avg
+GROUP BY o_orderpriority""",
+)
+def olap_above_class_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (orders above their priority class's
+    average) via a window aggregate — the DataFrame form of a correlated
+    scalar subquery. The class average aggregates DECIMAL internally so
+    the comparison boundary is identical across engines and partition
+    orders."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    avg_price = (
+        F.avg(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    )
+    return (
+        orders.withColumn("class_avg", avg_price)
+        .where(F.col("o_totalprice") > F.col("class_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max(F.col("o_totalprice").cast(_DEC)).cast("double").alias("max_price"),
+        )
+    )
+
+
+@query(
     "olap_monthly_top_supplier",
     """
 WITH rev AS (
