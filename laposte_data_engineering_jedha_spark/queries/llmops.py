@@ -89,15 +89,18 @@ _LANG_CASE = (
 )
 
 
+def sql_lang_pred(src: str = "documents", extra_cols: str = "") -> str:
+    """Nested-subquery twin of texts.lang_id: (doc_id[, extra], lang_pred)."""
+    return f"""(
+SELECT doc_id{extra_cols}, {_LANG_CASE} AS lang_pred FROM (
+  SELECT *, {_LANG_BEST} AS best FROM (
+    SELECT doc_id{extra_cols}, {_LANG_HITS}
+    FROM (SELECT doc_id{extra_cols}, {sql_toks('text')} AS t FROM {src}))))"""
+
+
 @query(
     "text_lang_id",
-    f"""
-WITH toks AS (SELECT doc_id, lang, {sql_toks('text')} AS t FROM documents),
-hits AS (SELECT doc_id, lang,
-       {_LANG_HITS}
-       FROM toks),
-best AS (SELECT *, {_LANG_BEST} AS best FROM hits)
-SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM best""",
+    f"SELECT doc_id, lang, lang_pred FROM {sql_lang_pred(extra_cols=', lang')} q",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID next to the labeled lang column."""
@@ -106,32 +109,30 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality",
-    rf"""
-WITH base AS (
-  SELECT doc_id, text, {sql_toks('text')} AS t, length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_sym
-  FROM documents),
-sig AS (
+def sql_quality(src: str = "documents") -> str:
+    """Nested-subquery twin of texts.quality_score (round4): (doc_id, quality)."""
+    score = (
+        "CAST(0.25 AS DOUBLE) * (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        " + CAST(0.25 AS DOUBLE) * (CASE WHEN mean_word >= CAST(3.0 AS DOUBLE) AND mean_word <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        " + CAST(0.25 AS DOUBLE) * (CASE WHEN sym_ratio <= CAST(0.1 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        " + CAST(0.25 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE))"
+    )
+    return rf"""(
+SELECT doc_id, {sql_round(score, 4)} AS quality FROM (
   SELECT doc_id,
          CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS mean_word,
          CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS sym_ratio,
          CAST({sql_stop_hits('en')} AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
          n_chars
-  FROM base)
-SELECT doc_id,
-  {sql_round(
-      "CAST(0.25 AS DOUBLE) * (CASE WHEN n_chars >= 100 AND n_chars <= 5000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
-      " + CAST(0.25 AS DOUBLE) * (CASE WHEN mean_word >= CAST(3.0 AS DOUBLE) AND mean_word <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
-      " + CAST(0.25 AS DOUBLE) * (CASE WHEN sym_ratio <= CAST(0.1 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
-      " + CAST(0.25 AS DOUBLE) * least(stop_ratio * 4, CAST(1.0 AS DOUBLE))",
-      4,
-  )} AS quality
-FROM sig""",
-)
+  FROM (
+    SELECT doc_id, text, {sql_toks('text')} AS t, length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_sym
+    FROM {src})))"""
+
+
+@query("text_quality", f"SELECT doc_id, quality FROM {sql_quality()} q")
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style heuristic quality score per document."""
     return table(spark, sf_dir, "documents").select(
@@ -291,6 +292,80 @@ WHERE cosine >= CAST(0.4 AS DOUBLE)""",
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs (brute-force verify kernel)."""
     return dedup.embedding_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def sql_minhash_dup_ids(src: str, threshold: str = "0.5") -> str:
+    """Subquery of doc_ids to DROP under the keep-earliest near-dup policy:
+    every id that appears as the higher member (id_b) of a verified
+    MinHash-LSH pair within `src`. Same fragments as dedup_minhash_lsh."""
+    return f"""(
+WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM {src}),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+sigs AS (
+  SELECT doc_id, h, {_SQL_SIG} AS sig
+  FROM (SELECT doc_id, [{sql_md5i('x')} for x in s] AS h FROM sh)
+  WHERE len(h) > 0),
+bands AS (
+  SELECT doc_id, sig, h, r.range AS band,
+         array_to_string(sig[r.range * {_ROWS} + 1 : r.range * {_ROWS} + {_ROWS}], '_') AS key
+  FROM sigs CROSS JOIN range(0, {texts.MINHASH_BANDS}) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_b,
+    len(list_intersect(sa.h, sb.h)) AS inter, len(sa.h) AS na, len(sb.h) AS nb
+  FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+SELECT DISTINCT id_b AS doc_id FROM scored
+WHERE {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} >= CAST({threshold} AS DOUBLE))"""
+
+
+@query(
+    "corpus_clean_pipeline",
+    f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, q.quality
+  FROM documents d
+  JOIN {sql_quality()} q USING (doc_id)
+  JOIN {sql_lang_pred()} l USING (doc_id)
+  WHERE q.quality >= CAST(0.75 AS DOUBLE) AND l.lang_pred = 'en'),
+ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(trim(lower(text)))),
+kept AS (SELECT b.doc_id, b.text, b.quality FROM base b JOIN ex USING (doc_id))
+SELECT doc_id, quality FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM {sql_minhash_dup_ids('kept')} dups)""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning composition a training-data pipeline
+    actually runs: quality filter (round4 >= 0.75) -> language filter
+    (predicted 'en') -> exact dedup (keep lowest id per normalized text)
+    -> MinHash-LSH near-dup removal (drop the higher id of each verified
+    pair — keep-earliest policy, chain-insensitive). Returns the surviving
+    (doc_id, quality). Every stage is the already-oracled operator, so the
+    whole composition is value-checked end to end."""
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        (F.round(texts.quality_score("text") * 10000) / 10000).alias("quality"),
+        texts.lang_id("text").alias("lang_pred"),
+    )
+    base = enriched.where(
+        (F.col("quality") >= 0.75) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality")
+    keep = (
+        base.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("k"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = base.join(keep, "doc_id")
+    dups = (
+        dedup.minhash_lsh_pairs(kept.select("doc_id", "text"), threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(dups, "doc_id", "left_anti").select("doc_id", "quality")
 
 
 # ============================= similarity search =============================
