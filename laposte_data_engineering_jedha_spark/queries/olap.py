@@ -260,6 +260,27 @@ def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "olap_cube_counts",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def olap_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, status) with GROUPING markers — all 2^2 grouping
+    sets in one scan; the grouping() bits disambiguate real NULL data from
+    subtotal rows (both engines use identical ANSI semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
