@@ -50,7 +50,24 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession (e.g. the driver harness's own) safe for
+    this registry: the events parquet needs the nanos-as-long legacy read,
+    and timestamp semantics assume a UTC session. Both are runtime-settable
+    SQL confs; our own session factory already sets them at build time."""
+    for key, value in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static-conf builds
+            pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
