@@ -596,6 +596,25 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_sketch_aggregates")  # rows-only: sketch results are engine-specific
+def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type — the mergeable, map-side-combining
+    estimators that replace exact distinct/percentile at 100 TB:
+    HyperLogLog++ (approx_count_distinct, rsd 2%) and an approximate
+    percentile digest. No DuckDB oracle (sketch internals are
+    engine-specific); accuracy vs exact is bounded in
+    tests/test_llmops.py::test_sketch_accuracy."""
+    return (
+        events_table(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 @query(
     "events_json_extract",
     """

@@ -135,6 +135,30 @@ def test_ivf_knn_recall_and_exactness(spark, sf_dir):
     assert hits / len(exact) >= 0.2  # 4/16 probes on clusterless vectors
 
 
+def test_sketch_accuracy(spark, sf_dir):
+    """Sketch estimates must land within their documented error of exact."""
+    from laposte_data_engineering_jedha_spark.queries.llmops import (
+        events_sketch_aggregates,
+    )
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    approx = {r["event_type"]: r for r in events_sketch_aggregates(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in events_table(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.1 * e["users"])
+        assert abs(a["approx_p50"] - e["p50"]) <= 0.15 * abs(e["p50"]) + 1e-9
+
+
 def test_lang_id_and_tokens(spark):
     df = spark.createDataFrame(
         [
