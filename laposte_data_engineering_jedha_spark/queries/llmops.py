@@ -769,12 +769,31 @@ SELECT doc_id,
        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
        octet_length(encode(text)) AS n_bytes,
        {sql_md5i('text')} AS content_hash,
-       [CAST('0x' || substr(md5(text), 1 + 8 * i, 8) AS BIGINT) / 4294967296
-        for i in range(0, {multimodal.FEATURE_DIM})] AS features
+       {", ".join(
+           f"CAST('0x' || substr(md5(text), {1 + 8 * i}, 8) AS BIGINT)"
+           f" / 4294967296 AS f{i}"
+           for i in range(multimodal.FEATURE_DIM)
+       )}
 FROM documents""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media payload -> Arrow-batched mapInPandas feature extraction
-    (deterministic md5 fake behind the stubbed codec boundary)."""
+    (deterministic md5 fake behind the stubbed codec boundary).
+
+    The library operator (operators/multimodal.py:extract_features) keeps
+    its array<double> `features` column; the registered query projects the
+    array into scalar f0..f3 columns because the driver's order-insensitive
+    value-hash canonicalizes with a pandas sort, which cannot hash Python
+    lists (CORRECTNESS_r01: TypeError unhashable type 'list')."""
     media = multimodal.media_table(table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "content_hash",
+        *[
+            F.col("features")[i].alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
