@@ -54,10 +54,14 @@ def asof_join(
     merged = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
 
     # right rows sort BEFORE left rows at equal timestamps (_side 0 < 1),
-    # so an exact-timestamp right row is visible to that left row
+    # so an exact-timestamp right row is visible to that left row. The
+    # carried value columns complete the ORDER BY: duplicate right-side
+    # (key, ts) rows would otherwise make last() partition-order-dependent
+    # (the deterministic winner is the row with the greatest value tuple,
+    # and ignorenulls makes null placement irrelevant on both engines).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("_side"))
+        .orderBy(F.col(on), F.col("_side"), *[F.col(f"_r_{c}") for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [

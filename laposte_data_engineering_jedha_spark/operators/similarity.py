@@ -110,6 +110,18 @@ def lsh_knn(
     return _ranked_topk(pairs, k)
 
 
+def kmeans_fit_sample(df: DataFrame, fit_max_rows: int, seed: int) -> DataFrame:
+    """Bound the k-means fit input to ~fit_max_rows via a seeded Bernoulli
+    sample — the coarse quantizer only needs a sketch of the density, so
+    fitting on the full corpus is pure waste at scale (and an iterative
+    full-corpus job at 100 TB). Small corpora pass through unchanged, which
+    keeps centroid determinism for the fixture-scale tests."""
+    n = df.count()
+    if n <= fit_max_rows:
+        return df
+    return df.sample(fraction=fit_max_rows / n, seed=seed)
+
+
 def ivf_knn(
     df: DataFrame,
     queries: DataFrame,
@@ -119,20 +131,26 @@ def ivf_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    fit_max_rows: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantization,
     probe the query's `n_probe` nearest centroid lists, exact cosine
     re-rank inside them.
 
-    At 100 TB the fit runs on a sample, the assignment is one map-side
-    `transform`, and the probe join hash-partitions on centroid id — the
-    index "build" is an embarrassingly parallel assignment pass, unlike
-    graph indexes (HNSW) that need sequential construction.
+    At 100 TB the fit runs on a seeded sample (kmeans_fit_sample, capped at
+    `fit_max_rows`), the assignment is one map-side `transform`, and the
+    probe join hash-partitions on centroid id — the index "build" is an
+    embarrassingly parallel assignment pass, unlike graph indexes (HNSW)
+    that need sequential construction.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = kmeans_fit_sample(
+        df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")),
+        fit_max_rows,
+        seed,
+    )
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
 
     def assign(side: DataFrame, id_alias: str, v_alias: str, n: int) -> DataFrame:

@@ -495,11 +495,16 @@ FROM z GROUP BY user_id, session_id""",
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window operator (one groupBy, merge-on-overlap
-    sessionization — no window functions). Boundary semantics: events merge
-    while the gap is <= 30 min, and the emitted window end is last event +
-    gap — exactly the lag/cumsum formulation's sessions with close =
-    max(ts) + 30 min, which is what the oracle computes. The same operator
-    runs under Structured Streaming with a watermark unchanged."""
+    sessionization — no window functions). Boundary semantics, verified
+    EMPIRICALLY at the exact 30:00 gap
+    (tests/test_boundary_fixtures.py::test_session_window_native_exact_boundary):
+    a new event merges while its start <= previous end (end = prev ts +
+    gap, INCLUSIVE), so an exactly-30:00 gap still merges and a session
+    splits only when the gap EXCEEDS 30 min — identical to
+    events_sessionize's lag/cumsum formulation, hence the same
+    `> 1800000000` µs oracle split condition. The emitted window end is
+    last event + gap = max(ts) + 30 min. The same operator runs under
+    Structured Streaming with a watermark unchanged."""
     ev = events_table(spark, sf_dir)
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -712,7 +717,7 @@ WITH tagged AS (
 w AS (
   SELECT user_id, ts, event_id, side,
          last_value(pval IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, side
+           OVER (PARTITION BY user_id ORDER BY ts, side, pval
                  ROWS UNBOUNDED PRECEDING) AS asof_value
   FROM tagged)
 SELECT user_id, event_id, ts, asof_value FROM w WHERE side = 1""",

@@ -1,0 +1,135 @@
+"""Boundary fixtures for the two latent-nondeterminism oracles flagged in
+round 2 (VERDICT "What's wrong" #3/#4):
+
+- an events row pair sitting EXACTLY on the 30:00 session gap. Verified
+  empirically here: Spark's native session_window MERGES the exact-gap
+  pair (merge condition is next.start <= prev.ts + gap, INCLUSIVE), the
+  same boundary as the lag/cumsum sessionizer — so the `> 30 min` split
+  condition in BOTH oracles is correct, and this test pins it against
+  engine-version drift. (The round-2 verdict conjectured strict overlap;
+  the conjecture was wrong, this fixture is the proof.)
+- duplicate right-side (key, ts) rows in the as-of join — without a value
+  tiebreaker in the ORDER BY the carried value is partition-order luck.
+
+Each test writes a handcrafted events.parquet, then runs the REGISTERED
+query and its REGISTERED DuckDB oracle on it — same harness as the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from laposte_data_engineering_jedha_spark import queries as q
+from laposte_data_engineering_jedha_spark.operators import joins
+
+from test_oracle_parity import canon_rows
+
+T0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _events_fixture_dir(tmp_path, rows: list[dict]) -> str:
+    d = tmp_path / "sf_boundary"
+    d.mkdir()
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(os.path.join(str(d), "events.parquet"), index=False)
+    return str(d)
+
+
+def _run_pair(spark, sf_dir: str, name: str):
+    spark_pdf = q.queries()[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle_pdf = con.execute(q.oracle_sql()[name]).df()
+    con.close()
+    return spark_pdf, oracle_pdf
+
+
+def _rows(*specs):
+    return [
+        {
+            "event_id": i,
+            "user_id": uid,
+            "ts": ts,
+            "event_type": et,
+            "value": val,
+            "props": "{}",
+        }
+        for i, (uid, ts, et, val) in enumerate(specs)
+    ]
+
+
+@pytest.fixture()
+def boundary_gap_dir(tmp_path):
+    # user 1: gap of exactly 30:00 (merges — inclusive boundary, both forms)
+    # user 2: gap of 29:59.999999 (both merge)  user 3: 30:00.000001 (both split)
+    return _events_fixture_dir(
+        tmp_path,
+        _rows(
+            (1, T0, "click", 1.0),
+            (1, T0 + datetime.timedelta(minutes=30), "click", 2.0),
+            (2, T0, "click", 1.0),
+            (2, T0 + datetime.timedelta(minutes=30, microseconds=-1), "click", 2.0),
+            (3, T0, "click", 1.0),
+            (3, T0 + datetime.timedelta(minutes=30, microseconds=1), "click", 2.0),
+        ),
+    )
+
+
+def test_session_window_native_exact_boundary(spark, boundary_gap_dir):
+    spark_pdf, oracle_pdf = _run_pair(spark, boundary_gap_dir, "events_session_window_native")
+    # native semantics: exactly-30:00 gap still MERGES (inclusive boundary)
+    per_user = spark_pdf.groupby("user_id").size().to_dict()
+    assert per_user == {1: 1, 2: 1, 3: 2}
+    assert canon_rows(spark_pdf) == canon_rows(oracle_pdf)
+
+
+def test_sessionize_lag_cumsum_exact_boundary(spark, boundary_gap_dir):
+    spark_pdf, oracle_pdf = _run_pair(spark, boundary_gap_dir, "events_sessionize")
+    # lag/cumsum semantics: splits only when the gap EXCEEDS 30 min
+    per_user = spark_pdf.groupby("user_id").size().to_dict()
+    assert per_user == {1: 1, 2: 1, 3: 2}
+    assert canon_rows(spark_pdf) == canon_rows(oracle_pdf)
+
+
+@pytest.fixture()
+def dup_purchase_dir(tmp_path):
+    # user 1 has TWO purchases at the identical timestamp (values 5 and 9)
+    # before a click; the deterministic carried value is the greatest (9.0).
+    return _events_fixture_dir(
+        tmp_path,
+        _rows(
+            (1, T0, "purchase", 5.0),
+            (1, T0, "purchase", 9.0),
+            (1, T0 + datetime.timedelta(minutes=5), "click", None),
+            (2, T0, "purchase", 3.0),
+            (2, T0, "click", None),  # exact-ts right row visible to the click
+        ),
+    )
+
+
+def test_asof_duplicate_right_ts_deterministic(spark, dup_purchase_dir):
+    spark_pdf, oracle_pdf = _run_pair(spark, dup_purchase_dir, "events_asof_last_purchase")
+    by_user = {r.user_id: r.asof_value for r in spark_pdf.itertuples()}
+    assert by_user[1] == 9.0  # max-value tiebreak, not partition luck
+    assert by_user[2] == 3.0
+    assert canon_rows(spark_pdf) == canon_rows(oracle_pdf)
+
+
+def test_asof_operator_dup_ties_stable_across_partitionings(spark):
+    left = spark.createDataFrame(
+        [(1, T0 + datetime.timedelta(minutes=5))], "user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T0, 5.0), (1, T0, 9.0), (1, T0, 7.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    for parts in (1, 7):
+        out = joins.asof_join(
+            left, right.repartition(parts), on="ts", by="user_id", value_cols=["value"]
+        ).collect()
+        assert [r.asof_value for r in out] == [9.0]

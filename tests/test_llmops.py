@@ -135,6 +135,18 @@ def test_ivf_knn_recall_and_exactness(spark, sf_dir):
     assert hits / len(exact) >= 0.2  # 4/16 probes on clusterless vectors
 
 
+def test_ivf_kmeans_fits_on_a_sample(spark):
+    """The coarse-quantizer fit input is capped: above fit_max_rows the fit
+    sees a seeded sample, not the full corpus (the 100 TB claim in the
+    ivf_knn docstring, VERDICT r2 item 7)."""
+    big = spark.range(20_000).selectExpr("id", "array(cast(id as double)) as features")
+    sampled = similarity.kmeans_fit_sample(big, fit_max_rows=2_000, seed=7)
+    n = sampled.count()
+    assert n < 4_000  # genuinely sampled (expected ~2000)
+    small = spark.range(500).selectExpr("id")
+    assert similarity.kmeans_fit_sample(small, fit_max_rows=2_000, seed=7) is small
+
+
 def test_sketch_accuracy(spark, sf_dir):
     """Sketch estimates must land within their documented error of exact."""
     from laposte_data_engineering_jedha_spark.queries.llmops import (
