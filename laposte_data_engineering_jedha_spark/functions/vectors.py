@@ -18,12 +18,16 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 # Random-hyperplane LSH (Charikar 2002 SimHash for angles): deterministic
 # integer "pseudo-random" weights so both engines regenerate them exactly:
-# w(p, i) = ((p*64 + i) * 1103515245 + 12345) % 2001 - 1000   (LCG constants)
+# w(p, i) = md5int32(f"{p}_{i}") % 2001 - 1000. md5, not an LCG: an LCG
+# over the flat (p*dim + i) index makes consecutive hyperplanes strongly
+# CORRELATED (nearly parallel), which collapses the bucket space — measured
+# 57M candidate pairs at 105k random vectors where ~1M was expected, and a
+# disk-filling spill at 420k (SCALE.md). md5 decorrelates the planes and is
+# identically computable in Spark (conv(substring(md5,1,8),16,10)), numpy
+# (hashlib), and DuckDB (CAST('0x'||substr(md5,1,8) AS BIGINT)).
 HYPERPLANES = 16
-LCG_A = 1_103_515_245
-LCG_C = 12_345
-LCG_RANGE = 2_001
-LCG_SHIFT = 1_000
+HP_MOD = 2_001
+HP_SHIFT = 1_000
 
 
 def _c(col: Column | str) -> Column:
@@ -105,17 +109,20 @@ def pd_norm(a: Column | str) -> Column:
 
 
 def py_hyperplane_weights(plane: int, dim: int) -> list[int]:
-    """The LCG weight vector computed Python-side — same closed form as
+    """The md5 weight vector computed Python-side — same closed form as
     `hyperplane_weights`."""
+    import hashlib
+
     return [
-        ((plane * dim + i) * LCG_A + LCG_C) % LCG_RANGE - LCG_SHIFT
+        int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8], 16) % HP_MOD
+        - HP_SHIFT
         for i in range(dim)
     ]
 
 
 def pd_lsh_bucket(vec: Column | str, dim: int, planes: int = HYPERPLANES) -> Column:
     """Arrow-batched twin of `lsh_bucket`: per plane, a left-to-right
-    float64 projection against the literal LCG weights, sign bit packed
+    float64 projection against the literal md5 weights, sign bit packed
     MSB-first."""
 
     weights = [
@@ -136,14 +143,53 @@ def pd_lsh_bucket(vec: Column | str, dim: int, planes: int = HYPERPLANES) -> Col
     return kernel(_c(vec))
 
 
+def pd_lsh_buckets_banded(
+    vec: Column | str, dim: int, bands: int, band_planes: int
+) -> Column:
+    """Banded hyperplane-LSH bucket ids (OR-amplification): one bucket per
+    band, band `b` packing the sign bits of planes [b*band_planes,
+    (b+1)*band_planes) MSB-first — the SimHash-style AND/OR construction
+    (Charikar 2002; MMDS ch.3) where two vectors are candidates if they
+    collide in ANY band. Same md5 closed form as `lsh_bucket`, so a SQL
+    oracle regenerates every bucket exactly. Returns array<long> of length
+    `bands`; posexplode it to (band, key) join keys."""
+
+    weights = [
+        np.array(py_hyperplane_weights(p, dim), dtype="float64")
+        for p in range(bands * band_planes)
+    ]
+
+    @pandas_udf("array<long>")
+    def kernel(sa: pd.Series) -> pd.Series:
+        m = _to_matrix(sa)
+        buckets = np.zeros((len(m), bands), dtype="int64")
+        for b in range(bands):
+            bucket = np.zeros(len(m), dtype="int64")
+            for p in range(b * band_planes, (b + 1) * band_planes):
+                acc = np.zeros(len(m), dtype="float64")
+                for i in range(dim):
+                    acc += m[:, i] * weights[p][i]
+                bucket = bucket * 2 + (acc >= 0)
+            buckets[:, b] = bucket
+        return pd.Series([row.tolist() for row in buckets])
+
+    return kernel(_c(vec))
+
+
 def hyperplane_weights(plane: Column, dim: int) -> Column:
-    """Deterministic integer weight vector of hyperplane `plane` (0-based)."""
+    """Deterministic integer weight vector of hyperplane `plane` (0-based):
+    md5 of "plane_i" per dimension (see module docstring for why md5)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        # long arithmetic: (p*dim+i)*LCG_A overflows int32 under ANSI mode
-        lambda i: ((plane.cast("long") * dim + i.cast("long")) * LCG_A + LCG_C)
-        % LCG_RANGE
-        - LCG_SHIFT,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(plane.cast("string"), F.lit("_"), i.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % HP_MOD
+        - HP_SHIFT,
     )
 
 

@@ -13,10 +13,11 @@ Five strategies, cheapest to richest, all pure DataFrame ops:
 - embedding:   cosine near-dup pairs over an embedding column.
 
 Scale notes (1000-executor / 100 TB):
-- Signatures (minhash/simhash) are per-row map-side compute inside codegen;
-  the only shuffles are the band-key equi-joins, which hash-partition by
-  band key — no O(n^2) stage anywhere except `embedding_dup_pairs`, whose
-  documented scale path is `similarity.lsh_bucket` pre-bucketing.
+- Signatures (minhash/simhash/banded LSH buckets) are per-row map-side
+  compute; the only shuffles are the band-key equi-joins, which
+  hash-partition by band key — no O(n^2) stage anywhere except the
+  explicitly-small-corpus `embedding_dup_pairs` block-NL baseline (the
+  registered embedding path is `embedding_dup_pairs_lsh`).
 - Band-key hot spots (a shingle/band shared by millions of docs) are the
   skew risk: AQE skew-join splitting is on in the session factory, and
   `ngram_jaccard_pairs` drops shingles with document frequency above
@@ -29,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import texts
+from ..functions import texts, vectors
 from ..functions.vectors import _ltr_dot
 
 
@@ -239,6 +240,72 @@ def simhash_pairs(
     )
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int = 8,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Embedding cosine near-dup pairs via banded hyperplane LSH — the
+    100 TB path (no driver collect anywhere in the plan).
+
+    Shape mirrors `minhash_lsh_pairs`: per-row banded bucket ids are
+    map-side Arrow-kernel compute (`vectors.pd_lsh_buckets_banded`), the
+    candidate stage is a self-equi-join keyed on (band, bucket) whose
+    shuffle carries only (id, band, key), and candidates are verified with
+    the exact bit-deterministic cosine kernel. Both sides hash-partition on
+    the band key; AQE skew-join splitting (on in the session factory)
+    handles hot buckets.
+
+    Recall is the AND/OR amplification curve 1 - (1 - p^band_planes)^bands
+    with p = 1 - theta/pi per plane: ~0.999 for true near-dups
+    (cosine >= 0.9) at the 8x4 default, lower at looser thresholds — the
+    standard LSH trade documented in SCALE.md. The DuckDB oracle
+    regenerates the SAME LCG hyperplanes, so the gate checks the banded
+    semantics exactly, not just the verify kernel.
+    """
+    src = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            vectors.pd_norm(vec_col).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        # exchange barrier: buckets/norms computed once, reused by the band
+        # self-join (both sides) and the two verify lookups (ReuseExchange)
+        .repartition("_id")
+    )
+    banded = src.select(
+        "_id",
+        F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
+            "band", "key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -248,21 +315,22 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    Brute-force O(n^2) — correct baseline for the oracle gate. The 100 TB
-    path pre-buckets both sides with `vectors.lsh_bucket` (see
-    similarity.lsh_knn) so the self-join keys on bucket id instead of
-    crossing; this function is the verify kernel either way.
+    Brute-force O(n^2) with a driver-side build relation — EXACT, full
+    recall, but capped at driver memory: use only when the corpus fits
+    (<~100k vectors). The scale path is `embedding_dup_pairs_lsh` (banded
+    LSH candidates, no collect), which is also the registered/oracled
+    query; this block-NL variant remains the exact-recall baseline for
+    sub-driver-memory corpora and for recall measurement.
 
     BLOCK-NESTED-LOOP shape: the full corpus matrix is captured driver-side
-    (the "inner"/build relation — at 100 TB this is whichever side fits,
-    exactly like a broadcast join build side) and each partition of the
-    outer side computes its (batch x corpus) cosine block in one numpy
-    pass via mapInPandas, emitting only pairs near the threshold. This
-    avoids materializing the O(n^2) pair rows through a join + Arrow
-    transfer entirely. Accumulation is left-to-right over dimensions
-    (vectorized across the block), so raw cosines are bit-identical to
-    `vectors.dot`/the SQL oracle; final round+threshold happens JVM-side
-    with the library round2/round4 convention.
+    (the "inner"/build relation — exactly like a broadcast join build side)
+    and each partition of the outer side computes its (batch x corpus)
+    cosine block in one numpy pass via mapInPandas, emitting only pairs
+    near the threshold. This avoids materializing the O(n^2) pair rows
+    through a join + Arrow transfer entirely. Accumulation is left-to-right
+    over dimensions (vectorized across the block), so raw cosines are
+    bit-identical to `vectors.dot`/the SQL oracle; final round+threshold
+    happens JVM-side with the library round2/round4 convention.
     """
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     pdf = src.toPandas()

@@ -5,8 +5,8 @@ matrix, one warm-up run, per-run wall-clock seconds, results CSV.
         --rows 1000 10000 100000 --formats all_but_xlsx --output bench.csv
 
 The default matrix mirrors the reference ({1e3..1e7} × {all,
-all_but_xlsx}); 'all' degrades to 'all_but_xlsx' automatically when
-openpyxl is absent.
+all_but_xlsx}); xlsx writes through the pure-stdlib codec, so the 'all'
+axis always exercises five sinks.
 """
 
 from __future__ import annotations
@@ -25,22 +25,10 @@ DEFAULT_ROWS = [1_000, 10_000, 100_000, 1_000_000, 10_000_000]
 DEFAULT_FORMATS = ["all", "all_but_xlsx"]
 
 
-def _xlsx_available() -> bool:
-    try:
-        import openpyxl  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def run_matrix(rows_list: list[int], formats: list[str], out_csv: str | None) -> list[dict]:
     spark = get_spark(app_name="laposte_bench_matrix")
     weather = FakeWeatherClient()
     workdir = tempfile.mkdtemp(prefix="laposte_bench_")
-
-    if not _xlsx_available():
-        formats = ["all_but_xlsx" if f == "all" else f for f in formats]
 
     # warm-up (reference benchmarks.py:37-43): 10 rows, preview sink
     Pipeline(

@@ -28,24 +28,12 @@ EXTENSIONS = {"csv": ".csv", "json": ".json", "parquet": ".parquet", "sqlite": "
 SINGLE_FILE_MAX_ROWS = 1_000_000
 
 
-def _xlsx_available() -> bool:
-    try:
-        import openpyxl  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def formats_to_write(fmt: str) -> list[str]:
     """'all' -> five writers, 'all_but_xlsx' -> four, else the single
-    format (reference core/load.py:79-94). 'all' degrades to four formats
-    with a warning when openpyxl is absent (explicit 'xlsx' stays strict
-    and raises NotImplementedError at write time)."""
+    format (reference core/load.py:79-94). xlsx writes through the
+    pure-stdlib codec (sources/xlsx_codec.py), so 'all' is always the
+    full five formats."""
     if fmt == "all":
-        if not _xlsx_available():
-            print("warning: openpyxl not installed — 'all' writes csv/json/parquet/sqlite only")
-            return [f for f in ALL_FORMATS if f != "xlsx"]
         return list(ALL_FORMATS)
     if fmt == "all_but_xlsx":
         return [f for f in ALL_FORMATS if f != "xlsx"]

@@ -8,8 +8,9 @@ the deliveries view itself, so any loss in either direction (type,
 precision, encoding) fails the hash.
 
 src_generate has no SQL twin (Spark-side rand) -> rows-only check.
-src_xlsx/sink_xlsx register only when openpyxl is importable (absent in
-this sandbox; the writer/reader plumbing is real and import-gated).
+src_xlsx/sink_xlsx round-trip through the pure-stdlib OOXML codec
+(sources/xlsx_codec.py), so they register unconditionally — no
+openpyxl/xlsxwriter dependency.
 """
 
 from __future__ import annotations
@@ -66,22 +67,12 @@ def src_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "sqlite", ".db")
 
 
-def _xlsx_available() -> bool:
-    try:
-        import openpyxl  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-if _xlsx_available():  # pragma: no cover - env-dependent
-
-    @query("src_xlsx_roundtrip", oracle=_DELIVERIES_ORACLE)
-    def src_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """sink_xlsx (streaming write) + src_xlsx (reference
-        readers.py:52-55, writers.py:61-70)."""
-        return _roundtrip(spark, sf_dir, "xlsx", ".xlsx")
+@query("src_xlsx_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_xlsx (streaming write) + src_xlsx (reference readers.py:52-55,
+    writers.py:61-70) via the pure-stdlib OOXML codec — registers
+    unconditionally, no openpyxl dependency."""
+    return _roundtrip(spark, sf_dir, "xlsx", ".xlsx")
 
 
 _WX_DATES = ["2025-03-01", "2025-03-02", "2025-03-03"]

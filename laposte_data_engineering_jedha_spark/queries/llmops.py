@@ -58,6 +58,12 @@ def sql_dot(a: str, b: str, dim: int = 64) -> str:
     return sql_reduce_sum(f"[CAST({a}[i] AS DOUBLE) * {b}[i] for i in range(1, {dim + 1})]")
 
 
+def _sql_hp_weight() -> str:
+    """Twin of vectors.py_hyperplane_weights: md5("p_i") -> [-1000, 1000]."""
+    h = "CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)"
+    return f"({h} % {vectors.HP_MOD} - {vectors.HP_SHIFT})"
+
+
 # =============================== text analysis ===============================
 
 
@@ -279,19 +285,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+_EMB_BANDS, _EMB_BAND_PLANES = 8, 4
+
+
+def _sql_band_key(e: str, band_planes: int = _EMB_BAND_PLANES) -> str:
+    """Bucket id of band `band` (a column in scope): sign bits of planes
+    [band*band_planes, (band+1)*band_planes) packed MSB-first — the SQL twin
+    of vectors.pd_lsh_buckets_banded, same md5 hyperplanes."""
+    w = _sql_hp_weight()
+    d = sql_reduce_sum(f"[CAST({e}[i + 1] AS DOUBLE) * CAST({w} AS DOUBLE) for i in range(0, 64)]")
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CASE WHEN {d} >= 0 THEN 1 ELSE 0 END "
+        f"for p in range(band * {band_planes}, (band + 1) * {band_planes})]), "
+        "(a, x) -> a * 2 + x)"
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
 WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
-           WHERE {SQL_NORM} > 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 4)} AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE {SQL_NORM} > 0),
+keyed AS (
+  SELECT vec_id, band, {_sql_band_key('e')} AS key
+  FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band
+        FROM n CROSS JOIN range(0, {_EMB_BANDS}) r)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       {sql_round(f"{sql_dot('va.e', 'vb.e')} / (va.nrm * vb.nrm)", 4)} AS cosine
+FROM cand JOIN n va ON id_a = va.vec_id JOIN n vb ON id_b = vb.vec_id
 WHERE cosine >= CAST(0.4 AS DOUBLE)""",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (brute-force verify kernel)."""
-    return dedup.embedding_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding cosine near-dup pairs via banded hyperplane LSH — the
+    scale path (no driver collect; candidates from a (band, bucket)
+    equi-join, exact cosine verify). The oracle regenerates the identical
+    LCG hyperplane buckets, so band semantics AND the verify kernel are
+    both hash-checked. Exact-recall block-NL baseline:
+    dedup.embedding_dup_pairs (sub-driver-memory corpora only)."""
+    return dedup.embedding_dup_pairs_lsh(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bands=_EMB_BANDS,
+        band_planes=_EMB_BAND_PLANES,
+    )
 
 
 def sql_minhash_dup_ids(src: str, threshold: str = "0.5") -> str:
@@ -395,7 +436,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bucket(e: str) -> str:
-    w = f"(((p * 64 + i) * {vectors.LCG_A} + {vectors.LCG_C}) % {vectors.LCG_RANGE} - {vectors.LCG_SHIFT})"
+    w = _sql_hp_weight()
     d = sql_reduce_sum(f"[CAST({e}[i + 1] AS DOUBLE) * CAST({w} AS DOUBLE) for i in range(0, 64)]")
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -601,22 +642,60 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_sketch_aggregates")  # rows-only: sketch results are engine-specific
+def sketch_aggregates_raw(ev: DataFrame) -> DataFrame:
+    """Raw sketch estimates per event type — HyperLogLog++ distinct
+    (rsd 2%) and the approximate-percentile digest (accuracy 1000, i.e.
+    guaranteed rank error <= 0.1%). Both are mergeable map-side-combining
+    sketches — the 100 TB replacements for exact distinct / full-sort
+    percentile. Values are engine-specific (no SQL twin)."""
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_sketch_aggregates",
+    """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_bounds,
+       TRUE AS p50_within_bounds
+FROM events GROUP BY event_type""",
+)
 def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates per event type — the mergeable, map-side-combining
-    estimators that replace exact distinct/percentile at 100 TB:
-    HyperLogLog++ (approx_count_distinct, rsd 2%) and an approximate
-    percentile digest. No DuckDB oracle (sketch internals are
-    engine-specific); accuracy vs exact is bounded in
+    """Sketch aggregates with a driver-checkable oracle (VERDICT r2 item 5):
+    sketch VALUES are engine-specific, so the query emits exact anchor
+    columns (n_events, exact_users — hash-matched against DuckDB) plus
+    booleans asserting each sketch landed within its documented error —
+    HLL++ within 5x its 2% rsd (+1 absolute slack for tiny groups), the
+    percentile digest inside the exact p45..p55 envelope (50x its 0.1%
+    guaranteed rank error). The oracle states the booleans as TRUE
+    literals: any gross sketch regression flips a boolean and fails the
+    value hash. Tight accuracy stays in
     tests/test_llmops.py::test_sketch_accuracy."""
-    return (
-        events_table(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    ev = events_table(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    users_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.10)
+    )
+    p50_ok = (F.col("approx_p50") >= F.col("p45")) & (F.col("approx_p50") <= F.col("p55"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.coalesce(users_ok, F.lit(True)).alias("users_within_bounds"),
+        # all-null value groups sketch to null: vacuously in bounds
+        F.coalesce(p50_ok, F.lit(True)).alias("p50_within_bounds"),
     )
 
 

@@ -72,19 +72,22 @@ class SqliteReader(BaseReader):
 
 
 class XlsxReader(BaseReader):
-    """Excel workbook (reference sources/readers.py:52-55). Needs openpyxl
-    (absent in this sandbox -> clear ImportError); the cluster-scale
-    alternative is the com.crealytics:spark-excel connector."""
+    """Excel workbook (reference sources/readers.py:52-55) via the
+    pure-stdlib OOXML codec (sources/xlsx_codec.py) — no openpyxl needed;
+    `pandas.read_excel` is used instead when available. Single-workbook
+    driver-side bridge by nature; the cluster-scale alternative is the
+    com.crealytics:spark-excel connector."""
 
     def read(self, spark: SparkSession) -> DataFrame:
-        try:
+        try:  # pragma: no cover - env-dependent
             import openpyxl  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "XLSX reading requires openpyxl, which is not installed in "
-                "this environment"
-            ) from exc
-        pdf = pd.read_excel(self.path)
+
+            pdf = pd.read_excel(self.path)
+        except ImportError:
+            from . import xlsx_codec
+
+            columns, rows = xlsx_codec.read_xlsx(self.path)
+            pdf = pd.DataFrame(list(rows), columns=columns)
         return spark.createDataFrame(pdf)
 
 

@@ -140,22 +140,19 @@ def _sqlite_value(v):
 class XlsxWriter(BaseWriter):
     """Streaming XLSX (reference sources/writers.py:61-70,
     `constant_memory` mode): header row then row iteration, via
-    `toLocalIterator` so driver memory stays bounded."""
+    `toLocalIterator` feeding the pure-stdlib OOXML codec
+    (sources/xlsx_codec.py) — rows stream straight through the zip entry,
+    so driver memory stays bounded exactly like the reference's
+    xlsxwriter constant_memory workbook."""
 
     def write(self, df: DataFrame) -> None:
-        try:
-            from openpyxl import Workbook
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "XLSX writing requires openpyxl, which is not installed in "
-                "this environment"
-            ) from exc
-        wb = Workbook(write_only=True)
-        ws = wb.create_sheet("deliveries")
-        ws.append(df.columns)
-        for row in df.toLocalIterator():
-            ws.append(list(row))
-        wb.save(self.path)
+        from . import xlsx_codec
+
+        xlsx_codec.write_xlsx(
+            self.path,
+            df.columns,
+            (list(row) for row in df.toLocalIterator()),
+        )
 
 
 def write_partitioned(

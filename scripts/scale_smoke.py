@@ -46,6 +46,47 @@ def timed(label, df):
     t0 = time.perf_counter()
     n = df.count()
     print(f"{label:<44} rows={n:>10,}  {time.perf_counter() - t0:7.1f}s", flush=True)
+    return n
+
+
+def planted_dup_vecs(spark, n_base: int, n_dups: int, dim: int = 64):
+    """n_base random-normal vectors + a perturbed near-copy (cos ~0.995) of
+    the first n_dups — the realistic dedup workload (few-percent true dups
+    in a near-orthogonal cloud). Copy of base id k gets vec_id k + 10^9."""
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.randn(seed=1000 + i) for i in range(dim)]).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") < n_dups).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.array(*[F.randn(seed=9000 + i) for i in range(dim)]),
+            lambda x, y: x + 0.1 * y,
+        ).alias("embedding"),
+    )
+    return base.unionByName(dups)
+
+
+def emb_dedup_scale(spark, n_base=400_000, n_dups=20_000):
+    """embedding_dup_pairs_lsh at 200x the sf0.1 embeddings corpus.
+
+    Band geometry note: at near-orthogonal random corpora the random
+    bucket-collision rate per band is 2^-band_planes, so band width must
+    grow with log2(n) — 16-plane bands keep the candidate set ~10M at
+    400k vectors while planted cos~0.995 dups still collide in >=1 of 8
+    bands with p > 0.999 (amplification curve in the operator docstring).
+    """
+    vecs = planted_dup_vecs(spark, n_base, n_dups).cache()
+    timed(f"corpus: {n_base // 1000}k randn + {n_dups // 1000}k planted dups", vecs)
+    pairs = dedup.embedding_dup_pairs_lsh(
+        vecs, threshold=0.9, bands=8, band_planes=16
+    ).cache()
+    timed(f"embedding_dup_pairs_lsh @{(n_base + n_dups) // 1000}k vectors", pairs)
+    found = pairs.where(F.col("id_b") - F.col("id_a") == 1_000_000_000).count()
+    print(f"planted-dup recall: {found}/{n_dups} = {found / n_dups:.4f}", flush=True)
+    pairs.unpersist()
+    vecs.unpersist()
 
 
 def main() -> None:

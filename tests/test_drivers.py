@@ -46,15 +46,133 @@ def test_web_job_records_failure(spark, tmp_path, monkeypatch):
     assert webapi.JOBS["sess2"]["error"]
 
 
-def test_create_app_gates_on_fastapi():
-    try:
-        import fastapi  # noqa: F401
+# --- endpoint-level web API tests (stub ASGI client, no fastapi needed) ------
 
-        pytest.skip("fastapi installed — gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="fastapi"):
-        webapi.create_app()
+
+def _asgi_call(app, method, path, query=b"", body=b"", headers=()):
+    """Drive one request through any ASGI app, return (status, body bytes)."""
+    import asyncio
+
+    scope = {
+        "type": "http",
+        "method": method,
+        "path": path,
+        "query_string": query,
+        "headers": list(headers),
+    }
+    messages = [{"type": "http.request", "body": body, "more_body": False}]
+    out = {"status": None, "body": b""}
+
+    async def receive():
+        return messages.pop(0)
+
+    async def send(message):
+        if message["type"] == "http.response.start":
+            out["status"] = message["status"]
+        elif message["type"] == "http.response.body":
+            out["body"] += message.get("body", b"")
+
+    asyncio.run(app(scope, receive, send))
+    return out["status"], out["body"]
+
+
+@pytest.fixture()
+def webapp(spark, tmp_path, monkeypatch):
+    from laposte_data_engineering_jedha_spark.plans import pipeline as pl
+    from laposte_data_engineering_jedha_spark.sources.weather import FakeWeatherClient
+
+    orig_init = pl.Pipeline.__init__
+
+    def patched(self, config, spark_, weather_client=None, **kw):
+        orig_init(self, config, spark_, weather_client=FakeWeatherClient(), **kw)
+
+    monkeypatch.setattr(pl.Pipeline, "__init__", patched)
+    monkeypatch.setattr(webapi, "JOBS", {})
+    return webapi.create_app(spark=spark, workdir=str(tmp_path))
+
+
+def _poll_until_done(app, session_id, timeout_s=120):
+    import json
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        status, body = _asgi_call(app, "GET", f"/status/{session_id}")
+        assert status == 200
+        payload = json.loads(body)
+        if payload["status"] != "running":
+            return payload
+        time.sleep(0.3)
+    raise AssertionError("job did not finish in time")
+
+
+def test_webapi_run_status_download_flow(webapp):
+    """The reference's full client flow (api.py:100-160): POST /run-etl ->
+    poll GET /status/{id} -> GET /download/{id} returns the results zip."""
+    import io
+    import json
+
+    status, body = _asgi_call(
+        webapp, "POST", "/run-etl", query=b"rows=30&formats=parquet"
+    )
+    assert status == 200
+    session_id = json.loads(body)["session_id"]
+
+    payload = _poll_until_done(webapp, session_id)
+    assert payload["status"] == "completed"
+    assert payload["download"] == f"/download/{session_id}"
+
+    status, body = _asgi_call(webapp, "GET", f"/download/{session_id}")
+    assert status == 200
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        names = zf.namelist()
+    assert "results_manifest.json" in names
+    assert any(n.startswith("deliveries.parquet") for n in names)
+
+
+def test_webapi_upload_multipart(webapp):
+    """POST /run-etl with a multipart CSV upload (reference api.py:117-124)."""
+    import io
+    import json
+
+    csv_bytes = (
+        b"Delivery_ID,Pickup_DateTime,Delivery_Timestamp,Package_Type,Distance,Delivery_Zone\n"
+        b"SC1000,2025-09-05T10:00:00,2025-09-05T11:30:00,Large,10.0,Urban\n"
+    )
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="one.csv"\r\n'
+        "Content-Type: text/csv\r\n\r\n"
+    ).encode() + csv_bytes + f"\r\n--{boundary}--\r\n".encode()
+    status, resp = _asgi_call(
+        webapp,
+        "POST",
+        "/run-etl",
+        query=b"formats=csv",
+        body=body,
+        headers=[(b"content-type", f"multipart/form-data; boundary={boundary}".encode())],
+    )
+    assert status == 200
+    session_id = json.loads(resp)["session_id"]
+    payload = _poll_until_done(webapp, session_id)
+    assert payload["status"] == "completed"
+
+    status, body = _asgi_call(webapp, "GET", f"/download/{session_id}")
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        csv_out = [n for n in zf.namelist() if n.startswith("deliveries.csv")]
+        assert csv_out
+        content = zf.read(csv_out[0]).decode()
+    assert "SC1000" in content and content.count("\n") == 2  # header + 1 row
+
+
+def test_webapi_unknown_session_and_route(webapp):
+    status, _ = _asgi_call(webapp, "GET", "/status/nope")
+    assert status == 404
+    status, _ = _asgi_call(webapp, "GET", "/download/nope")
+    assert status == 404
+    status, _ = _asgi_call(webapp, "GET", "/teapot")
+    assert status == 404
 
 
 def test_benchmark_matrix_shape(spark, tmp_path, monkeypatch):

@@ -135,6 +135,23 @@ def test_ivf_knn_recall_and_exactness(spark, sf_dir):
     assert hits / len(exact) >= 0.2  # 4/16 probes on clusterless vectors
 
 
+def test_embedding_lsh_pairs_subset_of_brute_force(spark, sf_dir):
+    """Banded-LSH near-dup pairs must be a subset of the exact block-NL
+    pairs with IDENTICAL cosines (same bit-deterministic kernel), and the
+    LSH plan must not collect the corpus to the driver."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r["id_a"], r["id_b"])] == r["cosine"]
+
+
 def test_ivf_kmeans_fits_on_a_sample(spark):
     """The coarse-quantizer fit input is capped: above fit_max_rows the fit
     sees a seeded sample, not the full corpus (the 100 TB claim in the
@@ -150,11 +167,14 @@ def test_ivf_kmeans_fits_on_a_sample(spark):
 def test_sketch_accuracy(spark, sf_dir):
     """Sketch estimates must land within their documented error of exact."""
     from laposte_data_engineering_jedha_spark.queries.llmops import (
-        events_sketch_aggregates,
+        sketch_aggregates_raw,
     )
     from laposte_data_engineering_jedha_spark.queries import events_table
 
-    approx = {r["event_type"]: r for r in events_sketch_aggregates(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in sketch_aggregates_raw(events_table(spark, sf_dir)).collect()
+    }
     exact = {
         r["event_type"]: r
         for r in events_table(spark, sf_dir)

@@ -43,25 +43,30 @@ def test_e2e_multiformat_fanout(spark, tmp_path):
     out = tmp_path / "fan"
     config = {
         "source": {"type": "generate", "rows": 100, "seed": 5},
-        "output": {"path": str(out), "format": "all_but_xlsx"},
+        "output": {"path": str(out), "format": "all"},
     }
     Pipeline(config, spark, weather_client=FakeWeatherClient()).run()
-    for name in ["deliveries.csv", "deliveries.json", "deliveries.parquet", "deliveries.db"]:
+    for name in [
+        "deliveries.csv",
+        "deliveries.json",
+        "deliveries.parquet",
+        "deliveries.db",
+        "deliveries.xlsx",
+    ]:
         assert (out / name).is_file(), name
     with sqlite3.connect(out / "deliveries.db") as conn:
         n = conn.execute("SELECT count(*) FROM deliveries").fetchone()[0]
     assert n == 100
     back = spark.read.parquet(str(out / "deliveries.parquet"))
     assert back.count() == 100 and back.columns == ENRICHED_COLUMNS
+    from laposte_data_engineering_jedha_spark.sources.xlsx_codec import read_xlsx
+
+    columns, rows = read_xlsx(str(out / "deliveries.xlsx"))
+    assert columns == ENRICHED_COLUMNS and len(list(rows)) == 100
 
 
 def test_formats_resolution():
-    try:
-        import openpyxl  # noqa: F401
-
-        expected_all = ["csv", "json", "parquet", "sqlite", "xlsx"]
-    except ImportError:
-        expected_all = ["csv", "json", "parquet", "sqlite"]
+    expected_all = ["csv", "json", "parquet", "sqlite", "xlsx"]
     assert formats_to_write("all") == expected_all
     assert formats_to_write("all_but_xlsx") == ["csv", "json", "parquet", "sqlite"]
     assert formats_to_write("parquet") == ["parquet"]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from laposte_data_engineering_jedha_spark.schemas import RAW_COLUMNS
 from laposte_data_engineering_jedha_spark.sources.generate import generate_deliveries
 from laposte_data_engineering_jedha_spark.sources.readers import (
+    cast_timestamp_contract,
     extract_data,
     read_file,
 )
@@ -87,3 +88,50 @@ def test_extract_csv_casts_timestamps(spark, tmp_path):
 def test_extract_generate(spark):
     df = extract_data(spark, {"source": {"type": "generate", "rows": 50}})
     assert df.count() == 50 and df.columns == RAW_COLUMNS
+
+
+# --- XLSX codec (sources/xlsx_codec.py) --------------------------------------
+
+
+def test_xlsx_codec_type_roundtrip(tmp_path):
+    """Pure-codec round-trip of every supported cell type, including XML
+    special characters, empty strings, and None cells."""
+    import datetime
+
+    from laposte_data_engineering_jedha_spark.sources import xlsx_codec
+
+    path = str(tmp_path / "t.xlsx")
+    cols = ["s", "i", "f", "b", "dt", "d", "none"]
+    rows_in = [
+        ["a<b>&\"'c", 42, 3.14159, True, datetime.datetime(2025, 9, 5, 10, 30, 15),
+         datetime.date(2025, 9, 5), None],
+        ["", -7, 0.1 + 0.2, False, datetime.datetime(2025, 1, 1), datetime.date(2025, 1, 1), None],
+    ]
+    xlsx_codec.write_xlsx(path, cols, rows_in)
+    out_cols, rows = xlsx_codec.read_xlsx(path)
+    out = list(rows)
+    assert out_cols == cols
+    assert out[0] == ["a<b>&\"'c", 42, 3.14159, True, "2025-09-05 10:30:15", "2025-09-05", None]
+    # repr round-trip keeps doubles bit-exact (0.1+0.2 != 0.3)
+    assert out[1][2] == 0.1 + 0.2
+    assert out[1] == ["", -7, 0.1 + 0.2, False, "2025-01-01 00:00:00", "2025-01-01", None]
+
+
+def test_xlsx_writer_reader_spark_roundtrip(spark, tmp_path):
+    """XlsxWriter -> XlsxReader -> timestamp contract == the original frame
+    (the src_xlsx_roundtrip path, reference readers.py:52-55 /
+    writers.py:61-70)."""
+    from laposte_data_engineering_jedha_spark.sources.readers import XlsxReader
+    from laposte_data_engineering_jedha_spark.sources.writers import XlsxWriter
+
+    df = extract_data(spark, {"source": {"type": "generate", "rows": 40, "seed": 3}})
+    path = str(tmp_path / "d.xlsx")
+    XlsxWriter(path).write(df)
+    back = cast_timestamp_contract(XlsxReader(path).read(spark)).select(*RAW_COLUMNS)
+    assert back.schema["Pickup_DateTime"].dataType.typeName().startswith("timestamp")
+    orig = {r.Delivery_ID: r for r in df.collect()}
+    for r in back.collect():
+        o = orig[r.Delivery_ID]
+        assert (r.Pickup_DateTime, r.Delivery_Timestamp) == (o.Pickup_DateTime, o.Delivery_Timestamp)
+        assert (r.Package_Type, r.Delivery_Zone) == (o.Package_Type, o.Delivery_Zone)
+        assert r.Distance == o.Distance
