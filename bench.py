@@ -9,6 +9,12 @@ Each query is fully materialized via the `noop` sink (executes the whole
 plan, no collect-to-driver, no disk write) — wall-clock measures plan
 execution only. A warm-up run at sf0.001 amortizes JVM/codegen startup,
 mirroring the reference's warm-up (benchmarks.py:37-43).
+
+Noise-aware (round-2 verdict item 8): each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+MEDIAN, with per-query (max - min) spread under "spread" and the run count
+under "n_runs" — a single-run environment wobble (round 2's uniform ×1.19)
+can no longer masquerade as a plan regression.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -33,6 +40,7 @@ def run_query(fn, spark, sf_dir) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -46,15 +54,22 @@ def main() -> None:
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in registry.items():
-        t0 = time.perf_counter()
-        try:
-            run_query(fn, spark, sf_dir)
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # fault isolation: one query never sinks BENCH
-            errors[name] = f"{type(exc).__name__}: {exc}"
-            print(f"bench {name} FAILED: {errors[name]}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                run_query(fn, spark, sf_dir)
+                samples.append(time.perf_counter() - t0)
+            except Exception as exc:  # fault isolation: one query never sinks BENCH
+                errors[name] = f"{type(exc).__name__}: {exc}"
+                print(f"bench {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+        if samples:
+            times[name] = round(statistics.median(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -63,6 +78,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "n_runs": n_runs,
+        "spread": spread,
     }
     if errors:
         out["errors"] = errors

