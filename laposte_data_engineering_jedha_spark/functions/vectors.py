@@ -154,23 +154,26 @@ def pd_lsh_buckets_banded(
     oracle regenerates every bucket exactly. Returns array<long> of length
     `bands`; posexplode it to (band, key) join keys."""
 
-    weights = [
-        np.array(py_hyperplane_weights(p, dim), dtype="float64")
-        for p in range(bands * band_planes)
-    ]
+    n_planes = bands * band_planes
+    # (dim, n_planes) weight matrix — one row broadcast per dimension step
+    w_matrix = np.array(
+        [py_hyperplane_weights(p, dim) for p in range(n_planes)], dtype="float64"
+    ).T
+    pack = np.array(
+        [1 << (band_planes - 1 - j) for j in range(band_planes)], dtype="int64"
+    )
 
     @pandas_udf("array<long>")
     def kernel(sa: pd.Series) -> pd.Series:
         m = _to_matrix(sa)
-        buckets = np.zeros((len(m), bands), dtype="int64")
-        for b in range(bands):
-            bucket = np.zeros(len(m), dtype="int64")
-            for p in range(b * band_planes, (b + 1) * band_planes):
-                acc = np.zeros(len(m), dtype="float64")
-                for i in range(dim):
-                    acc += m[:, i] * weights[p][i]
-                bucket = bucket * 2 + (acc >= 0)
-            buckets[:, b] = bucket
+        # accumulate ALL planes per dimension step: same left-to-right
+        # per-plane order as the SQL oracle's list_reduce, one numpy op
+        # per dimension instead of one per (plane, dimension)
+        acc = np.zeros((len(m), n_planes), dtype="float64")
+        for i in range(dim):
+            acc += m[:, i][:, None] * w_matrix[i][None, :]
+        bits = (acc >= 0).astype("int64").reshape(len(m), bands, band_planes)
+        buckets = (bits * pack[None, None, :]).sum(axis=2)
         return pd.Series([row.tolist() for row in buckets])
 
     return kernel(_c(vec))

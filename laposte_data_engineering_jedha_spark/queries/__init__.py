@@ -358,6 +358,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_topk_spenders",
     "events_value_quantiles",
     "events_json_extract",
+    "events_range_join",
     "multimodal_frame_sample",
     "multimodal_features",
     "src_generate",

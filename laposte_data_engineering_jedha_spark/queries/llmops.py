@@ -189,12 +189,18 @@ toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
 sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks)"""
 
 
+_NGRAM_MAX_DF = 100  # stop-shingle guard measured in SCALE.md (90 s -> 9 s at 100k docs)
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SQL_SHINGLE_CTES},
-sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
-inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1),
+inv AS (SELECT doc_id, i.shingle FROM inv0 i JOIN freq USING (shingle)
+        WHERE df <= {_NGRAM_MAX_DF}),
+sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -207,8 +213,16 @@ JOIN sz sb ON id_b = sb.doc_id
 WHERE jaccard >= CAST(0.5 AS DOUBLE)""",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
-    return dedup.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index, WITH
+    the stop-shingle document-frequency cap active (max_shingle_df=100) —
+    the guard that keeps the self-join linear on real corpora (SCALE.md
+    finding 6). The oracle applies the identical cap and sizes docs over
+    the capped shingle universe, so the capped semantics are what the
+    driver hash-checks (round-2 verdict: the registered query must pass a
+    cap for real corpora, not just the library op)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=_NGRAM_MAX_DF
+    )
 
 
 _P = texts.MERSENNE31
@@ -680,10 +694,10 @@ def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
+        # one sort pass for both exact envelope bounds
+        F.expr("percentile(value, array(0.45, 0.55))").alias("p_env"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).withColumns({"p45": F.col("p_env")[0], "p55": F.col("p_env")[1]})
     users_ok = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
         <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.10)
@@ -814,6 +828,41 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joins.asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["value"])
     return out.select("user_id", "event_id", "ts", F.col("asof_value").cast("double"))
+
+
+@query(
+    "events_range_join",
+    """
+SELECT p.event_id AS purchase_event, count(*) AS n_clicks
+FROM events c JOIN events p
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND p.ts <= c.ts
+ AND epoch_us(c.ts) < epoch_us(p.ts) + 7200000000
+GROUP BY 1""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via the time-bucketed range join
+    (operators/joins.py range_join): each purchase opens a 2-hour window;
+    count same-user clicks inside it. The bucket explode turns the
+    inequality join into a hash-partitionable equi-join on bucket id with
+    the exact range predicate re-applied — the scale-correct shape for
+    interval joins Spark lacks natively. The oracle is the plain
+    inequality join."""
+    ev = events_table(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("w_start"),
+        F.timestamp_add("HOUR", F.lit(2), F.col("ts")).alias("w_end"),
+    )
+    joined = joins.range_join(clicks, windows, "ts", "w_start", "w_end", bucket_s=3600)
+    return (
+        joined.where(F.col("user_id") == F.col("p_user"))
+        .groupBy("purchase_event")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
 
 
 # ================================ multimodal =================================
