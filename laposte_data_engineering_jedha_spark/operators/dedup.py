@@ -306,6 +306,62 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) where
+    component = the minimum node id in the node's component — the cluster
+    assignment a dedup pipeline needs AFTER pair generation (keep one doc
+    per component, not per pair: pair-wise keep-earliest is chain-sensitive
+    when A~B, B~C but A!~C).
+
+    Iterative min-label propagation, entirely DataFrame ops: each round
+    joins labels across edges and takes the per-node min; the driver loop
+    only reads a scalar convergence flag per round (isEmpty on the changed
+    set — no data collect). Rounds needed = component diameter, which for
+    near-dup clusters (star-ish neighborhoods around a template) is small;
+    `max_iter` bounds the pathological chain case. Lineage is truncated
+    every round with localCheckpoint so the plan stays O(1) deep instead of
+    O(iterations) (the classic iterative-Spark blow-up); at cluster scale
+    the same loop runs with `spark.sparkContext.setCheckpointDir` +
+    reliable checkpoints. For truly adversarial graphs (long chains, huge
+    components) the escalation is alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014), which converges in O(log n) rounds with the same
+    join/groupBy primitive mix.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iter):
+        # min label among self and neighbors, one hop per round
+        prop = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -346,6 +346,7 @@ DRIVER_WINDOW_PRIORITY = [
     # --- past the 50-query window (replica-gate + bench coverage) ---
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "knn_brute_force",
     "text_token_count",
     "text_lang_id",

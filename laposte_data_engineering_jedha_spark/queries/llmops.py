@@ -423,6 +423,61 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(dups, "doc_id", "left_anti").select("doc_id", "quality")
 
 
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTES},
+sigs AS (
+  SELECT doc_id, h, {_SQL_SIG} AS sig
+  FROM (SELECT doc_id, [{sql_md5i('x')} for x in s] AS h FROM sh)
+  WHERE len(h) > 0),
+bands AS (
+  SELECT doc_id, sig, h, r.range AS band,
+         array_to_string(sig[r.range * {_ROWS} + 1 : r.range * {_ROWS} + {_ROWS}], '_') AS key
+  FROM sigs CROSS JOIN range(0, {texts.MINHASH_BANDS}) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, len(list_intersect(sa.h, sb.h)) AS inter,
+           len(sa.h) AS na, len(sb.h) AS nb
+    FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+  WHERE {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} >= CAST(0.5 AS DOUBLE)),
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
+USING (cluster_id)""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH verified pairs -> connected
+    components -> (doc_id, cluster_id, cluster_size), cluster_id = min doc
+    id in the component. This is the step a real dedup pipeline needs after
+    pair generation — pair-wise keep-earliest is chain-sensitive (A~B, B~C,
+    A!~C must still collapse to one survivor). Spark side is iterative
+    min-label propagation over DataFrame joins (operators/dedup.py
+    connected_components — lineage-truncated per round, scalar-only driver
+    sync); the oracle reaches the same fixpoint with a recursive CTE over
+    the identical verified-pair set."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 # ============================= similarity search =============================
 
 _SQL_KNN_BASE = f"""

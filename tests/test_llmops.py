@@ -217,3 +217,24 @@ def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([(1, "alpha beta"), (2, "beta alpha")], "id long, text string")
     fps = [r["fp"] for r in df.select(texts.rolling_fingerprint("text").alias("fp")).collect()]
     assert fps[0] != fps[1]  # same tokens, different order -> different prints
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (transitive: 1~2, 2~3 but no 1~3 edge), island 7-8,
+    # plus a cycle 10-11-12-10 — all must collapse to min-id components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path is the worst diameter case for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs)
+    assert {r["component"] for r in out.collect()} == {100}
+    assert out.count() == 13
