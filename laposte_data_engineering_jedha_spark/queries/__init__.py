@@ -356,6 +356,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_session_window_native",
     "stream_tumbling_counts",
     "stream_sliding_counts",
+    "stream_click_attribution",
     "events_topk_spenders",
     "events_value_quantiles",
     "events_json_extract",

@@ -662,6 +662,31 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_click_attribution",
+    """
+SELECT p.event_id AS purchase_event, c.user_id, c.ts AS click_ts
+FROM events c JOIN events p
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND p.ts <= c.ts
+ AND epoch_us(c.ts) < epoch_us(p.ts) + 7200000000""",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click -> purchase attribution pairs (same-user click inside the
+    purchase's 2-hour follow-window) — the batch run of the SAME plan the
+    stream-stream join executes under watermarks (streaming/jobs.py
+    attribution_join; streaming==batch equivalence asserted in
+    tests/test_streaming.py). The watermark-bounded two-buffer join is the
+    canonical Structured Streaming shape Spark gives for free where the
+    reference engine would need a custom symmetric hash join."""
+    ev = events_table(spark, sf_dir)
+    return streaming_jobs.attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
     "events_topk_spenders",
     """
 SELECT user_id,

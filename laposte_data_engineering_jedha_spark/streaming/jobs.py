@@ -72,6 +72,64 @@ def sliding_counts(
     )
 
 
+ATTRIBUTION_HORIZON = "2 hours"
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Stream-stream inner join: every click attributed to the same-user
+    purchase whose 2-hour follow-window contains it (the streaming twin of
+    the batch range join in queries/llmops.py:events_range_join).
+
+    Works unchanged on batch and streaming inputs. In streaming mode both
+    sides carry event-time watermarks AND the join predicate bounds
+    click_ts to [p_ts, p_ts + 2 h), so Spark derives state-expiry for both
+    buffers: a buffered purchase can be dropped once the click watermark
+    passes its window end, a buffered click once the purchase watermark
+    passes its timestamp — bounded state on an unbounded stream. Output is
+    the raw attributed pairs; downstream aggregation composes as a second
+    stateful operator (supported since Spark 3.5's multi-stateful-operator
+    pipelines) or as a batch rollup over the sink.
+    """
+    c = clicks.select("user_id", F.col("ts").alias("click_ts"))
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    if with_watermark:
+        c = c.withWatermark("click_ts", WATERMARK)
+        p = p.withWatermark("p_ts", WATERMARK)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("click_ts"))
+        & (F.col("click_ts") < F.col("p_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")),
+    ).select("purchase_event", "user_id", "click_ts")
+
+
+def run_attribution_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_attribution"
+) -> DataFrame:
+    """Drive the stream-stream attribution join over the directory stream
+    (both sides read from the same source, filtered by event type) into a
+    memory sink; returns the attributed pairs."""
+    ev = read_events_stream(spark, events_dir)
+    stream = attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        with_watermark=True,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 SESSION_GAP_S = 1800  # 30 min, matches queries/llmops.py:events_sessionize
 
 SESSION_OUT_SCHEMA = (

@@ -133,3 +133,35 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, events_dir):
     closed_batch = {s for s in batch if s[2] < horizon}
     missing = closed_batch - emitted
     assert not missing, f"batch sessions missing from stream: {sorted(missing)[:3]}"
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    """The watermarked stream-stream join must emit exactly the batch join's
+    attributed pairs: in-order file arrival keeps every click inside the
+    watermark horizon of its purchase's buffer, so no pair is dropped."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(events_dir)
+    batch = jobs.attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    stream = jobs.run_attribution_available_now(spark, events_dir)
+    canon = lambda df: sorted(
+        (r["purchase_event"], r["user_id"], r["click_ts"]) for r in df.collect()
+    )
+    got, want = canon(stream), canon(batch)
+    assert len(want) > 0
+    assert got == want
+
+
+def test_stream_stream_attribution_is_streaming_plan(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream(spark, events_dir)
+    df = jobs.attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        with_watermark=True,
+    )
+    assert df.isStreaming
