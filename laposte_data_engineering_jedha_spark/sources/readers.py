@@ -86,8 +86,7 @@ class XlsxReader(BaseReader):
         except ImportError:
             from . import xlsx_codec
 
-            columns, rows = xlsx_codec.read_xlsx(self.path)
-            pdf = pd.DataFrame(list(rows), columns=columns)
+            pdf = xlsx_codec.read_xlsx_pandas(self.path)
         return spark.createDataFrame(pdf)
 
 

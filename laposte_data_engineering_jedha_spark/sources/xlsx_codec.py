@@ -101,7 +101,7 @@ def write_xlsx(
     """Stream (header + rows) into a new .xlsx at `path`. `rows` may be any
     iterable (e.g. DataFrame.toLocalIterator()) — worksheet XML is written
     through the zip stream row by row, never materialized."""
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
@@ -173,7 +173,7 @@ def write_xlsx_fragments(
     """Assemble a workbook from pre-built sheetData row fragments
     (see rows_xml_fragment): header row first, then each fragment streamed
     through the zip entry."""
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
@@ -214,12 +214,26 @@ def _col_index(ref: str, default: int) -> int:
     return idx - 1 if idx else default
 
 
-# Fast-path cell matcher: self-closing <c .../> OR <c ...>inner</c>. String
-# slicing + one regex pass is ~5x faster than per-element ElementTree
-# iteration (the read side is a single-workbook driver bridge, so parse
-# speed IS the read throughput — measured 5.5 s -> ~1 s at 150k x 13).
-_CELL_RE = re.compile(r"<c\b([^>]*?)/>|<c\b([^>]*)>(.*?)</c>", re.S)
-_ATTR_RE = re.compile(r'([a-zA-Z:_]+)="([^"]*)"')
+# Fast-path sheet tokenizer: ONE compiled-regex pass over the whole
+# worksheet emitting row-starts and cells (self-closing <c .../> OR
+# <c ...>inner</c>) in document order. A single C-level finditer plus
+# string-find attribute extraction is ~4x faster than per-row splitting
+# with per-cell attribute findall, which in turn was ~5x faster than
+# ElementTree iteration — the read side is a single-workbook driver
+# bridge, so parse speed IS the read throughput (measured 7.0 s -> 1.7 s
+# at 150k x 6).
+_SHEET_TOKEN_RE = re.compile(r"<row\b[^>]*>|<c\b([^>]*?)(?:/>|>(.*?)</c>)", re.S)
+
+
+def _find_attr(attrs: str, name: str) -> str | None:
+    """Value of attribute `name` via string find. `attrs` is the attribute
+    region of one tag (always space-separated, values quoted), so the
+    space-prefixed needle cannot match inside another attribute's name."""
+    at = attrs.find(f' {name}="')
+    if at < 0:
+        return None
+    start = at + len(name) + 3
+    return attrs[start : attrs.index('"', start)]
 
 
 def _unescape(text: str) -> str:
@@ -240,10 +254,7 @@ def _inner_text(inner: str, open_tag: str, close_tag: str) -> str | None:
 
 
 def _fast_cell_value(attrs: str, inner: str, shared: list[str]):
-    kind = "n"
-    for name, value in _ATTR_RE.findall(attrs):
-        if name == "t":
-            kind = value
+    kind = _find_attr(attrs, "t") or "n"
     if kind == "inlineStr":
         text = _inner_text(inner, "<t", "</t>")
         return _unescape(text) if text is not None else ""
@@ -259,6 +270,102 @@ def _fast_cell_value(attrs: str, inner: str, shared: list[str]):
     return _parse_number(_unescape(v))
 
 
+# Vectorized fast path for sheets THIS codec's fragment writer produced:
+# no r refs, every row exactly ncols cells, nulls as <c/>. One C-level
+# findall over the whole body, then column-wise pandas conversion — ~4x
+# faster than the general tokenizer (and the typed columns skip object-
+# dtype inference in the Arrow createDataFrame afterwards). Any structural
+# surprise (r refs, shared strings, styles, str-formula cells, ragged
+# rows) fails the cell-count check and falls back to the general parser.
+_UNIFORM_CELL_RE = re.compile(
+    r"<c(/)>"
+    r"|<c><v>([^<]*)</v></c>"
+    r'|<c t="inlineStr"><is><t>([^<]*)</t></is></c>'
+    r'|<c t="b"><v>([01])</v></c>'
+)
+
+
+def _fast_pandas(body: str, header: list[str]):
+    import pandas as pd
+
+    ncols = len(header)
+    n_rows = body.count("<row>")
+    if n_rows == 0 or ncols == 0:
+        return None
+    cells = _UNIFORM_CELL_RE.findall(body)
+    if len(cells) != n_rows * ncols:
+        return None
+    cdf = pd.DataFrame(cells, columns=["nul", "num", "txt", "b"])
+    out = {}
+    for j, name in enumerate(header):
+        sub = cdf.iloc[j::ncols].reset_index(drop=True)
+        isnull = sub["nul"].eq("/")
+        has_b = sub["b"].ne("").any()
+        has_num = sub["num"].ne("").any()
+        has_txt = sub["txt"].ne("").any()
+        if has_b + has_num + has_txt > 1:
+            return None  # mixed-type column — general parser decides per cell
+        try:
+            if has_b:
+                col = sub["b"].eq("1").astype(object)
+            elif has_num:
+                s = sub["num"]
+                if isnull.any():
+                    col = s.where(~isnull, None).map(
+                        lambda v: None if v is None else _parse_number(v)
+                    )
+                elif s.str.fullmatch(r"-?\d+").all():
+                    col = s.astype("int64")
+                else:
+                    # NOT pd.to_numeric: its fast parser is lossy in the last
+                    # ulp (1.1400000000000001 -> 1.14); astype goes through
+                    # C strtod, which round-trips repr output exactly
+                    col = s.astype("float64")
+            else:
+                col = sub["txt"]
+                amp = col.str.contains("&", regex=False)
+                if amp.any():
+                    col = col.where(~amp, col[amp].map(_unescape))
+                col = col.astype(object)
+        except (ValueError, TypeError):
+            return None
+        if isnull.any() and not has_num:
+            col = col.where(~isnull, None)
+        out[name] = col
+    return pd.DataFrame(out)
+
+
+def read_xlsx_pandas(path: str, sheet: str = "xl/worksheets/sheet1.xml"):
+    """Read the first worksheet into a pandas DataFrame — the driver-bridge
+    entry point (sources/readers.py XlsxReader). Takes the vectorized fast
+    path for workbooks this codec wrote, falls back to the general
+    tokenizer for openpyxl/xlsxwriter/Excel output."""
+    import pandas as pd
+
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        data = zf.read(sheet).decode("utf-8")
+    if not shared:
+        first_row_end = data.find("</row>")
+        if first_row_end >= 0:
+            pdf = _fast_pandas(data[first_row_end:], _header_of(data))
+            if pdf is not None:
+                return pdf
+    columns, rows = _parse_rows(data, shared)
+    return pd.DataFrame(list(rows), columns=columns)
+
+
+def _header_of(data: str) -> list[str]:
+    header_xml = data[: data.find("</row>")]
+    out: list = []
+    for m in _SHEET_TOKEN_RE.finditer(header_xml):
+        if m.group(1) is None:
+            out = []
+            continue
+        out.append(_fast_cell_value(m.group(1), m.group(2) or "", []))
+    return [str(c) for c in out]
+
+
 def read_xlsx(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> tuple[list[str], Iterator[list]]:
     """Read (columns, row-iterator) from the first worksheet. The iterator
     yields lists aligned to the header width (missing cells -> None).
@@ -267,25 +374,27 @@ def read_xlsx(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> tuple[list[
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
         data = zf.read(sheet).decode("utf-8")
+    return _parse_rows(data, shared)
 
+
+def _parse_rows(data: str, shared: list[str]) -> tuple[list[str], Iterator[list]]:
     def rows() -> Iterator[list]:
-        for chunk in data.split("</row>"):
-            row_at = chunk.find("<row")
-            if row_at < 0:
+        out: list | None = None
+        for m in _SHEET_TOKEN_RE.finditer(data):
+            attrs = m.group(1)
+            if attrs is None:  # <row ...> token
+                if out is not None:
+                    yield out
+                out = []
                 continue
-            cells_xml = chunk[chunk.find(">", row_at) + 1 :]
-            out: list = []
-            for m in _CELL_RE.finditer(cells_xml):
-                attrs = m.group(1) if m.group(1) is not None else m.group(2)
-                inner = m.group(3) or ""
-                col = len(out)
-                for name, value in _ATTR_RE.findall(attrs):
-                    if name == "r":
-                        col = _col_index(value, len(out))
-                        break
-                while len(out) <= col:
-                    out.append(None)
-                out[col] = _fast_cell_value(attrs, inner, shared)
+            if out is None:  # cell outside any row — malformed, skip
+                continue
+            ref = _find_attr(attrs, "r")
+            col = _col_index(ref, len(out)) if ref is not None else len(out)
+            while len(out) <= col:
+                out.append(None)
+            out[col] = _fast_cell_value(attrs, m.group(2) or "", shared)
+        if out is not None:
             yield out
 
     it = rows()
