@@ -347,6 +347,8 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "corpus_pack_sequences",
+    "corpus_hash_sample",
     "knn_brute_force",
     "text_token_count",
     "text_lang_id",

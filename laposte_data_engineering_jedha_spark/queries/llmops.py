@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts, vectors
-from ..operators import dedup, joins, multimodal, similarity
+from ..operators import corpus, dedup, joins, multimodal, similarity
 from ..streaming import jobs as streaming_jobs
 from . import events_table, query, table
 
@@ -421,6 +421,59 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kept.join(dups, "doc_id", "left_anti").select("doc_id", "quality")
+
+
+@query(
+    "corpus_pack_sequences",
+    rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{texts.BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS seq_id
+FROM c""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: docs concatenate in doc_id order into a
+    token stream cut into 2048-token blocks; each doc gets its first
+    token's block id. The cumulative sum is the scale-safe split-combine
+    prefix sum (operators/corpus.py global_running_sum — range shards +
+    per-shard window + broadcast offsets), NOT the naive
+    Window.orderBy-with-no-partition global window that executes as a
+    single partition holding the whole table. The oracle IS that naive
+    global window, which DuckDB (single-node) runs happily — same values,
+    opposite scalability."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", texts.bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return corpus.pack_sequences(docs, budget=2048).select(
+        "doc_id", "n_tokens", "start_offset", "seq_id"
+    )
+
+
+@query(
+    "corpus_hash_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {sql_md5i("CAST(doc_id AS VARCHAR)")} % 100 < 10""",
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of the corpus (md5-bucket mod 100) —
+    reproducible across runs, engines, partitionings, and appends, unlike
+    rand()-based df.sample. Pure map-side filter; everything downstream
+    keeps pushdown."""
+    return corpus.hash_sample(
+        table(spark, sf_dir, "documents"), percent=10
+    ).select("doc_id", "lang")
 
 
 @query(

@@ -89,6 +89,35 @@ def emb_dedup_scale(spark, n_base=400_000, n_dups=20_000):
     vecs.unpersist()
 
 
+def cc_scale(spark, n_clusters=200_000, cluster_size=5, chain_len=64):
+    """connected_components on a 1M-edge synthetic graph: n_clusters
+    star-shaped dup clusters (the realistic shape — copies of one template)
+    plus a few worst-case long chains that force `chain_len`-hop label
+    propagation. Verifies component count exactly."""
+    hub = F.floor(F.col("id") / (cluster_size - 1)) * cluster_size
+    stars = (
+        spark.range(n_clusters * (cluster_size - 1))
+        .select(
+            hub.alias("id_a"),
+            (hub + F.col("id") % (cluster_size - 1) + 1).alias("id_b"),
+        )
+    )
+    base = 10_000_000_000
+    chains = spark.range(chain_len).select(
+        (base + F.col("id")).alias("id_a"), (base + F.col("id") + 1).alias("id_b")
+    )
+    pairs = stars.unionByName(chains).cache()
+    timed(f"cc corpus: {n_clusters // 1000}k stars + {chain_len}-hop chain", pairs)
+    cc = dedup.connected_components(pairs, max_iter=chain_len + 2).cache()
+    timed(f"connected_components @{n_clusters * (cluster_size - 1) + chain_len} edges", cc)
+    n_comp = cc.select("component").distinct().count()
+    expect = n_clusters + 1
+    print(f"components: {n_comp} (expect {expect}) {'OK' if n_comp == expect else 'WRONG'}",
+          flush=True)
+    cc.unpersist()
+    pairs.unpersist()
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_smoke")
     docs100k = blown_up_docs(spark, 20).cache()

@@ -238,3 +238,48 @@ def test_connected_components_long_chain_converges(spark):
     out = dedup.connected_components(pairs)
     assert {r["component"] for r in out.collect()} == {100}
     assert out.count() == 13
+
+
+def test_global_running_sum_matches_naive(spark):
+    from pyspark.sql import Window
+
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, (i % 13) + 1) for i in range(101)], "k long, v long"
+    )  # non-contiguous, shuffled order column
+    got = {
+        r["k"]: r["running_sum"]
+        for r in corpus.global_running_sum(df, "k", "v", shards=8).collect()
+    }
+    naive = {
+        r["k"]: r["c"]
+        for r in df.withColumn(
+            "c", F.sum("v").over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_pack_sequences_blocks(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, 700), (4, 900), (5, 50)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: (r["start_offset"], r["seq_id"])
+           for r in corpus.pack_sequences(df, budget=1000).collect()}
+    # stream offsets: 0, 100, 600, 1300, 2200
+    assert out == {1: (0, 0), 2: (100, 0), 3: (600, 0), 4: (1300, 1), 5: (2200, 2)}
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in corpus.hash_sample(df, percent=10).collect()}
+    b = {r["doc_id"] for r in corpus.hash_sample(df, percent=10).collect()}
+    assert a == b  # reproducible
+    assert 100 <= len(a) <= 300  # ~10% of 2000
+    other = {r["doc_id"] for r in corpus.hash_sample(df, percent=10, salt="fold2").collect()}
+    assert other != a  # salted fold differs
