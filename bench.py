@@ -79,6 +79,10 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_runs": n_runs,
+        # totals are only comparable across rounds per-query or normalized by
+        # n_queries — the registry grows every round, so a bigger total may
+        # simply mean more operators benched (see BASELINE.md)
+        "n_queries": len(times),
         "spread": spread,
     }
     if errors:

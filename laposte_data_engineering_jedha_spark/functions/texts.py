@@ -304,6 +304,33 @@ def pd_simhash(hashes: Column | str, bits: int = SIMHASH_BITS) -> Column:
     return kernel(_c(hashes))
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): explicit character classes, greedy
+# quantifiers, no lookaround/backreferences. Redaction order matters:
+# emails first (they contain digits/dots), then IPs (dotted digits would
+# otherwise be half-eaten by the phone arm), then phone-like digit runs.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE_RE = "\\+?[0-9][-0-9() ]{6,}[0-9]"
+PII_RULES = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IP_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Rule-based PII scrub: replace emails, IPv4 addresses, and phone-like
+    digit runs with typed placeholder tags. Pure chained `regexp_replace`
+    — map-side, codegen'd, zero shuffle; the shape of the compliance
+    scrub pass every training-data pipeline runs before tokenization.
+    (An NER-model scrub would be a Pandas-UDF drop-in at the same spot.)"""
+    out = _c(col)
+    for pattern, tag in PII_RULES:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of tokens that are stopwords of `lang`."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

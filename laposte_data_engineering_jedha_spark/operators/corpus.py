@@ -13,6 +13,8 @@ tiny per-shard-offset cumsum (shards-many rows) broadcast back.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,3 +101,117 @@ def hash_sample(
     for everything downstream."""
     bucket = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 100
     return df.where(bucket < percent)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    percents: Mapping[str, int],
+    default_percent: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — the language/source
+    rebalancing step of corpus assembly (e.g. keep 50% of en, 20% of fr,
+    5% of everything else). Same md5-bucket mechanics as `hash_sample`,
+    with the rate resolved per row by a CASE over `strata_col`; still a
+    pure map-side filter, so no shuffle and full pushdown downstream.
+
+    Unlike `df.sampleBy`, membership is a pure function of (id, salt), so
+    the kept set is reproducible across runs, engines, and partitionings,
+    and per-stratum rates can be re-tuned without resampling the rest."""
+    bucket = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 100
+    rate: F.Column = F.lit(default_percent)
+    for stratum, pct in percents.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = texts.SHINGLE_WIDTH,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/test contamination report via shared word n-grams — the
+    standard eval-decontamination primitive (GPT-3 appx. C / PaLM-style
+    n-gram overlap): a test doc is contaminated when it shares at least
+    one n-gram shingle with any training doc.
+
+    Returns one row per CONTAMINATED test doc:
+      (doc_id, n_grams, shared_grams, train_docs)
+    where n_grams = the doc's distinct shingle count, shared_grams = how
+    many of those occur anywhere in train, train_docs = distinct training
+    docs sharing >= 1 gram.
+
+    Scale shape: both corpora become (id, shingle) inverted indexes
+    (map-side Arrow shingling), the contamination join is a hash equi-join
+    on the shingle key, and both aggregates are partial-aggregated
+    map-side. The shuffle carries only (shingle, id) pairs — never text.
+    `max_shingle_df` drops stop-shingles by TRAIN document frequency (the
+    same guard as ngram dedup): ubiquitous grams ("of the same") otherwise
+    dominate the join output at corpus scale while signalling nothing
+    about leakage.
+    """
+    sh_test = test.select(
+        F.col(id_col), F.explode(texts.pd_shingles(texts.tokens(text_col), n)).alias("shingle")
+    )
+    sh_train = train.select(
+        F.col(id_col).alias("_tid"),
+        F.explode(texts.pd_shingles(texts.tokens(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        freq = sh_train.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh_train = sh_train.join(
+            freq.where(F.col("df") <= max_shingle_df), "shingle"
+        ).select("_tid", "shingle")
+    sizes = sh_test.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sh_test.join(sh_train, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("shared_grams"),
+            F.countDistinct("_tid").alias("train_docs"),
+        )
+    )
+    return hits.join(sizes, id_col).select(
+        id_col, "n_grams", "shared_grams", "train_docs"
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-repetition signals — the Gopher/C4-style
+    repetition filter inputs: type-token ratio and the fraction of the doc
+    covered by its single most frequent token.
+
+    Returns (doc_id, n_tokens, n_types, ttr, top_token_ratio), ratios
+    rounded to 4 decimals with the cross-engine convention. Empty docs are
+    excluded (no tokens -> no rows after the explode).
+
+    Shape: explode tokens -> two-level partial-aggregated groupBy keyed on
+    doc id. The shuffle is keyed by (doc_id, token) then doc_id — heavy
+    keys never leave the executor un-combined, and nothing is quadratic in
+    document length (unlike a per-row HOF max-frequency scan).
+    """
+    tok = df.select(F.col(id_col), F.explode(texts.tokens(text_col)).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    r4 = lambda c: F.round(c * 10000) / 10000  # noqa: E731 - round4 convention
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            r4(F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+            r4(F.col("top_count") / F.col("n_tokens")).alias("top_token_ratio"),
+        )
+    )

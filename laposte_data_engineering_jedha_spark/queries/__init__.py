@@ -349,6 +349,10 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",
     "corpus_pack_sequences",
     "corpus_hash_sample",
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
+    "text_repetition",
+    "text_pii_scrub",
     "knn_brute_force",
     "text_token_count",
     "text_lang_id",

@@ -476,6 +476,136 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_STRAT_RATES = {"en": 50, "fr": 20, "de": 10}
+_SQL_STRAT_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items())
+    + " ELSE 5 END"
+)
+
+
+@query(
+    "corpus_stratified_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {sql_md5i("CAST(doc_id AS VARCHAR)")} % 100 < {_SQL_STRAT_RATE}""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 50% of en, 20% of fr, 10% of de,
+    5% of everything else — deterministic per-stratum hash rates (the
+    corpus-mixture step of training-data assembly). Map-side filter only;
+    unlike df.sampleBy the kept set is stable across runs and engines."""
+    return corpus.stratified_hash_sample(
+        table(spark, sf_dir, "documents"), "lang", _STRAT_RATES, default_percent=5
+    ).select("doc_id", "lang")
+
+
+_DECON_MAX_DF = 50  # stop-shingle cap by TRAIN doc frequency
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+WITH split AS (
+  SELECT doc_id, text,
+         {sql_md5i("CAST(doc_id AS VARCHAR)")} % 100 AS b
+  FROM documents),
+ttoks AS (SELECT doc_id, {sql_toks('text')} AS t FROM split WHERE b < 10),
+tsh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM ttoks),
+tinv AS (SELECT doc_id, unnest(s) AS shingle FROM tsh),
+rtoks AS (SELECT doc_id AS _tid, {sql_toks('text')} AS t FROM split WHERE b >= 10),
+rsh AS (SELECT _tid, {SQL_SHINGLES} AS s FROM rtoks),
+rinv0 AS (SELECT _tid, unnest(s) AS shingle FROM rsh),
+freq AS (SELECT shingle, count(*) AS df FROM rinv0 GROUP BY 1),
+rinv AS (SELECT _tid, r.shingle FROM rinv0 r JOIN freq USING (shingle)
+         WHERE df <= {_DECON_MAX_DF}),
+sz AS (SELECT doc_id, count(*) AS n_grams FROM tinv GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(DISTINCT shingle) AS shared_grams,
+         count(DISTINCT _tid) AS train_docs
+  FROM tinv JOIN rinv USING (shingle) GROUP BY 1)
+SELECT doc_id, n_grams, shared_grams, train_docs
+FROM hits JOIN sz USING (doc_id)""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination report: the 10% hash-sample fold plays the
+    eval set, the remaining 90% the training corpus; a fold doc is flagged
+    with how many of its distinct 3-gram shingles occur anywhere in train
+    (GPT-3 appendix-C style n-gram overlap). Stop-shingles above train
+    df=50 are excluded on BOTH engines. All shuffles carry (shingle, id)
+    pairs only — see operators/corpus.py:decontaminate."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = texts.md5int32(F.col("doc_id").cast("string")) % 100
+    return corpus.decontaminate(
+        train=docs.where(bucket >= 10),
+        test=docs.where(bucket < 10),
+        max_shingle_df=_DECON_MAX_DF,
+    )
+
+
+@query(
+    "text_repetition",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_toks('text')}) AS tok FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_count
+  FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       {sql_round('CAST(n_types AS DOUBLE) / n_tokens', 4)} AS ttr,
+       {sql_round('CAST(top_count AS DOUBLE) / n_tokens', 4)} AS top_token_ratio
+FROM agg""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition signals per doc (type-token ratio + top-token
+    coverage) — the Gopher-style repetition filter inputs, computed with
+    partial-aggregated explode+groupBy rather than a per-row quadratic
+    scan. See operators/corpus.py:repetition_stats."""
+    return corpus.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+_SQL_PII_TEXT = (
+    "'reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.com "
+    "or +33 6 ' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' 44 55, host 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7 :: ' || text"
+)
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         {_SQL_PII_TEXT},
+         '{texts.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{texts.PII_IP_RE}', '<IP>', 'g'),
+         '{texts.PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+FROM documents""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: seed each doc with a deterministic email / phone /
+    IPv4 preamble (the fixture corpus is PII-free), then redact with the
+    chained regexp_replace rules of texts.redact_pii. The oracle applies
+    the same patterns with RE2 'g' (Spark regexp_replace is global by
+    default), pinning the cross-engine regex semantics."""
+    pii = F.concat(
+        F.lit("reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +33 6 "),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" 44 55, host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 :: "),
+        F.col("text"),
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", texts.redact_pii(pii).alias("clean")
+    )
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -823,14 +953,29 @@ def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash. Tight accuracy stays in
     tests/test_llmops.py::test_sketch_accuracy."""
     ev = events_table(spark, sf_dir)
-    agg = ev.groupBy("event_type").agg(
+    # Sketches and the exact distinct run as SEPARATE aggregations joined on
+    # the (tiny) group key: mixing countDistinct with other aggregates makes
+    # Catalyst plan an Expand (every input row duplicated per grouping-set),
+    # pushing 2x rows through the HLL/digest buffers — measured 2.4x slower
+    # at sf0.1. The exact count itself is the two-level shape (groupBy
+    # (type, user) then count), which partial-aggregates map-side on both
+    # levels — the same reason it scales past the Expand plan at 100 TB.
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
         # one sort pass for both exact envelope bounds
         F.expr("percentile(value, array(0.45, 0.55))").alias("p_env"),
         F.count(F.lit(1)).alias("n_events"),
-    ).withColumns({"p45": F.col("p_env")[0], "p55": F.col("p_env")[1]})
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    agg = sketches.join(exact, "event_type").withColumns(
+        {"p45": F.col("p_env")[0], "p55": F.col("p_env")[1]}
+    )
     users_ok = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
         <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.10)

@@ -283,3 +283,86 @@ def test_hash_sample_deterministic_and_disjoint(spark):
     assert 100 <= len(a) <= 300  # ~10% of 2000
     other = {r["doc_id"] for r in corpus.hash_sample(df, percent=10, salt="fold2").collect()}
     assert other != a  # salted fold differs
+
+
+def test_stratified_hash_sample_rates(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = corpus.stratified_hash_sample(
+        df, "lang", {"en": 50, "fr": 10}, default_percent=0
+    ).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out}
+    assert 600 <= counts["en"] <= 900  # ~50% of 1500
+    assert 75 <= counts["fr"] <= 250  # ~10% of 1500
+    # members of each stratum are a subset of the flat sample at the same rate
+    en_50 = {r["doc_id"] for r in corpus.hash_sample(df, percent=50).collect()}
+    got_en = {
+        r["doc_id"]
+        for r in corpus.stratified_hash_sample(
+            df, "lang", {"en": 50}, default_percent=0
+        ).collect()
+    }
+    assert got_en <= en_50
+
+
+def test_decontaminate_flags_overlap(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta nine"),  # shares 3-grams with 10
+            (2, "totally novel sentence with unseen words"),
+            (3, "three four five and alpha beta gamma"),  # hits both
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.decontaminate(train, test).collect()}
+    assert 2 not in out  # clean doc emits no row
+    # doc 1: shingles {a b g, b g d, g d n? no - 'gamma delta nine'} ->
+    # shared = {alpha beta gamma, beta gamma delta}
+    assert out[1]["shared_grams"] == 2 and out[1]["train_docs"] == 1
+    assert out[3]["shared_grams"] == 2 and out[3]["train_docs"] == 2
+    # stop-shingle cap: df cap of 0 drops everything -> empty report
+    assert corpus.decontaminate(train, test, max_shingle_df=0).isEmpty()
+
+
+def test_repetition_stats_values(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 2
+    assert out[1]["ttr"] == 0.5 and out[1]["top_token_ratio"] == 0.75
+    assert out[2]["ttr"] == 1.0 and out[2]["top_token_ratio"] == 0.25
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (555) 123-4567 asap"),
+            (3, "server at 192.168.0.17 responded"),
+            (4, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["c"] for r in df.select("id", texts.redact_pii("text").alias("c")).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> asap"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "no pii here at all"
