@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from laposte_data_engineering_jedha_spark.operators import dedup, similarity
+from laposte_data_engineering_jedha_spark.functions import texts
+from laposte_data_engineering_jedha_spark.operators import corpus, dedup, similarity
 from laposte_data_engineering_jedha_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,8 +119,62 @@ def cc_scale(spark, n_clusters=200_000, cluster_size=5, chain_len=64):
     pairs.unpersist()
 
 
-def main() -> None:
-    spark = get_spark(app_name="scale_smoke")
+def decon_scale(spark, times=20, cap=50):
+    """decontaminate over the blown-up corpus with a 10% hash-sample eval
+    fold — the worst case for the contamination join (every replica shares
+    virtually all shingles with ~`times` train replicas, so without the
+    train-df cap the join output is quadratic in the replication factor)."""
+    docs = blown_up_docs(spark, times).cache()
+    n = timed(f"decon corpus: documents x{times}", docs)
+    bucket = texts.md5int32(F.col("doc_id").cast("string")) % 100
+    report = corpus.decontaminate(
+        docs.where(bucket >= 10), docs.where(bucket < 10), max_shingle_df=cap
+    )
+    timed(f"decontaminate (train df cap {cap}) @{n // 1000}k docs", report)
+    report_uncapped = corpus.decontaminate(
+        docs.where(bucket >= 10), docs.where(bucket < 10)
+    )
+    timed(f"decontaminate (uncapped) @{n // 1000}k docs", report_uncapped)
+    docs.unpersist()
+
+
+def pack_scale(spark, n=10_000_000):
+    """pack_sequences on 10M docs — the op the naive global-window prefix
+    sum executes in ONE partition (it would sort 10M rows on a single
+    thread and cap at one executor's memory). Exactness check: the last
+    block boundary must equal the total token count."""
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997 + 1).alias("n_tokens")
+    )
+    packed = corpus.pack_sequences(docs, budget=2048).cache()
+    timed(f"pack_sequences @{n // 1_000_000}M docs", packed)
+    chk = packed.agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+        F.sum("n_tokens").alias("total"),
+    ).first()
+    ok = chk["end"] == chk["total"]
+    print(f"stream end {chk['end']:,} == total tokens {chk['total']:,}: "
+          f"{'OK' if ok else 'WRONG'}", flush=True)
+    packed.unpersist()
+
+
+def repetition_scale(spark, times=200):
+    docs = blown_up_docs(spark, times)
+    timed(f"repetition_stats @{times * 5}k docs", corpus.repetition_stats(docs))
+
+
+SECTIONS = {
+    "dedup": lambda spark: _dedup_section(spark),
+    "vecs": lambda spark: _vec_section(spark),
+    "embdedup": emb_dedup_scale,
+    "cc": cc_scale,
+    "decon": decon_scale,
+    "pack": pack_scale,
+    "repetition": repetition_scale,
+}
+
+
+def _dedup_section(spark) -> None:
     docs100k = blown_up_docs(spark, 20).cache()
     timed("corpus: documents x20", docs100k)
     timed("exact_dedup @100k docs", dedup.exact_dedup(docs100k))
@@ -130,16 +185,24 @@ def main() -> None:
         dedup.ngram_jaccard_pairs(docs100k, threshold=0.5, max_shingle_df=100),
     )
     docs100k.unpersist()
-
     docs1m = blown_up_docs(spark, 200)
     timed("exact_dedup @1M docs", dedup.exact_dedup(docs1m))
 
+
+def _vec_section(spark) -> None:
     vecs40k = blown_up_vecs(spark, 20).cache()
     timed("corpus: embeddings x20", vecs40k)
     q = vecs40k.where(F.col("vec_id") < 8)
     timed("brute_force_knn @40k vectors", similarity.brute_force_knn(vecs40k, q, k=5))
     timed("lsh_knn @40k vectors", similarity.lsh_knn(vecs40k, q, k=5, dim=64, planes=8))
     vecs40k.unpersist()
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_smoke")
+    wanted = sys.argv[1:] or ["dedup", "vecs"]
+    for name in wanted:
+        SECTIONS[name](spark)
 
 
 if __name__ == "__main__":
