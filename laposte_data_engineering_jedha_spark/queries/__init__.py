@@ -354,6 +354,7 @@ DRIVER_WINDOW_PRIORITY = [
     "text_repetition",
     "text_pii_scrub",
     "knn_brute_force",
+    "ivf_knn",
     "text_token_count",
     "text_lang_id",
     "text_quality",
@@ -363,6 +364,7 @@ DRIVER_WINDOW_PRIORITY = [
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_click_attribution",
+    "stream_dedup_events",
     "events_topk_spenders",
     "events_value_quantiles",
     "events_json_extract",

@@ -717,6 +717,17 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64, planes=8)
 
 
+@query("ivf_knn")  # no SQL twin: k-means fit is iterative, not SQL-expressible
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse quantizer (fit on a capped
+    seeded sample), n_probe nearest centroid lists per query, exact cosine
+    re-rank inside the probed lists (operators/similarity.py:ivf_knn).
+    Rows-only driver check; recall against brute force is asserted in
+    tests/test_llmops.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
 # ============================== events analytics =============================
 
 
@@ -867,6 +878,22 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "stream_dedup_events",
+    "SELECT event_id, event_type FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration: the events table unioned with itself
+    simulates at-least-once redelivery (every event arrives twice); the
+    dedup collapses it back to one row per event_id. Batch run of the
+    plan whose streaming form is `dropDuplicatesWithinWatermark`
+    (streaming/jobs.py:dedup_events — watermark-bounded key state;
+    streaming==batch equivalence asserted in tests/test_streaming.py)."""
+    ev = events_table(spark, sf_dir)
+    redelivered = ev.unionByName(ev)
+    return streaming_jobs.dedup_events(redelivered).select("event_id", "event_type")
 
 
 @query(

@@ -130,6 +130,44 @@ def run_attribution_available_now(
     return spark.table(query_name)
 
 
+def dedup_events(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Exactly-once restoration over at-least-once delivery: drop
+    redelivered copies of an event by its id.
+
+    Streaming mode uses `dropDuplicatesWithinWatermark` — the dedup state
+    holds one key only while the watermark can still admit a duplicate
+    (event ts + watermark delay), so state is bounded on an unbounded
+    stream; a plain streaming dropDuplicates would grow its key set
+    forever. Batch mode is the same logical dedup via dropDuplicates
+    (duplicates carry identical payloads, so which copy survives is
+    immaterial). This is the idempotent-ingest front every pipeline
+    reading a redelivering source (Kafka, Kinesis, retried file loads)
+    puts before stateful consumers.
+    """
+    if with_watermark:
+        return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_dedup_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Drive the watermarked dedup over the directory stream (append mode)
+    into a memory sink; returns the deduplicated events."""
+    stream = dedup_events(read_events_stream(spark, events_dir), with_watermark=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 SESSION_GAP_S = 1800  # 30 min, matches queries/llmops.py:events_sessionize
 
 SESSION_OUT_SCHEMA = (

@@ -165,3 +165,50 @@ def test_stream_stream_attribution_is_streaming_plan(spark, events_dir):
         with_watermark=True,
     )
     assert df.isStreaming
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(spark, sf_dir, tmp_path_factory):
+    """Like events_dir, but every slice is delivered TWICE (consecutive
+    files with the same time range) — the at-least-once redelivery shape
+    dropDuplicatesWithinWatermark exists for."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("events_dup_stream") / "events")
+    ev = events_table(spark, sf_dir)
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    total = (hi - lo).total_seconds()
+    for i in range(4):
+        a = lo + datetime.timedelta(seconds=total * i / 4)
+        b = hi + datetime.timedelta(seconds=1) if i == 3 else lo + datetime.timedelta(
+            seconds=total * (i + 1) / 4
+        )
+        sl = ev.where((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+        for _ in range(2):  # redelivery: same slice lands twice
+            sl.coalesce(1).write.mode("append").parquet(out)
+            time.sleep(0.1)
+    return out
+
+
+def test_stream_dedup_matches_batch_distinct(spark, dup_events_dir):
+    """Watermarked streaming dedup over a redelivering source restores
+    exactly-once: the emitted set equals the batch distinct. On-time
+    duplicates are dropped by the key state, duplicates arriving behind
+    the watermark are dropped as late — either path deduplicates."""
+    stream = jobs.run_dedup_available_now(spark, dup_events_dir)
+    got = sorted(r["event_id"] for r in stream.select("event_id").collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(dup_events_dir).select("event_id").distinct().collect()
+    )
+    assert got == want
+    raw = spark.read.parquet(dup_events_dir).count()
+    assert raw == 2 * len(want)  # the source really did redeliver everything
+
+
+def test_stream_dedup_plan_is_streaming(spark, dup_events_dir):
+    df = jobs.dedup_events(jobs.read_events_stream(spark, dup_events_dir), with_watermark=True)
+    assert df.isStreaming
