@@ -127,6 +127,55 @@ def stratified_hash_sample(
     return df.where(bucket < rate)
 
 
+def mix_to_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    weights_bp: Mapping[str, int],
+    token_budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture sampling to a token budget — the pretraining-mix
+    step: given target mixture weights per domain (basis points of the
+    total budget, e.g. {"web": 5000, "wiki": 3000, "code": 2000}) and a
+    total token budget, keep a deterministic hash sample of each domain
+    sized so its kept tokens approximate `token_budget * weight`.
+
+    Per domain, keep-rate (in basis points) =
+    min(10000, budget * weight_bp // domain_tokens) — a domain with fewer
+    tokens than its target is kept whole (rate caps at 100%; epoch
+    up-weighting is a training-loader concern, not a filter's). Domains
+    without a weight are dropped. All arithmetic is integer and membership
+    is md5(id || salt), so the kept set is reproducible across engines,
+    partitionings, and appends, and any domain's weight can be retuned
+    without resampling the others.
+
+    Scale shape: one partial-aggregated groupBy for the per-domain token
+    totals (|domains| rows), broadcast back, then a pure map-side filter —
+    the corpus itself never shuffles, and everything downstream keeps
+    pushdown through the filter.
+    """
+    d, t = F.col(domain_col), F.col(tokens_col)
+    totals = df.groupBy(domain_col).agg(F.sum(t).alias("_domain_tokens"))
+    w_bp: F.Column = F.lit(0)
+    for domain, bp in weights_bp.items():
+        w_bp = F.when(d == domain, F.lit(bp)).otherwise(w_bp)
+    rates = totals.select(
+        d.alias("_mix_domain"),
+        F.least(
+            F.lit(10000),
+            F.floor(F.lit(token_budget) * w_bp / F.col("_domain_tokens")),
+        ).alias("_rate_bp"),
+    )
+    bucket = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 10000
+    return (
+        df.join(F.broadcast(rates), d == F.col("_mix_domain"))
+        .where(bucket < F.col("_rate_bp"))
+        .drop("_mix_domain", "_rate_bp")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

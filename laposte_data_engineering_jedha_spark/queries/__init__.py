@@ -351,6 +351,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_hash_sample",
     "corpus_stratified_sample",
     "corpus_decontaminate",
+    "corpus_mix_domains",
     "text_repetition",
     "text_pii_scrub",
     "knn_brute_force",
@@ -369,6 +370,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_value_quantiles",
     "events_json_extract",
     "events_range_join",
+    "events_rolling_1h",
     "multimodal_frame_sample",
     "multimodal_features",
     "src_generate",

@@ -501,6 +501,46 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_MIX_WEIGHTS = {"src0": 4000, "src1": 2500, "src2": 1500, "src3": 1000, "src4": 1000}
+_MIX_BUDGET = 2000  # tokens; sized so the big weights land at partial rates
+_SQL_MIX_WBP = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "corpus_mix_domains",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+rates AS (
+  SELECT source,
+         least(10000, floor({_MIX_BUDGET} * ({_SQL_MIX_WBP}) / sum(n_tokens))) AS rate_bp
+  FROM toks GROUP BY source)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM toks t JOIN rates r USING (source)
+WHERE {sql_md5i("CAST(t.doc_id AS VARCHAR)")} % 10000 < r.rate_bp""",
+)
+def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain mixture: sample each source to its target share
+    of a total token budget (40/25/15/10/10% across src0..src4, other
+    sources dropped) via per-domain deterministic hash rates computed from
+    the domains' measured token totals (operators/corpus.py
+    mix_to_token_budget). One |domains|-row aggregate broadcast back, then
+    a pure map-side filter — the corpus never shuffles."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", texts.token_count("text").alias("n_tokens")
+    )
+    return corpus.mix_to_token_budget(
+        docs, "source", _MIX_WEIGHTS, _MIX_BUDGET
+    ).select("doc_id", "source", "n_tokens")
+
+
 _DECON_MAX_DF = 50  # stop-shingle cap by TRAIN doc frequency
 
 
@@ -853,6 +893,38 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event; Spark's window(ts, '10 minutes', '5 minutes') produces the same
     starts. Batch run of the streaming-capable plan (streaming/jobs.py)."""
     return streaming_jobs.sliding_counts(events_table(spark, sf_dir))
+
+
+@query(
+    "events_rolling_1h",
+    """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour activity at every event: event count and
+    exact spend over the last hour — the feature-engineering shape behind
+    rate limits, burst detection, and session features. A RANGE frame on
+    integer microseconds (not ROWS) makes the frame a pure function of the
+    timestamps, so ties can't reorder across engines; the sum aggregates
+    DECIMAL internally (order-free) and casts to double at the edge. One
+    shuffle on user_id; each partition sorts locally — no global sort, no
+    single-partition window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    return events_table(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_1h"),
+    )
 
 
 @query(

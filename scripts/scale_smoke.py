@@ -163,9 +163,32 @@ def repetition_scale(spark, times=200):
     timed(f"repetition_stats @{times * 5}k docs", corpus.repetition_stats(docs))
 
 
+def ivf_scale(spark, n_base=400_000, n_queries=16):
+    """ivf_knn at 200x the sf0.1 embeddings corpus: fit stays on the
+    bounded cached sample regardless of corpus size, assignment is one
+    Arrow map pass, and the probe join only touches n_probe/n_centroids
+    of the corpus per query. Recall is judged against brute force on the
+    same corpus (the exact baseline is the expensive thing here)."""
+    vecs = planted_dup_vecs(spark, n_base, 0).cache()
+    timed(f"corpus: {n_base // 1000}k randn vectors", vecs)
+    q = vecs.where(F.col("vec_id") < n_queries).cache()
+    exact = similarity.brute_force_knn(vecs, q, k=5).cache()
+    timed(f"brute_force_knn @{n_base // 1000}k vectors", exact)
+    approx = similarity.ivf_knn(
+        vecs, q, k=5, n_centroids=64, n_probe=8, fit_max_rows=16384
+    ).cache()
+    timed(f"ivf_knn (64 lists, probe 8) @{n_base // 1000}k vectors", approx)
+    hit = exact.join(approx, ["query_id", "cand_id"], "inner").count()
+    total = exact.count()
+    print(f"recall@5 vs brute force: {hit}/{total} = {hit / total:.3f}", flush=True)
+    for d in (exact, approx, q, vecs):
+        d.unpersist()
+
+
 SECTIONS = {
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
+    "ivf": ivf_scale,
     "embdedup": emb_dedup_scale,
     "cc": cc_scale,
     "decon": decon_scale,

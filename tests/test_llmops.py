@@ -309,6 +309,32 @@ def test_stratified_hash_sample_rates(spark):
     assert got_en <= en_50
 
 
+def test_mix_to_token_budget_rates_and_caps(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    # big: 4000 docs x 10 tokens = 40k tokens; small: 200 x 10 = 2k tokens
+    df = spark.range(4200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, "big").otherwise("small").alias("source"),
+        F.lit(10).alias("n_tokens"),
+    )
+    # budget 8000 tokens: big target 50% -> 4000 of 40k = 10% rate;
+    # small target 50% -> 4000 of 2k = capped at 100%
+    out = corpus.mix_to_token_budget(
+        df, "source", {"big": 5000, "small": 5000}, token_budget=8000
+    )
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["small"] == 200  # under-target domain kept whole
+    assert 250 <= counts["big"] <= 550  # ~10% of 4000
+    # unweighted domains are dropped entirely
+    none_kept = corpus.mix_to_token_budget(df, "source", {"big": 10000}, 8000)
+    assert none_kept.where(F.col("source") == "small").isEmpty()
+    # deterministic: same kept set on re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b
+
+
 def test_decontaminate_flags_overlap(spark):
     from laposte_data_engineering_jedha_spark.operators import corpus
 
