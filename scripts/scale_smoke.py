@@ -163,26 +163,52 @@ def repetition_scale(spark, times=200):
     timed(f"repetition_stats @{times * 5}k docs", corpus.repetition_stats(docs))
 
 
+def clustered_vecs(spark, n: int, n_clusters: int = 32, spread: float = 0.3, dim: int = 64):
+    """Mixture-of-Gaussians corpus — the realistic embedding shape (text
+    embeddings cluster by topic). Row i belongs to cluster i % n_clusters;
+    vector = center + spread * noise."""
+    centers = spark.range(n_clusters).select(
+        F.col("id").alias("_cl"),
+        F.array(*[F.randn(seed=2000 + i) for i in range(dim)]).alias("_center"),
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).alias("_cl"),
+        F.array(*[F.randn(seed=5000 + i) for i in range(dim)]).alias("_noise"),
+    )
+    return base.join(F.broadcast(centers), "_cl").select(
+        "vec_id",
+        F.zip_with("_center", "_noise", lambda c, x: c + spread * x).alias("embedding"),
+    )
+
+
 def ivf_scale(spark, n_base=400_000, n_queries=16):
     """ivf_knn at 200x the sf0.1 embeddings corpus: fit stays on the
     bounded cached sample regardless of corpus size, assignment is one
-    Arrow map pass, and the probe join only touches n_probe/n_centroids
+    Arrow map pass, and the probe join only touches ~n_probe/n_centroids
     of the corpus per query. Recall is judged against brute force on the
-    same corpus (the exact baseline is the expensive thing here)."""
-    vecs = planted_dup_vecs(spark, n_base, 0).cache()
-    timed(f"corpus: {n_base // 1000}k randn vectors", vecs)
-    q = vecs.where(F.col("vec_id") < n_queries).cache()
-    exact = similarity.brute_force_knn(vecs, q, k=5).cache()
-    timed(f"brute_force_knn @{n_base // 1000}k vectors", exact)
-    approx = similarity.ivf_knn(
-        vecs, q, k=5, n_centroids=64, n_probe=8, fit_max_rows=16384
-    ).cache()
-    timed(f"ivf_knn (64 lists, probe 8) @{n_base // 1000}k vectors", approx)
-    hit = exact.join(approx, ["query_id", "cand_id"], "inner").count()
-    total = exact.count()
-    print(f"recall@5 vs brute force: {hit}/{total} = {hit / total:.3f}", flush=True)
-    for d in (exact, approx, q, vecs):
-        d.unpersist()
+    same corpus, on BOTH corpus shapes: structureless randn (IVF's
+    worst case — no clusters to exploit, recall ~= probe fraction) and a
+    32-cluster Gaussian mixture (the realistic embedding distribution)."""
+    for label, vecs in (
+        ("randn", planted_dup_vecs(spark, n_base, 0)),
+        ("32-cluster", clustered_vecs(spark, n_base)),
+    ):
+        vecs = vecs.cache()
+        timed(f"corpus: {n_base // 1000}k {label} vectors", vecs)
+        q = vecs.where(F.col("vec_id") < n_queries).cache()
+        exact = similarity.brute_force_knn(vecs, q, k=5).cache()
+        timed(f"brute_force_knn @{n_base // 1000}k {label}", exact)
+        approx = similarity.ivf_knn(
+            vecs, q, k=5, n_centroids=64, n_probe=8, fit_max_rows=16384
+        ).cache()
+        timed(f"ivf_knn (64 lists, probe 8) @{n_base // 1000}k {label}", approx)
+        hit = exact.join(approx, ["query_id", "cand_id"], "inner").count()
+        total = exact.count()
+        print(f"{label} recall@5 vs brute force: {hit}/{total} = {hit / total:.3f}",
+              flush=True)
+        for d in (exact, approx, q, vecs):
+            d.unpersist()
 
 
 SECTIONS = {
