@@ -366,6 +366,7 @@ DRIVER_WINDOW_PRIORITY = [
     "stream_sliding_counts",
     "stream_click_attribution",
     "stream_dedup_events",
+    "stream_enrich_users",
     "events_topk_spenders",
     "events_value_quantiles",
     "events_json_extract",

@@ -896,6 +896,24 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enrich_users",
+    """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def stream_enrich_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (batch run of the identical
+    streaming plan, streaming/jobs.py:enrich_users): events left-joined to
+    the broadcast customer dimension — stateless per micro-batch, the
+    fact stream never shuffles. Streaming==batch equivalence asserted in
+    tests/test_streaming.py."""
+    return streaming_jobs.enrich_users(
+        events_table(spark, sf_dir), table(spark, sf_dir, "customer")
+    )
+
+
+@query(
     "events_rolling_1h",
     """
 SELECT event_id, user_id,

@@ -212,3 +212,21 @@ def test_stream_dedup_matches_batch_distinct(spark, dup_events_dir):
 def test_stream_dedup_plan_is_streaming(spark, dup_events_dir):
     df = jobs.dedup_events(jobs.read_events_stream(spark, dup_events_dir), with_watermark=True)
     assert df.isStreaming
+
+
+def test_stream_enrich_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment emits exactly the batch join's
+    rows (stateless — no watermark, no buffered state)."""
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = jobs.run_enrich_available_now(spark, events_dir, customers)
+    want = jobs.enrich_users(spark.read.parquet(events_dir), customers)
+    key = lambda r: (r["event_id"], r["segment"], r["nationkey"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_stream_enrich_plan_is_streaming_and_broadcast(spark, sf_dir, events_dir):
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = jobs.enrich_users(jobs.read_events_stream(spark, events_dir), customers)
+    assert df.isStreaming
+    batch = jobs.enrich_users(spark.read.parquet(events_dir), customers)
+    assert "BroadcastHashJoin" in batch._jdf.queryExecution().executedPlan().toString()
