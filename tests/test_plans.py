@@ -73,6 +73,29 @@ def test_knn_query_side_is_broadcast(plans):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_mix_domains_corpus_never_shuffles(plans):
+    """The domain-mix filter is a broadcast join on the corpus side: the
+    only Exchange in the plan is the |domains|-row rate aggregate."""
+    p = plans("corpus_mix_domains")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # exactly one shuffle — the per-domain totals agg, never the corpus
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_rolling_window_single_exchange(plans):
+    """Trailing-1h RANGE window: one hash exchange on user_id + local
+    sort — no global sort, no extra shuffles."""
+    p = plans("events_rolling_1h")
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "rangepartitioning" not in p  # a global sort would be wrong
+
+
+def test_stream_enrich_dimension_is_broadcast(plans):
+    p = plans("stream_enrich_users")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Pre-bucketing both sides on the join key makes the join
     exchange-free: the classic co-located join for repeated large-large
