@@ -80,8 +80,14 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     `div 1000` truncates to micros — bit-identical to DuckDB's ns->us read
     path (truncation, not rounding; verified empirically)."""
     df = table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Micros-precision parquet arrives as TIMESTAMP_NTZ (inferTimestampNTZ);
+        # functions like unix_micros require TIMESTAMP. Under the UTC session
+        # timezone the cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
