@@ -60,6 +60,28 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
+def max_abs(a: Column | str) -> Column:
+    """max_i |a_i| in double precision."""
+    return F.array_max(F.transform(_c(a), lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization of a float vector: q_i =
+    clamp(floor(a_i * scale + 0.5), -127, 127). `floor(x + 0.5)`
+    (round-half-toward-+inf) is used instead of engine round() because it
+    is exact integer math on IEEE doubles in BOTH Spark and DuckDB —
+    half-even vs half-away round() modes can't diverge. A zero vector
+    (scale NULL via 127/nullif(max_abs,0)) quantizes to all zeros."""
+    q = F.transform(
+        _c(a),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return F.when(scale.isNull(), F.transform(_c(a), lambda x: F.lit(0))).otherwise(q)
+
+
 # --- Arrow-batched numpy kernels ---------------------------------------------
 #
 # The HOF expressions above are the pure-JVM reference semantics, but they

@@ -176,6 +176,113 @@ def mix_to_token_budget(
     )
 
 
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Token-window chunking with overlap — the RAG/context-window splitter:
+    cut each document's token stream into windows of `chunk_tokens` tokens
+    advancing by `chunk_tokens - overlap_tokens` (so consecutive chunks
+    share `overlap_tokens` tokens), re-joined to text per chunk.
+
+    Returns (doc_id, chunk_idx, chunk_text, n_chunk_tokens). A chunk is
+    emitted only if it contributes at least one NEW token (the trailing
+    window is dropped when it would be a pure suffix of its predecessor):
+    n_chunks = max(1, ceil((n_tokens - overlap) / stride)).
+
+    Scale shape: sequence + explode + slice are all per-row JVM exprs —
+    zero shuffle, pushdown-transparent; output size is a documented
+    ~n/stride amplification, never quadratic.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = texts.tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap_tokens)) / F.lit(stride)).cast("int")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted top-n sample: each row gets priority
+    w * 2^32 / (h + 1) with h = md5int32(id || salt), and the global
+    top-n by (priority desc, id) is kept. Higher weight -> higher
+    priority for the same hash draw, and membership is a pure function of
+    (id, salt, weight), so the sample is reproducible across runs,
+    engines, and partitionings — the corpus-curation upsampling step
+    (quality-weighted selection) without an RNG.
+
+    Exact Efraimidis–Spirakis sampling would key on u^(1/w); `pow`/`ln`
+    are transcendental and not bit-portable across engines, so this uses
+    the rational key (one IEEE multiply + divide, bit-identical
+    everywhere) and documents the semantics as monotone-weighted priority
+    sampling rather than exactly-proportional inclusion.
+
+    Scale shape: priority is map-side; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-n, then a single n-row merge
+    on the driver) — no global sort, no single-partition window.
+    """
+    h = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    priority = F.col(weight_col).cast("double") * F.lit(4294967296.0) / (h + 1)
+    return (
+        df.withColumn(priority_col, F.round(priority * 1000000) / 1000000)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def shard_layout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    (shard, pos) with shard = md5int32(id || salt) % n_shards and pos =
+    rank of the row inside its shard by (hash, id). Reading shards in
+    order 0..n-1, each in pos order, yields a reproducible pseudo-random
+    permutation of the corpus — the "shuffle once, stream forever"
+    layout pretraining loaders expect; re-salting gives an independent
+    epoch order without touching the data.
+
+    Scale shape: the hash is map-side; the ONLY shuffle is the window's
+    hash exchange on shard (n_shards-way), and each per-shard sort is
+    1/n_shards of the data — never the single-partition global-window
+    trap (see global_running_sum).
+    """
+    h = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

@@ -358,6 +358,9 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_stratified_sample",
     "corpus_decontaminate",
     "corpus_mix_domains",
+    "corpus_chunk_overlap",
+    "corpus_weighted_sample",
+    "corpus_shard_shuffle",
     "text_repetition",
     "text_pii_scrub",
     "knn_brute_force",
@@ -378,6 +381,8 @@ DRIVER_WINDOW_PRIORITY = [
     "events_json_extract",
     "events_range_join",
     "events_rolling_1h",
+    "events_funnel",
+    "embedding_quantize",
     "multimodal_frame_sample",
     "multimodal_features",
     "src_generate",

@@ -541,6 +541,176 @@ def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens")
 
 
+_CHUNK, _OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK - _OVERLAP
+_CHUNK_CAP = 64  # oracle-only explode bound (fixture max ~100 tokens/doc)
+
+
+@query(
+    "corpus_chunk_overlap",
+    rf"""
+WITH t AS (
+  SELECT doc_id, {sql_toks('text')} AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         greatest(1, CAST(ceil((len(t) - {_OVERLAP}) / CAST({_CHUNK_STRIDE} AS DOUBLE))
+                          AS INTEGER)) AS n_chunks
+  FROM t)
+SELECT doc_id, CAST(r.range AS INTEGER) AS chunk_idx,
+       array_to_string(t[CAST(r.range AS INTEGER) * {_CHUNK_STRIDE} + 1 :
+                         CAST(r.range AS INTEGER) * {_CHUNK_STRIDE} + {_CHUNK}], ' ')
+         AS chunk_text,
+       len(t[CAST(r.range AS INTEGER) * {_CHUNK_STRIDE} + 1 :
+             CAST(r.range AS INTEGER) * {_CHUNK_STRIDE} + {_CHUNK}]) AS n_chunk_tokens
+FROM n CROSS JOIN range(0, {_CHUNK_CAP}) r
+WHERE CAST(r.range AS INTEGER) < n_chunks""",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (32-token windows, 8-token
+    overlap) — the RAG / context-window splitter. Pure per-row
+    sequence+explode+slice JVM exprs (operators/corpus.py
+    chunk_with_overlap): zero shuffle, linear output amplification. The
+    oracle reproduces the windows with list slicing over a bounded range
+    explode."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus.chunk_with_overlap(
+        docs, chunk_tokens=_CHUNK, overlap_tokens=_OVERLAP
+    )
+
+
+@query(
+    "corpus_weighted_sample",
+    f"""
+SELECT doc_id, n_chars,
+       round((CAST(n_chars AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)
+              / ({sql_md5i("CAST(doc_id AS VARCHAR)")} + 1)) * 1000000) / 1000000
+         AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT 100""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted top-100 sample with n_chars as the weight
+    (operators/corpus.py weighted_priority_sample): priority =
+    w * 2^32 / (md5(id)+1), global top-n via TakeOrderedAndProject — the
+    reproducible quality-weighted curation pick, no RNG, no global
+    sort."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return corpus.weighted_priority_sample(docs, "n_chars", 100)
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "corpus_shard_shuffle",
+    f"""
+WITH h AS (
+  SELECT doc_id, {sql_md5i("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+SELECT doc_id, CAST(h % {_N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id)
+            AS INTEGER) AS pos
+FROM h""",
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards
+    (operators/corpus.py shard_layout): shard = md5(id) % n, pos = rank
+    inside the shard by (hash, id). Reading shards 0..n-1 in pos order is
+    a reproducible pseudo-random permutation — the shuffle-once layout a
+    pretraining loader streams; the only shuffle is the n_shards-way
+    window exchange, never a single-partition global sort."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return corpus.shard_layout(docs, n_shards=_N_SHARDS)
+
+
+@query(
+    "events_funnel",
+    """
+WITH u1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM events GROUP BY 1),
+u2 AS (
+  SELECT e.user_id, any_value(u1.t1) AS t1,
+         min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > u1.t1) AS t2
+  FROM events e JOIN u1 USING (user_id) GROUP BY 1),
+u3 AS (
+  SELECT e.user_id, any_value(u2.t1) AS t1, any_value(u2.t2) AS t2,
+         min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > u2.t2) AS t3
+  FROM events e JOIN u2 USING (user_id) GROUP BY 1)
+SELECT count(t1) AS n_view, count(t2) AS n_click_after_view,
+       count(t3) AS n_purchase_after_click
+FROM u3""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> later click -> later purchase)
+    per user, counted across the user base — the product-analytics shape
+    that needs per-user ordered-event state. One hash exchange on user_id
+    feeds three chained unordered window aggregates (each stage's min
+    timestamp conditions on the previous stage's), then a tiny global
+    count — no per-event self-join, no sessionized state store."""
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    df = ev.withColumn("t1", F.min(F.when(typ == "view", t)).over(w))
+    df = df.withColumn(
+        "t2", F.min(F.when((typ == "click") & (t > F.col("t1")), t)).over(w)
+    )
+    df = df.withColumn(
+        "t3", F.min(F.when((typ == "purchase") & (t > F.col("t2")), t)).over(w)
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "embedding_quantize",
+    """
+WITH m AS (
+  SELECT vec_id, embedding AS e,
+         CAST(127.0 AS DOUBLE)
+           / nullif(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]),
+                    CAST(0.0 AS DOUBLE)) AS s
+  FROM embeddings)
+SELECT vec_id,
+       round(coalesce(s, CAST(0.0 AS DOUBLE)) * 1000000) / 1000000 AS scale,
+       CASE WHEN s IS NULL THEN array_to_string([0 for x in e], ',')
+            ELSE array_to_string(
+              [CAST(greatest(-127, least(127,
+                 floor(CAST(x AS DOUBLE) * s + CAST(0.5 AS DOUBLE)))) AS INTEGER)
+               for x in e], ',') END AS qvec,
+       CASE WHEN s IS NULL THEN 0
+            ELSE len([x for x in e if abs(greatest(-127, least(127,
+                 floor(CAST(x AS DOUBLE) * s + CAST(0.5 AS DOUBLE))))) = 127]) END
+         AS n_sat
+FROM m""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage /
+    ANN-memory compression step (4x smaller than float32): per-vector
+    scale = 127 / max|x|, q_i = clamp(floor(x_i * scale + 0.5), ±127).
+    All per-row JVM transforms (functions/vectors.py quantize_int8), zero
+    shuffle; floor(x+0.5) instead of round() because half-up vs half-even
+    round() modes are the one place int8 grids can diverge across
+    engines. qvec is emitted CSV-joined so the driver's value-hash sees a
+    scalar column."""
+    emb = table(spark, sf_dir, "embeddings")
+    ma = vectors.max_abs("embedding")
+    scale = F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)
+    q = vectors.quantize_int8("embedding", scale)
+    return emb.select(
+        "vec_id",
+        (F.round(F.coalesce(scale, F.lit(0.0)) * 1000000) / 1000000).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )
+
+
 _DECON_MAX_DF = 50  # stop-shingle cap by TRAIN doc frequency
 
 

@@ -392,3 +392,85 @@ def test_redact_pii(spark):
     assert got[2] == "call <PHONE> asap"
     assert got[3] == "server at <IP> responded"
     assert got[4] == "no pii here at all"
+
+
+def test_chunk_with_overlap_boundaries(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    # 40 tokens, chunk=32 overlap=8 stride=24 -> chunks at 0 and 24
+    text40 = " ".join(f"t{i}" for i in range(40))
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text40), (2, text10)], "doc_id long, text string")
+    out = corpus.chunk_with_overlap(df, chunk_tokens=32, overlap_tokens=8)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert {(1, 0), (1, 1), (2, 0)} == set(rows)
+    assert rows[(1, 0)]["n_chunk_tokens"] == 32
+    assert rows[(1, 1)]["n_chunk_tokens"] == 16  # tokens 24..39
+    assert rows[(1, 1)]["chunk_text"].split()[:8] == [f"t{i}" for i in range(24, 32)]
+    assert rows[(2, 0)]["chunk_text"] == text10
+    with pytest.raises(ValueError):
+        corpus.chunk_with_overlap(df, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_weighted_priority_sample_monotone_and_stable(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(200)], "doc_id long, w double"
+    )
+    top = corpus.weighted_priority_sample(df, "w", 20)
+    got = [r["doc_id"] for r in top.collect()]
+    assert len(got) == 20
+    # deterministic across partitionings
+    got2 = [r["doc_id"] for r in corpus.weighted_priority_sample(df.repartition(7), "w", 20).collect()]
+    assert got == got2
+    # same id -> same hash draw: scaling every weight up cannot change the set
+    got3 = {r["doc_id"] for r in corpus.weighted_priority_sample(
+        df.withColumn("w", F.col("w") * 10), "w", 20).collect()}
+    assert set(got) == got3
+
+
+def test_shard_layout_partitions_and_positions(spark):
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = corpus.shard_layout(df, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..k
+    # re-salting permutes: same rows, different order assignment
+    out2 = corpus.shard_layout(df, n_shards=8, salt="epoch1").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out2
+    }
+
+
+def test_quantize_int8_values(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ma = vectors.max_abs("embedding")
+    scale = F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)
+    out = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", vectors.quantize_int8("embedding", scale).alias("q")
+        ).collect()
+    }
+    # scale = 127 / 1.0; floor(x*127 + 0.5)
+    assert out[1] == [64, -127, 32, 0]
+    assert out[2] == [0, 0, 0, 0]  # zero vector -> all zeros, no NULLs
+
+
+def test_events_funnel_ordering(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.llmops import events_funnel
+
+    # sanity on the fixture: funnel counts are monotone non-increasing
+    row = events_funnel(spark, sf_dir).collect()[0]
+    assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
+    assert row["n_view"] > 0

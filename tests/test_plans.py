@@ -150,3 +150,39 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     n_days = events_table(spark, sf_dir).select(F.to_date("ts")).distinct().count()
     assert back.count() > 0
     assert back.count() < events_table(spark, sf_dir).count() / max(n_days - 5, 1)
+
+
+def test_chunk_overlap_no_shuffle(plans):
+    p = plans("corpus_chunk_overlap")
+    assert "Exchange" not in p  # per-row explode+slice only
+    assert "Generate" in p
+
+
+def test_weighted_sample_uses_topk_not_global_sort(plans):
+    p = plans("corpus_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_shard_shuffle_single_bounded_exchange(plans):
+    import re as _re
+
+    p = plans("corpus_shard_shuffle")
+    assert "Window" in p
+    # one hash exchange on the shard key; never a global range sort
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "rangepartitioning" not in p
+
+
+def test_funnel_single_user_exchange(plans):
+    import re as _re
+
+    p = plans("events_funnel")
+    # chained stage windows reuse one hash partitioning on user_id
+    assert len(_re.findall(r"hashpartitioning\(user_id", p)) >= 1
+    assert "rangepartitioning" not in p
+
+
+def test_embedding_quantize_no_shuffle(plans):
+    p = plans("embedding_quantize")
+    assert "Exchange" not in p
