@@ -211,6 +211,68 @@ def ivf_scale(spark, n_base=400_000, n_queries=16):
             d.unpersist()
 
 
+def layout_scale(spark, n=10_000_000):
+    """weighted_priority_sample + shard_layout at 10M rows — both must stay
+    free of any global sort (TakeOrderedAndProject / per-shard windows)."""
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 977 + 1).cast("double").alias("w")
+    )
+    timed(
+        f"weighted_priority_sample top-1000 @{n//10**6}M rows",
+        corpus.weighted_priority_sample(rows, "w", 1000),
+    )
+    # aggregate over pos so ColumnPruning can't drop the window itself
+    timed(
+        f"shard_layout 256 shards @{n//10**6}M rows",
+        corpus.shard_layout(rows, n_shards=256).groupBy("shard").agg(F.max("pos")),
+    )
+
+
+def chunk_scale(spark, times=200):
+    """chunk_with_overlap at 1M docs (~60 tokens each): pure map-side
+    explode — output amplification is the only cost."""
+    docs = blown_up_docs(spark, times)
+    timed(
+        f"chunk_with_overlap @{times//2}0k docs",
+        corpus.chunk_with_overlap(docs, chunk_tokens=32, overlap_tokens=8),
+    )
+
+
+def quantize_scale(spark, times=200):
+    """int8 quantization at 400k vectors — per-row transforms only."""
+    from laposte_data_engineering_jedha_spark.functions import vectors as V
+
+    vecs = blown_up_vecs(spark, times)
+    ma = V.max_abs("embedding")
+    scale = F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)
+    timed(
+        f"quantize_int8 @{times*2}k vectors",
+        vecs.select("vec_id", V.quantize_int8("embedding", scale).alias("q")),
+    )
+
+
+def funnel_scale(spark, times=100):
+    """events funnel at 10M events (events x100): one user_id exchange
+    feeding three chained window aggregates."""
+    from laposte_data_engineering_jedha_spark.queries import events_table
+    from pyspark.sql import Window
+
+    ev = events_table(spark, SF_DIR).select("user_id", "ts", "event_type")
+    copies = spark.range(times).select(F.col("id").alias("_copy"))
+    big = ev.crossJoin(copies).withColumn(
+        "user_id", F.col("user_id") + F.col("_copy") * 1_000_000
+    )
+    w = Window.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    df = big.withColumn("t1", F.min(F.when(typ == "view", t)).over(w))
+    df = df.withColumn("t2", F.min(F.when((typ == "click") & (t > F.col("t1")), t)).over(w))
+    df = df.withColumn("t3", F.min(F.when((typ == "purchase") & (t > F.col("t2")), t)).over(w))
+    per_user = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.first("t3").alias("t3")
+    )
+    timed(f"events funnel @{times}x events", per_user)
+
+
 SECTIONS = {
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
@@ -220,6 +282,10 @@ SECTIONS = {
     "decon": decon_scale,
     "pack": pack_scale,
     "repetition": repetition_scale,
+    "layout": layout_scale,
+    "chunk": chunk_scale,
+    "quantize": quantize_scale,
+    "funnel": funnel_scale,
 }
 
 
