@@ -474,3 +474,30 @@ def test_events_funnel_ordering(spark, sf_dir):
     row = events_funnel(spark, sf_dir).collect()[0]
     assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
     assert row["n_view"] > 0
+
+
+def test_chunk_with_overlap_reconstructs_every_doc(spark):
+    """Property: taking chunk 0 whole and the non-overlap tail (tokens
+    after the first `overlap`) of every later chunk reconstructs the
+    original token stream exactly — nothing dropped, nothing duplicated."""
+    import random
+
+    from laposte_data_engineering_jedha_spark.operators import corpus
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 120))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = corpus.chunk_with_overlap(df, chunk_tokens=32, overlap_tokens=8).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    for doc_id, text in docs:
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt = chunks[0].split(" ")
+        for i in range(1, len(chunks)):
+            rebuilt += chunks[i].split(" ")[8:]
+        assert rebuilt == text.split(" "), doc_id
