@@ -340,24 +340,27 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     for _ in range(max_iter):
-        # min label among self and neighbors, one hop per round
+        # min label among self and neighbors, one hop per round. The self
+        # rows are tagged so the SAME aggregate also carries each node's
+        # previous label out — the convergence probe is then a plain scan
+        # of the checkpointed round output (new < old anywhere?) instead
+        # of a second join job against the previous labels.
         prop = (
             edges.join(labels, edges.u == labels.node)
-            .select(F.col("v").alias("node"), "component")
+            .select(F.col("v").alias("node"), "component", F.lit(False).alias("_self"))
         )
-        new_labels = (
-            labels.unionByName(prop)
+        merged = (
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = merged.select("node", "component")
+        if merged.where(F.col("component") < F.col("_old")).isEmpty():
             break
     return labels
 
