@@ -382,7 +382,9 @@ DRIVER_WINDOW_PRIORITY = [
     "events_range_join",
     "events_rolling_1h",
     "events_funnel",
+    "events_retention_cohorts",
     "embedding_quantize",
+    "olap_grouping_sets",
     "multimodal_frame_sample",
     "multimodal_features",
     "src_generate",

@@ -281,6 +281,67 @@ def olap_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "olap_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the per-dimension marginals + grand total
+    WITHOUT the cross products a CUBE would compute: ((flag), (status),
+    ()). One scan, map-side grouping-set expansion, GROUPING() markers
+    disambiguate subtotal rows from real NULLs (ANSI semantics in both
+    engines). Completes the rollup/cube/grouping-sets family."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (
+  SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_offset
+  FROM first f JOIN act a USING (user_id))
+SELECT cohort, day_offset, count(*) AS n_users
+FROM r WHERE day_offset <= 14
+GROUP BY 1, 2""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity date,
+    counted per day-offset of later activity (0..14) — the
+    product-analytics companion to the funnel. Scale shape: both the
+    first-activity aggregate and the distinct-activity set hash-partition
+    on user_id, the join is co-partitioned on that same key (no second
+    shuffle of the big side), and the final aggregate is
+    (cohort, offset)-keyed — bounded output."""
+    from . import events_table
+
+    ev = events_table(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        first.join(act, "user_id")
+        .select("cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
