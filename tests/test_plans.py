@@ -186,3 +186,22 @@ def test_funnel_single_user_exchange(plans):
 def test_embedding_quantize_no_shuffle(plans):
     p = plans("embedding_quantize")
     assert "Exchange" not in p
+
+
+def test_retention_copartitions_on_user(plans):
+    import re as _re
+
+    p = plans("events_retention_cohorts")
+    # both user-keyed inputs partition on user_id; the join itself adds no
+    # third user exchange, and the only other exchange is the final
+    # (cohort, offset) aggregate
+    assert len(_re.findall(r"hashpartitioning\(user_id", p)) == 2
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 3
+
+
+def test_grouping_sets_single_scan_expand(plans):
+    import re as _re
+
+    p = plans("olap_grouping_sets")
+    assert "Expand" in p  # grouping-set expansion is map-side
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 1
