@@ -701,11 +701,26 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar column."""
     emb = table(spark, sf_dir, "embeddings")
     ma = vectors.max_abs("embedding")
-    scale = F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)
-    q = vectors.quantize_int8("embedding", scale)
-    return emb.select(
+    # Materialize the per-row scale as a column FIRST: referencing the
+    # max_abs subtree from inside the quantize transform lambda would
+    # re-evaluate it per array element (64x per use — measured ~4x query
+    # cost). A multi-referenced non-trivial column blocks CollapseProject,
+    # so the staged projection survives optimization.
+    staged = emb.select(
         "vec_id",
-        (F.round(F.coalesce(scale, F.lit(0.0)) * 1000000) / 1000000).alias("scale"),
+        "embedding",
+        (F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)).alias("_s"),
+    )
+    # JVM HOF transform, staged off the _s column. An Arrow/numpy kernel
+    # twin measured SLOWER here (11.7s vs 8.5s @400k vectors): per-element
+    # compute is one multiply+floor+clamp, so the nested-array Arrow
+    # round-trip dominates — the opposite trade from pd_dot, where the
+    # kernel fuses a 64-term reduction per pair (see SCALE.md findings).
+    staged = staged.withColumn("_q", vectors.quantize_int8("embedding", F.col("_s")))
+    q = F.col("_q")
+    return staged.select(
+        "vec_id",
+        (F.round(F.coalesce(F.col("_s"), F.lit(0.0)) * 1000000) / 1000000).alias("scale"),
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
         F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
     )

@@ -244,10 +244,19 @@ def quantize_scale(spark, times=200):
 
     vecs = blown_up_vecs(spark, times)
     ma = V.max_abs("embedding")
-    scale = F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)
-    timed(
-        f"quantize_int8 @{times*2}k vectors",
-        vecs.select("vec_id", V.quantize_int8("embedding", scale).alias("q")),
+    staged = vecs.select(
+        "vec_id",
+        "embedding",
+        (F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)).alias("_s"),
+    )
+    # noop write fully materializes q without count()'s column pruning
+    out = staged.select("vec_id", V.quantize_int8("embedding", F.col("_s")).alias("q"))
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    print(
+        f"{'quantize_int8 @' + str(times * 2) + 'k vectors':<44} "
+        f"rows={times * 2000:>10,}  {time.perf_counter() - t0:7.1f}s",
+        flush=True,
     )
 
 
