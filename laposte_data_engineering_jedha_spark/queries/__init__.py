@@ -363,6 +363,8 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_shard_shuffle",
     "text_repetition",
     "text_pii_scrub",
+    "text_rarity",
+    "events_anomaly_zscore",
     "knn_brute_force",
     "ivf_knn",
     "text_token_count",

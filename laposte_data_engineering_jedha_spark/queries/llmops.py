@@ -726,6 +726,104 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_rarity",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_toks('text')}) AS tok FROM documents),
+freq AS (
+  SELECT tok, count(*) AS gc FROM tok GROUP BY 1),
+j AS (
+  SELECT doc_id, gc FROM tok JOIN freq USING (tok))
+SELECT doc_id, count(*) AS n_tokens,
+       {sql_round('CAST(sum(gc) AS DOUBLE) / count(*)', 4)} AS mean_token_df,
+       {sql_round('CAST(sum(CASE WHEN gc <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 4)}
+         AS rare_token_ratio
+FROM j GROUP BY 1""",
+)
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signals: per doc, the mean corpus-wide
+    occurrence count of its tokens and the fraction of tokens that are
+    corpus-rare (global count <= 2) — the deterministic integer-statistics
+    stand-in for a unigram-LM perplexity filter (log-prob scoring needs
+    ln(), which is not bit-portable across engines; summed BIGINT counts
+    are). Shape: one token-keyed partial-aggregated groupBy for the
+    vocabulary, a token-keyed equi-join (AQE skew split absorbs
+    stop-token heat), one doc-keyed aggregate — all sums integer-exact,
+    division happens once at the end."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(texts.tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
+    r4 = lambda c: F.round(c * 10000) / 10000  # noqa: E731 - round4 convention
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("gc").alias("_sum_gc"),
+            F.sum(F.when(F.col("gc") <= 2, 1).otherwise(0)).alias("_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            r4(F.col("_sum_gc").cast("double") / F.col("n_tokens")).alias("mean_token_df"),
+            r4(F.col("_rare").cast("double") / F.col("n_tokens")).alias("rare_token_ratio"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH base AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hr, value
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type, hr, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+  FROM base GROUP BY 1, 2),
+z AS (
+  SELECT event_id, b.event_type, hr,
+         (value - sv / n)
+           / nullif(sqrt(greatest(svv / n - (sv / n) * (sv / n),
+                                  CAST(0.0 AS DOUBLE))), CAST(0.0 AS DOUBLE)) AS z
+  FROM base b JOIN stats USING (event_type, hr))
+SELECT event_id, event_type, hr, round(z * 10000) / 10000 AS zscore
+FROM z WHERE abs(z) >= CAST(3.0 AS DOUBLE)""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour-of-day) z-score outliers (|z| >= 3) — the
+    monitoring/anomaly shape over event streams. The group moments
+    aggregate through DECIMAL(18,4) (exact, partition-order-free — a
+    double sum would make low bits nondeterministic), convert to double
+    once, and broadcast back onto the events; the z-score itself is
+    map-side. Zero-variance groups yield NULL std -> no row (nullif)."""
+    ev = events_table(spark, sf_dir)
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_id", "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    dec = "decimal(18,4)"
+    stats = base.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    var = F.col("svv") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.nullif(
+        F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)
+    )
+    return (
+        base.join(F.broadcast(stats), ["event_type", "hr"])
+        .select("event_id", "event_type", "hr", z.alias("z"))
+        .where(F.abs(F.col("z")) >= 3.0)
+        .select(
+            "event_id", "event_type", "hr", (F.round(F.col("z") * 10000) / 10000).alias("zscore")
+        )
+    )
+
+
 _DECON_MAX_DF = 50  # stop-shingle cap by TRAIN doc frequency
 
 
