@@ -353,6 +353,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_survivors",
     "corpus_pack_sequences",
     "corpus_hash_sample",
     "corpus_stratified_sample",

@@ -929,10 +929,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    f"""
-WITH RECURSIVE {_SQL_SHINGLE_CTES},
+# MinHash-LSH pairs -> connected components, shared by the cluster
+# assignment and survivor queries (comp = (doc_id, cluster_id = component
+# min)).
+_SQL_CC_CTES = f"""{_SQL_SHINGLE_CTES},
 sigs AS (
   SELECT doc_id, h, {_SQL_SIG} AS sig
   FROM (SELECT doc_id, [{sql_md5i('x')} for x in s] AS h FROM sh)
@@ -957,7 +957,13 @@ reach(node, r) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
   UNION
   SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
-comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SQL_CC_CTES}
 SELECT c.doc_id, c.cluster_id, s.cluster_size
 FROM comp c
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
@@ -981,6 +987,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@query(
+    "dedup_survivors",
+    f"""
+WITH RECURSIVE {_SQL_CC_CTES}
+SELECT d.doc_id, CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
+  ON c.cluster_id = s.cluster_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set after component-level near-dup dedup: every doc that is
+    either untouched by any near-dup pair or the MINIMUM id of its
+    connected component, with the size of the cluster it represents.
+    This is semantically stronger than pair-wise keep-earliest (drop every
+    id_b): a node that is minimal among its DIRECT neighbors but not its
+    component — e.g. edges (1,5),(3,5): pair-wise keeps {1,3}, components
+    keep {1} — survives pair-wise but is correctly dropped here. One
+    broadcast-able (survivor set is small relative to the corpus at real
+    dup rates) left join against the cluster labels; corpus never
+    reshuffles."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        docs.join(cc, "doc_id", "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .join(sizes, "component", "left")
+        .select("doc_id", F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"))
     )
 
 
