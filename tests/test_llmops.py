@@ -501,3 +501,18 @@ def test_chunk_with_overlap_reconstructs_every_doc(spark):
         for i in range(1, len(chunks)):
             rebuilt += chunks[i].split(" ")[8:]
         assert rebuilt == text.split(" "), doc_id
+
+
+def test_survivors_component_min_not_local_min(spark):
+    """Edges (1,5),(3,5): pair-wise keep-earliest keeps {1,3}; component
+    dedup must keep only {1} (component min) plus untouched docs."""
+    pairs = spark.createDataFrame([(1, 5), (3, 5)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5]], "doc_id long")
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    survivors = sorted(
+        r["doc_id"]
+        for r in docs.join(cc, "doc_id", "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .collect()
+    )
+    assert survivors == [1, 2]  # 2 untouched, 1 = component min; 3 and 5 dropped

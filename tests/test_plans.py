@@ -205,3 +205,13 @@ def test_grouping_sets_single_scan_expand(plans):
     p = plans("olap_grouping_sets")
     assert "Expand" in p  # grouping-set expansion is map-side
     assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_zscore_stats_are_broadcast(plans):
+    p = plans("events_anomaly_zscore")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_rarity_uses_partial_aggregation(plans):
+    p = plans("text_rarity")
+    assert p.count("HashAggregate") >= 4  # partial+final for both groupBys
