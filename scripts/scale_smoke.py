@@ -282,6 +282,45 @@ def funnel_scale(spark, times=100):
     timed(f"events funnel @{times}x events", per_user)
 
 
+def rarity_scale(spark, times=200):
+    """text_rarity at 1M docs: explode -> vocab aggregate -> token-keyed
+    join -> doc aggregate; all counts integer-exact."""
+    docs = blown_up_docs(spark, times)
+    tok = docs.select("doc_id", F.explode(texts.tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gc"))
+    out = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("gc").alias("sum_gc"))
+    )
+    timed(f"text_rarity @{times * 5}k docs", out)
+
+
+def zscore_scale(spark, times=100):
+    """per-(type, hour) z-score outliers at 10M events."""
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, SF_DIR).select("event_type", "ts", "value")
+    copies = spark.range(times).select(F.col("id").alias("_c"))
+    big = ev.crossJoin(copies).withColumn(
+        "value", F.col("value") + F.col("_c") * 0.001
+    )
+    base = big.where(F.col("value").isNotNull()).select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    dec = "decimal(18,4)"
+    stats = base.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    var = F.col("svv") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.nullif(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0))
+    out = base.join(F.broadcast(stats), ["event_type", "hr"]).where(F.abs(z) >= 3.0)
+    timed(f"events zscore outliers @{times}x events", out)
+
+
 SECTIONS = {
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
@@ -295,6 +334,8 @@ SECTIONS = {
     "chunk": chunk_scale,
     "quantize": quantize_scale,
     "funnel": funnel_scale,
+    "rarity": rarity_scale,
+    "zscore": zscore_scale,
 }
 
 
