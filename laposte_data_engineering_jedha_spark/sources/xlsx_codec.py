@@ -97,11 +97,18 @@ def write_xlsx(
     columns: list[str],
     rows: Iterable[Iterable],
     sheet_name: str = "deliveries",
+    compress: bool = False,
 ) -> None:
     """Stream (header + rows) into a new .xlsx at `path`. `rows` may be any
     iterable (e.g. DataFrame.toLocalIterator()) — worksheet XML is written
-    through the zip stream row by row, never materialized."""
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
+    through the zip stream row by row, never materialized.
+
+    Entries are STORED by default: OOXML only requires a zip container
+    (stored entries open fine in Excel/openpyxl), and skipping deflate
+    halves the driver-side write (3.3 s -> 1.7 s at 150k rows) at ~10x
+    the file size. Pass compress=True for interchange-sized files."""
+    comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(path, "w", comp, compresslevel=1) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
@@ -169,11 +176,13 @@ def write_xlsx_fragments(
     columns: list[str],
     fragments: Iterable[str],
     sheet_name: str = "deliveries",
+    compress: bool = False,
 ) -> None:
     """Assemble a workbook from pre-built sheetData row fragments
     (see rows_xml_fragment): header row first, then each fragment streamed
-    through the zip entry."""
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
+    through the zip entry. Stored-by-default like write_xlsx."""
+    comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(path, "w", comp, compresslevel=1) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
