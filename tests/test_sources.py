@@ -135,3 +135,22 @@ def test_xlsx_writer_reader_spark_roundtrip(spark, tmp_path):
         assert (r.Pickup_DateTime, r.Delivery_Timestamp) == (o.Pickup_DateTime, o.Delivery_Timestamp)
         assert (r.Package_Type, r.Delivery_Zone) == (o.Package_Type, o.Delivery_Zone)
         assert r.Distance == o.Distance
+
+
+def test_xlsx_compressed_roundtrip(tmp_path):
+    """compress=True (deflated entries) round-trips identically to the
+    stored default and produces a genuinely smaller file."""
+    import os
+
+    from laposte_data_engineering_jedha_spark.sources import xlsx_codec
+
+    cols = ["s", "n"]
+    rows_in = [[f"text {i} &<>", i * 1.5] for i in range(2000)]
+    stored = str(tmp_path / "stored.xlsx")
+    packed = str(tmp_path / "packed.xlsx")
+    xlsx_codec.write_xlsx(stored, cols, rows_in)
+    xlsx_codec.write_xlsx(packed, cols, rows_in, compress=True)
+    _, r1 = xlsx_codec.read_xlsx(stored)
+    _, r2 = xlsx_codec.read_xlsx(packed)
+    assert list(r1) == list(r2)
+    assert os.path.getsize(packed) < os.path.getsize(stored) / 2
