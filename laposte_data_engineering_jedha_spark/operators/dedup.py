@@ -85,10 +85,11 @@ def ngram_jaccard_pairs(
     the pair side, so the shuffle carries only (id, id) pairs.
     """
     # Repartition on the join key: the explicit Exchange (a) is exactly the
-    # distribution the self-join needs, (b) is REUSED for both sides
-    # (ReuseExchange — one scan+shingle pass, not two), and (c) stops
-    # Catalyst project-collapse from re-deriving the shingle pipeline per
-    # downstream reference.
+    # distribution the self-join needs and (b) stops Catalyst
+    # project-collapse from re-deriving the shingle pipeline per downstream
+    # reference. (It is NOT merged into one ReusedExchange across the two
+    # aliases — PythonUDF subtrees never canonicalize equal, SCALE.md
+    # finding 11 — but each side's shuffle carries only (id, shingle).)
     sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
     # Per-doc sizes come from the SAME (possibly df-capped) index, so the
     # Jaccard denominator stays consistent with the intersection's shingle
@@ -132,15 +133,16 @@ def minhash_lsh_pairs(
         # Arrow kernel: identical values to texts.minhash_signature, minus
         # the per-element lambda interpreter (md5 hashing stays JVM-side)
         .select(id_col, "hashes", texts.pd_minhash_signature("hashes").alias("sig"))
-        # Exchange barrier: signatures are hashed ONCE, the band self-join
-        # reuses the same exchange for both sides (ReuseExchange), and
-        # project-collapse can't re-derive the md5 pipeline per reference.
+        # Exchange barrier: pins the distribution and stops
+        # project-collapse from re-deriving the md5 pipeline per reference.
+        # (Not a ReusedExchange across aliases — PythonUDF subtrees never
+        # canonicalize equal, SCALE.md finding 11; each referencing side
+        # re-shuffles the narrow signature projection.)
         .repartition(id_col)
     )
     # Band join carries ONLY (id, band, key): shuffling the shingle-hash
     # arrays through the 4x band explode would quadruple the heavy shuffle
-    # for no reason — signatures/hashes are re-attached by id afterwards
-    # (both lookups reuse the same barrier Exchange).
+    # for no reason — signatures/hashes are re-attached by id afterwards.
     bands = sigs.select(
         F.col(id_col), F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
     ).select(id_col, F.col("band.band").alias("band"), F.col("band.key").alias("key"))
@@ -274,8 +276,13 @@ def embedding_dup_pairs_lsh(
             vectors.pd_norm(vec_col).alias("_n"),
         )
         .where(F.col("_n") > 0)
-        # exchange barrier: buckets/norms computed once, reused by the band
-        # self-join (both sides) and the two verify lookups (ReuseExchange)
+        # exchange barrier on _id. NOTE: ReusedExchange does NOT fire here —
+        # plans containing Python UDFs never canonicalize equal in Spark
+        # 4.x, so each referencing alias re-runs the narrow (id, vec, norm)
+        # pipeline + shuffle. That is acceptable (the shuffled projection is
+        # slim and kernels are Arrow-batched); when kernel compute dominates
+        # at scale, persist(MEMORY_AND_DISK) on this projection is the
+        # escalation that makes compute-once hard (SCALE.md finding 11).
         .repartition("_id")
     )
     banded = src.select(

@@ -110,6 +110,52 @@ def lsh_knn(
     return _ranked_topk(pairs, k)
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus — every vector's top-k
+    bucket-local neighbors. The building block of SemDeDup-style semantic
+    dedup and embedding clustering, where the query set IS the corpus, so
+    neither side can broadcast (unlike `lsh_knn`): both sides are the same
+    bucketed relation, hash-partitioned on the LSH bucket id, joined with
+    a sort-merge join on the bucket key. Each alias shuffles the narrow
+    (id, vec, norm, bucket) projection — Spark cannot merge the two into
+    a ReusedExchange because PythonUDF subtrees never canonicalize equal
+    (SCALE.md finding 11); persist(MEMORY_AND_DISK) on `src` is the
+    escalation when the Arrow kernels dominate. Exact cosine re-ranks
+    within the bucket; per-vector top-k is a bucket-co-partitioned window.
+    Recall < 1 by design (neighbors outside the bucket are unseen);
+    fewer planes = bigger buckets = higher recall, more compute.
+    """
+    src = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            vectors.pd_norm(vec_col).alias("_n"),
+        )
+        .withColumn("bucket", vectors.pd_lsh_bucket("_v", dim, planes))
+        .repartition("bucket")
+    )
+    a = src.select(
+        "bucket", F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
+    )
+    b = src.select(
+        "bucket", F.col("_id").alias("cand_id"), F.col("_v").alias("cv"), F.col("_n").alias("cn")
+    )
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+    )
+    return _ranked_topk(pairs, k)
+
+
 def kmeans_fit_sample(df: DataFrame, fit_max_rows: int, seed: int) -> DataFrame:
     """Bound the k-means fit input to ~fit_max_rows via a seeded Bernoulli
     sample — the coarse quantizer only needs a sketch of the density, so

@@ -367,6 +367,7 @@ DRIVER_WINDOW_PRIORITY = [
     "text_rarity",
     "events_anomaly_zscore",
     "knn_brute_force",
+    "knn_graph",
     "ivf_knn",
     "text_token_count",
     "text_lang_id",

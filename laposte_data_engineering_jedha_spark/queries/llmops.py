@@ -1050,12 +1050,12 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_knn(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
-def _sql_bucket(e: str) -> str:
+def _sql_bucket(e: str, planes: int = 8) -> str:
     w = _sql_hp_weight()
     d = sql_reduce_sum(f"[CAST({e}[i + 1] AS DOUBLE) * CAST({w} AS DOUBLE) for i in range(0, 64)]")
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"[CASE WHEN {d} >= 0 THEN 1 ELSE 0 END for p in range(0, 8)]), (a, x) -> a * 2 + x)"
+        f"[CASE WHEN {d} >= 0 THEN 1 ELSE 0 END for p in range(0, {planes})]), (a, x) -> a * 2 + x)"
     )
 
 
@@ -1078,6 +1078,28 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5 (recall < 1 by design)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64, planes=8)
+
+
+@query(
+    "knn_graph",
+    f"""
+WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
+cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
+  FROM cb a JOIN cb b USING (bucket) WHERE a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM pairs)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 3""",
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate top-3 neighbor graph (SemDeDup / embedding
+    clustering input): LSH bucket self-join with a shared exchange, no
+    broadcast side (operators/similarity.py knn_graph)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=3, dim=64, planes=6)
 
 
 @query("ivf_knn")  # no SQL twin: k-means fit is iterative, not SQL-expressible

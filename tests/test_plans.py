@@ -215,3 +215,23 @@ def test_zscore_stats_are_broadcast(plans):
 def test_rarity_uses_partial_aggregation(plans):
     p = plans("text_rarity")
     assert p.count("HashAggregate") >= 4  # partial+final for both groupBys
+
+
+def test_knn_graph_bucket_smj_no_cartesian(spark, sf_dir):
+    """At corpus scale neither side of the graph self-join can broadcast;
+    with broadcast disabled the join must be a bucket-keyed sort-merge
+    join over hash exchanges of the narrow projection — never a
+    cartesian/range plan. (ReusedExchange cannot fire across PythonUDF
+    subtrees — SCALE.md finding 11 — so two bucket exchanges are the
+    expected shape.)"""
+    import re as _re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_text(q.queries()["knn_graph"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p
+    assert len(_re.findall(r"hashpartitioning\(bucket", p)) == 2
+    assert "Cartesian" not in p and "rangepartitioning" not in p
