@@ -117,6 +117,7 @@ def knn_graph(
     planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus — every vector's top-k
     bucket-local neighbors. The building block of SemDeDup-style semantic
@@ -131,6 +132,15 @@ def knn_graph(
     within the bucket; per-vector top-k is a bucket-co-partitioned window.
     Recall < 1 by design (neighbors outside the bucket are unseen);
     fewer planes = bigger buckets = higher recall, more compute.
+
+    `max_bucket` caps the CANDIDATE side per bucket (deterministic
+    md5-ordered head) — the LSH twin of the stop-shingle df cap. On
+    clustered corpora (the realistic embedding shape) a whole topic
+    cluster collapses into a handful of buckets and the uncapped
+    self-join goes quadratic in cluster size (measured: 400k clustered
+    vectors at 12 planes did not finish; capped at 256 it is bounded by
+    n * max_bucket comparisons). Every vector still gets ranked against
+    a bounded, deterministic sample of its bucket-mates.
     """
     src = (
         df.select(
@@ -144,8 +154,18 @@ def knn_graph(
     a = src.select(
         "bucket", F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
     )
-    b = src.select(
-        "bucket", F.col("_id").alias("cand_id"), F.col("_v").alias("cv"), F.col("_n").alias("cn")
+    cap_w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("_id").cast("string")), F.col("_id")
+    )
+    b = (
+        src.withColumn("_r", F.row_number().over(cap_w))
+        .where(F.col("_r") <= max_bucket)
+        .select(
+            "bucket",
+            F.col("_id").alias("cand_id"),
+            F.col("_v").alias("cv"),
+            F.col("_n").alias("cn"),
+        )
     )
     cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     pairs = (

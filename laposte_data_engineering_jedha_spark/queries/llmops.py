@@ -1085,10 +1085,15 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
 cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n),
+capped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _r
+  FROM cb),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
          {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
-  FROM cb a JOIN cb b USING (bucket) WHERE a.vec_id <> b.vec_id),
+  FROM cb a JOIN capped b USING (bucket)
+  WHERE b._r <= 256 AND a.vec_id <> b.vec_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
   FROM pairs)

@@ -321,6 +321,16 @@ def zscore_scale(spark, times=100):
     timed(f"events zscore outliers @{times}x events", out)
 
 
+def graph_scale(spark, n=400_000):
+    """knn_graph at 400k clustered vectors: bucket self-join; candidate
+    volume ~ n * bucket_size. More planes keep buckets bounded."""
+    vecs = clustered_vecs(spark, n).cache()
+    timed(f"corpus: {n // 1000}k clustered vectors", vecs)
+    g = similarity.knn_graph(vecs, k=3, dim=64, planes=12)
+    timed(f"knn_graph (12 planes) @{n // 1000}k vectors", g)
+    vecs.unpersist()
+
+
 SECTIONS = {
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
@@ -336,6 +346,7 @@ SECTIONS = {
     "funnel": funnel_scale,
     "rarity": rarity_scale,
     "zscore": zscore_scale,
+    "graph": graph_scale,
 }
 
 
