@@ -368,6 +368,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_anomaly_zscore",
     "knn_brute_force",
     "knn_graph",
+    "dedup_semantic",
     "ivf_knn",
     "text_token_count",
     "text_lang_id",

@@ -1080,24 +1080,30 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64, planes=8)
 
 
-@query(
-    "knn_graph",
-    f"""
-WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
+# LSH-bucketed corpus-wide top-3 graph CTEs, shared by knn_graph and the
+# SemDeDup-style dedup_semantic composition.
+_SQL_KNN_GRAPH_CTES = f"""n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
 cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n),
 capped AS (
   SELECT *, row_number() OVER (
     PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _r
   FROM cb),
-pairs AS (
+gpairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
          {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
   FROM cb a JOIN capped b USING (bucket)
   WHERE b._r <= 256 AND a.vec_id <> b.vec_id),
-ranked AS (
+granked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-  FROM pairs)
-SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 3""",
+  FROM gpairs),
+knn AS (SELECT query_id, cand_id, cosine, rank FROM granked WHERE rank <= 3)"""
+
+
+@query(
+    "knn_graph",
+    f"""
+WITH {_SQL_KNN_GRAPH_CTES}
+SELECT query_id, cand_id, cosine, rank FROM knn""",
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate top-3 neighbor graph (SemDeDup / embedding
@@ -1105,6 +1111,58 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast side (operators/similarity.py knn_graph)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, k=3, dim=64, planes=6)
+
+
+@query(
+    "dedup_semantic",
+    f"""
+WITH RECURSIVE {_SQL_KNN_GRAPH_CTES},
+sedges0 AS (
+  SELECT DISTINCT least(query_id, cand_id) AS id_a,
+                  greatest(query_id, cand_id) AS id_b
+  FROM knn WHERE cosine >= CAST(0.4 AS DOUBLE)),
+sedges AS (SELECT id_a AS u, id_b AS v FROM sedges0
+           UNION SELECT id_b, id_a FROM sedges0),
+sreach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sedges) s
+  UNION
+  SELECT sreach.node, e.v FROM sreach JOIN sedges e ON sreach.r = e.u),
+scomp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM sreach GROUP BY node)
+SELECT emb.vec_id, CAST(coalesce(sz.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM embeddings emb
+LEFT JOIN scomp c ON emb.vec_id = c.vec_id
+LEFT JOIN (SELECT cluster_id, count(*) AS cluster_size FROM scomp GROUP BY 1) sz
+  ON c.cluster_id = sz.cluster_id
+WHERE c.vec_id IS NULL OR c.cluster_id = emb.vec_id""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: edges are kNN-graph
+    neighbors with cosine >= 0.4, clusters are connected components, and
+    the kept set is each component's minimum vec_id plus every untouched
+    vector (with the size of the cluster it represents). Pure composition
+    of verified pieces — knn_graph (bucketed, candidate-capped) +
+    connected_components (iterative min-label) + the survivor selection of
+    dedup_survivors — so the whole semantic-dedup pipeline is one
+    hash-gated query."""
+    emb = table(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(emb, k=3, dim=64, planes=6)
+    pairs = (
+        g.where(F.col("cosine") >= 0.4)
+        .select(
+            F.least("query_id", "cand_id").alias("id_a"),
+            F.greatest("query_id", "cand_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "vec_id")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("vec_id")))
+        .join(sizes, "component", "left")
+        .select("vec_id", F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"))
+    )
 
 
 @query("ivf_knn")  # no SQL twin: k-means fit is iterative, not SQL-expressible
