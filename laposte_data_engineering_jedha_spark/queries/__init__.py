@@ -387,6 +387,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_range_join",
     "events_rolling_1h",
     "events_funnel",
+    "events_markov_transitions",
     "events_retention_cohorts",
     "embedding_quantize",
     "olap_grouping_sets",

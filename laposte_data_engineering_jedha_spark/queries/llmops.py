@@ -1668,6 +1668,44 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+c AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       round((CAST(n AS DOUBLE)
+              / sum(n) OVER (PARTITION BY event_type)) * 10000) / 10000 AS p
+FROM c""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix across user sessions —
+    the sequence-analytics primitive (what follows a click?). One
+    user_id exchange feeds the lead() window (ordered by (ts, event_id)
+    so ties are deterministic), the pair counts partial-aggregate, and
+    the row-probability normalization windows over the |types|^2-row
+    matrix — trivially bounded."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.round((F.col("n").cast("double") / F.sum("n").over(total)) * 10000) / 10000).alias("p"),
+    )
+
+
 # ================================ multimodal =================================
 
 

@@ -516,3 +516,29 @@ def test_survivors_component_min_not_local_min(spark):
         .collect()
     )
     assert survivors == [1, 2]  # 2 untouched, 1 = component min; 3 and 5 dropped
+
+
+def test_quantize_error_bound_property(spark, sf_dir):
+    """Dequantized values stay within half a quantization step of the
+    original, and every non-zero vector hits +/-127 at its max |x|."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ma = vectors.max_abs("embedding")
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.lit(127.0) / F.when(ma == 0.0, F.lit(None)).otherwise(ma)).alias("_s"),
+    ).withColumn("_q", vectors.quantize_int8("embedding", F.col("_s")))
+    err = F.aggregate(
+        F.zip_with(
+            "embedding", "_q", lambda x, q: F.abs(x.cast("double") - q / F.col("_s"))
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    checked = staged.where(F.col("_s").isNotNull()).select(
+        "vec_id",
+        (err <= 0.5 / F.col("_s") + 1e-12).alias("within_half_step"),
+        F.array_contains(F.transform("_q", lambda q: F.abs(q)), 127).alias("hits_127"),
+    )
+    bad = checked.where(~F.col("within_half_step") | ~F.col("hits_127"))
+    assert bad.isEmpty()
