@@ -337,6 +337,94 @@ def decontaminate(
     )
 
 
+def bloom_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter shingle membership — the O(bits) alternative to the
+    decontaminate join: the training corpus's distinct shingles are folded
+    into a `bits`-wide Bloom bitmap (k md5-derived positions each, 32 bits
+    per BIGINT word, OR-merged by a partial-aggregated `bit_or` — the
+    bitmap is a mergeable sketch, so executors combine map-side), and the
+    eval fold probes it with a BROADCAST join of <= bits/32 rows. The
+    training corpus is never joined against — at 100 TB that's the whole
+    point: one aggregate pass builds a constant-size filter.
+
+    Returns one row per test doc: (doc_id, n_grams, bloom_hits,
+    exact_hits). Bloom guarantees bloom_hits >= exact_hits (no false
+    negatives); the gap is the false-positive count, bounded by the
+    standard (1 - e^{-kn/m})^k rate. Every hash is md5 — the DuckDB twin
+    reproduces the exact bitmap, so even the sketch is value-checked.
+    """
+    word_bits = 32
+    sh_test = test.select(
+        F.col(id_col), F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
+    )
+    sh_train = (
+        train.select(
+            F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
+        )
+        .distinct()
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = texts.md5int32(
+            F.concat(F.col("shingle"), F.lit("#"), F.col("i").cast("string"))
+        ) % bits
+        return (
+            df.crossJoin(spark_range_i(df, k))
+            .withColumn("pos", pos)
+            .withColumn("word", (F.col("pos") / word_bits).cast("int"))
+            # F.shiftleft takes a literal shift amount; the SQL form accepts
+            # a column
+            .withColumn(
+                "mask",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {word_bits} AS INT))"),
+            )
+        )
+
+    def spark_range_i(df: DataFrame, n: int) -> DataFrame:
+        return df.sparkSession.range(n).select(F.col("id").cast("int").alias("i"))
+
+    bloom = (
+        positions(sh_train)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = positions(sh_test).join(F.broadcast(bloom), "word", "left")
+    per_shingle = (
+        probe.groupBy(id_col, "shingle")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False))
+            ).alias("hit")
+        )
+    )
+    exact = (
+        sh_test.join(sh_train, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    return (
+        per_shingle.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("hit").cast("int")).alias("bloom_hits"),
+        )
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            "bloom_hits",
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

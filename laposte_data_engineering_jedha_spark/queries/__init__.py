@@ -358,6 +358,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_hash_sample",
     "corpus_stratified_sample",
     "corpus_decontaminate",
+    "corpus_bloom_contains",
     "corpus_mix_domains",
     "corpus_chunk_overlap",
     "corpus_weighted_sample",

@@ -868,6 +868,64 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_bloom_contains",
+    f"""
+WITH split AS (
+  SELECT doc_id, text,
+         {sql_md5i("CAST(doc_id AS VARCHAR)")} % 100 AS b
+  FROM documents),
+ttoks AS (SELECT doc_id, {sql_toks('text')} AS t FROM split WHERE b < 10),
+tsh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM ttoks),
+tinv AS (SELECT doc_id, unnest(s) AS shingle FROM tsh),
+rtoks AS (SELECT {sql_toks('text')} AS t FROM split WHERE b >= 10),
+rsh AS (SELECT {SQL_SHINGLES} AS s FROM rtoks),
+rinv AS (SELECT DISTINCT unnest(s) AS shingle FROM rsh),
+rpos AS (
+  SELECT ({sql_md5i("shingle || '#' || CAST(i.range AS VARCHAR)")}) % 1024 AS pos
+  FROM rinv CROSS JOIN range(0, 4) i),
+bloom AS (
+  SELECT CAST(pos // 32 AS INTEGER) AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM rpos GROUP BY 1),
+tpos AS (
+  SELECT doc_id, shingle,
+         ({sql_md5i("shingle || '#' || CAST(i.range AS VARCHAR)")}) % 1024 AS pos
+  FROM tinv CROSS JOIN range(0, 4) i),
+hitper AS (
+  SELECT doc_id, shingle,
+         bool_and(coalesce((bits & (1::BIGINT << CAST(pos % 32 AS INTEGER))) <> 0,
+                           false)) AS hit
+  FROM tpos LEFT JOIN bloom ON CAST(pos // 32 AS INTEGER) = word
+  GROUP BY 1, 2),
+bl AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+  FROM hitper GROUP BY 1),
+ex AS (
+  SELECT doc_id, count(*) AS exact_hits
+  FROM tinv JOIN rinv USING (shingle) GROUP BY 1)
+SELECT bl.doc_id, bl.n_grams, bl.bloom_hits,
+       CAST(coalesce(ex.exact_hits, 0) AS BIGINT) AS exact_hits
+FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id""",
+)
+def corpus_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch decontamination probe: the 90% train fold's distinct
+    shingles fold into a 1024-bit, 4-hash Bloom bitmap (32 BIGINT words,
+    map-side bit_or merge — a mergeable sketch); the 10% eval fold probes
+    it via a <=32-row BROADCAST join. Per eval doc: distinct grams, how
+    many the bloom claims seen, how many train really contains
+    (bloom_hits >= exact_hits always — no false negatives). The O(bits)
+    answer to corpus_decontaminate's O(shingle-join) — the train corpus
+    is never joined against. All hashes md5 -> the oracle rebuilds the
+    exact bitmap (operators/corpus.py bloom_contamination)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = texts.md5int32(F.col("doc_id").cast("string")) % 100
+    return corpus.bloom_contamination(
+        train=docs.where(bucket >= 10), test=docs.where(bucket < 10)
+    )
+
+
+@query(
     "text_repetition",
     f"""
 WITH tok AS (

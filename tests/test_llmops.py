@@ -542,3 +542,13 @@ def test_quantize_error_bound_property(spark, sf_dir):
     )
     bad = checked.where(~F.col("within_half_step") | ~F.col("hits_127"))
     assert bad.isEmpty()
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.llmops import corpus_bloom_contains
+
+    out = corpus_bloom_contains(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["bloom_hits"] >= r["exact_hits"], r  # bloom never misses
+        assert r["n_grams"] >= r["bloom_hits"]

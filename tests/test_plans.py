@@ -235,3 +235,8 @@ def test_knn_graph_bucket_smj_no_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in p
     assert len(_re.findall(r"hashpartitioning\(bucket", p)) == 2
     assert "Cartesian" not in p and "rangepartitioning" not in p
+
+
+def test_bloom_probe_is_broadcast(plans):
+    p = plans("corpus_bloom_contains")
+    assert "BroadcastHashJoin" in p  # the <=32-row bitmap ships broadcast
