@@ -331,6 +331,19 @@ def graph_scale(spark, n=400_000):
     vecs.unpersist()
 
 
+def bloom_scale(spark, times=20):
+    """bloom_contamination at the decon_scale corpus (500k docs): the
+    O(bits) membership sketch vs decontaminate's shingle join."""
+    docs = blown_up_docs(spark, times).cache()
+    n = timed(f"bloom corpus: documents x{times}", docs)
+    bucket = texts.md5int32(F.col("doc_id").cast("string")) % 100
+    report = corpus.bloom_contamination(
+        docs.where(bucket >= 10), docs.where(bucket < 10)
+    )
+    timed(f"bloom_contamination @{n // 1000}k docs", report)
+    docs.unpersist()
+
+
 SECTIONS = {
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
@@ -347,6 +360,7 @@ SECTIONS = {
     "rarity": rarity_scale,
     "zscore": zscore_scale,
     "graph": graph_scale,
+    "bloom": bloom_scale,
 }
 
 
