@@ -111,6 +111,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) >= threshold.
+
+    Catches the near-superset duplication Jaccard structurally misses — a
+    short doc quoted wholesale inside a much longer one has containment
+    ~1.0 but Jaccard ~|A|/|B| (tiny), so a Jaccard threshold never fires.
+    This is the quote/inclusion detector of a corpus pipeline (same role
+    as the containment variant in suffix-array dedup literature).
+
+    Same inverted-index shape and stop-shingle cap as
+    `ngram_jaccard_pairs`: the only change is the denominator, so the
+    shuffle still carries only (id, shingle) and (id, id) rows. Emits
+    (id_a, id_b, containment, n_a, n_b) with id_a < id_b.
+    """
+    sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.least(F.col("sa.n_shingles"), F.col("sb.n_shingles"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(cont * 10000) / 10000).alias("containment"),
+            F.col("sa.n_shingles").alias("n_a"),
+            F.col("sb.n_shingles").alias("n_b"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -351,6 +351,7 @@ DRIVER_WINDOW_PRIORITY = [
     "events_sketch_aggregates",
     # --- past the 50-query window (replica-gate + bench coverage) ---
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_survivors",

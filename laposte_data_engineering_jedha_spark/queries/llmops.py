@@ -225,6 +225,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    f"""
+WITH {_SQL_SHINGLE_CTES},
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1),
+inv AS (SELECT doc_id, i.shingle FROM inv0 i JOIN freq USING (shingle)
+        WHERE df <= {_NGRAM_MAX_DF}),
+sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       {sql_round('CAST(inter AS DOUBLE) / least(sa.n, sb.n)', 4)} AS containment,
+       sa.n AS n_a, sb.n AS n_b
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE containment >= CAST(0.8 AS DOUBLE)""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs (|A∩B| / min(|A|,|B|) >= 0.8) — the
+    quote/inclusion detector Jaccard misses when a short doc is embedded
+    in a much longer one (operators/dedup.py ngram_containment_pairs).
+    Same capped inverted-index shape as dedup_ngram_jaccard; only the
+    denominator differs."""
+    return dedup.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8, max_shingle_df=_NGRAM_MAX_DF
+    )
+
+
 _P = texts.MERSENNE31
 _SQL_SIG = (
     f"[coalesce(list_min([(x * (j * 2 + 3) + (j * j + 7)) % {_P} for x in h]), {_P}) "

@@ -552,3 +552,20 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     for r in out:
         assert r["bloom_hits"] >= r["exact_hits"], r  # bloom never misses
         assert r["n_grams"] >= r["bloom_hits"]
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    from laposte_data_engineering_jedha_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely different here")],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in D.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert cont.get((1, 2)) == 1.0  # short doc fully contained
+    jac = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # jaccard never fires on the superset pair
+    assert not any(3 in p for p in cont)
