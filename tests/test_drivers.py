@@ -188,3 +188,19 @@ def test_benchmark_matrix_shape(spark, tmp_path, monkeypatch):
     with open(out_csv) as fh:
         rows = list(csv.DictReader(fh))
     assert len(rows) == 2 and rows[0]["rows"] == "100"
+
+
+def test_driver_window_priority_matches_registry():
+    """The explicit window ordering and the registry must agree exactly —
+    a typo'd or unlisted name would silently land outside the driver's
+    50-query correctness window."""
+    from laposte_data_engineering_jedha_spark import queries as q
+
+    assert set(q.DRIVER_WINDOW_PRIORITY) == set(q.SPARK_QUERIES)
+    assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
+    # every oracle belongs to a registered query
+    assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
+    # the 50-slot window is exactly the §2 parity + olap + io + core-llmops set
+    window = q.DRIVER_WINDOW_PRIORITY[:50]
+    assert "pipeline_delay_status" == window[0]
+    assert all(name in q.ORACLE_SQL or name == "src_generate" for name in window)
