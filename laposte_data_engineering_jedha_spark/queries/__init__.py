@@ -356,6 +356,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",
     "dedup_survivors",
     "corpus_pack_sequences",
+    "corpus_seq_manifest",
     "corpus_hash_sample",
     "corpus_stratified_sample",
     "corpus_decontaminate",

@@ -492,6 +492,47 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_seq_manifest",
+    rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{texts.BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t)
+SELECT CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1""",
+)
+def corpus_seq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence manifest — the loader-facing inverse of
+    corpus_pack_sequences: for each 2048-token training block, how many
+    docs START in it, the first doc id, and their total token mass (a
+    block's mass can exceed 2048 when its last doc straddles the
+    boundary — the straddle is cut at training time). One extra
+    seq_id-keyed aggregate on top of the scale-safe prefix sum."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", texts.bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        corpus.pack_sequences(docs, budget=2048)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "corpus_hash_sample",
     f"""
 SELECT doc_id, lang
