@@ -230,3 +230,70 @@ def test_stream_enrich_plan_is_streaming_and_broadcast(spark, sf_dir, events_dir
     assert df.isStreaming
     batch = jobs.enrich_users(spark.read.parquet(events_dir), customers)
     assert "BroadcastHashJoin" in batch._jdf.queryExecution().executedPlan().toString()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/resume semantics: a watermarked append-mode aggregation driven
+    in two availableNow runs over ONE checkpoint must (a) emit every
+    finalized window exactly once across both runs (the file-source
+    checkpoint must not re-ingest run-1 files) and (b) agree exactly with
+    the batch computation over the full data — a double-ingest would
+    inflate counts, a lost state would drop windows."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_table(spark, sf_dir)
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    total = (hi - lo).total_seconds()
+
+    def write_slice(i):
+        a = lo + datetime.timedelta(seconds=total * i / 4)
+        b = (
+            hi + datetime.timedelta(seconds=1)
+            if i == 3
+            else lo + datetime.timedelta(seconds=total * (i + 1) / 4)
+        )
+        ev.where((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.1)
+
+    def run_once():
+        stream = jobs.tumbling_counts(
+            jobs.read_events_stream(spark, src), with_watermark=True
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_slice(0)
+    write_slice(1)
+    run_once()
+    write_slice(2)
+    write_slice(3)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 0
+    keys = [(r["bucket_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly once per finalized window
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in jobs.tumbling_counts(spark.read.parquet(src)).collect()
+    }
+    for r in rows:
+        assert batch[(r["bucket_start"], r["event_type"])] == (
+            r["n_events"],
+            r["total_value"],
+        ), r
