@@ -394,6 +394,8 @@ DRIVER_WINDOW_PRIORITY = [
     "events_retention_cohorts",
     "embedding_quantize",
     "olap_grouping_sets",
+    "olap_nation_share",
+    "events_ab_conversion",
     "multimodal_frame_sample",
     "multimodal_features",
     "src_generate",

@@ -342,6 +342,107 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "olap_nation_share",
+    """
+WITH rev AS (
+  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, yr, revenue,
+       round((revenue / sum(revenue) OVER (PARTITION BY yr)) * 10000) / 10000
+         AS share
+FROM rev""",
+)
+def olap_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue share per ship year: the windowed-ratio
+    OLAP pattern. Both dimension joins broadcast (supplier + nation are
+    small sides), revenue aggregates through DECIMAL (order-free exact),
+    and the share window runs over the tiny (nation x year) aggregate —
+    the fact table shuffles exactly once, for its own groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("yr"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "n_name",
+        "yr",
+        "revenue",
+        (F.round((F.col("revenue") / F.sum("revenue").over(w)) * 10000) / 10000).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "events_ab_conversion",
+    f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CAST({{md5u}} % 2 AS INTEGER) AS variant
+  FROM events),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT a.variant, count(*) AS n_users,
+       CAST(count(c.user_id) AS BIGINT) AS n_converted,
+       round((CAST(count(c.user_id) AS DOUBLE) / count(*)) * 10000) / 10000
+         AS conversion_rate
+FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+GROUP BY 1""".format(
+        md5u="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    ),
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B split report: users hash into two variants
+    (md5(user_id) % 2 — stable across runs/engines, the experiment
+    bucketing every growth pipeline needs), conversion = any purchase
+    event. Two user_id-keyed distinct aggregates, one co-partitioned
+    join, two output rows."""
+    from ..functions import texts
+    from . import events_table
+
+    ev = events_table(spark, sf_dir)
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (texts.md5int32(F.col("user_id").cast("string")) % 2).cast("int").alias("variant"),
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_user"))
+        .distinct()
+    )
+    return (
+        assign.join(conv, assign.user_id == conv.c_user, "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("c_user").alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            (F.round((F.col("n_converted").cast("double") / F.col("n_users")) * 10000) / 10000).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
