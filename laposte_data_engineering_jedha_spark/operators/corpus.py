@@ -244,6 +244,14 @@ def weighted_priority_sample(
     Scale shape: priority is map-side; orderBy+limit compiles to
     TakeOrderedAndProject (per-partition top-n, then a single n-row merge
     on the driver) — no global sort, no single-partition window.
+
+    Magnitude caveat: for small h the raw priority can exceed 2^53 / 1e6,
+    where doubles lack the resolution to represent 6 decimal places —
+    there `round(p * 1e6) / 1e6` is a lossy no-op and the emitted
+    `priority` column is NOT actually quantized to 6 decimals. Cross-engine
+    parity is unaffected (both engines run the identical IEEE multiply,
+    divide, and round on the same inputs); only the human-readable
+    quantization guarantee weakens at the top of the range.
     """
     h = texts.md5int32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     priority = F.col(weight_col).cast("double") * F.lit(4294967296.0) / (h + 1)

@@ -421,6 +421,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     dim: int = 64,
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -440,8 +441,22 @@ def embedding_dup_pairs(
     over dimensions (vectorized across the block), so raw cosines are
     bit-identical to `vectors.dot`/the SQL oracle; final round+threshold
     happens JVM-side with the library round2/round4 convention.
+
+    `max_rows` is a fail-fast guard (round-3 verdict item 4): the build
+    relation is collected to the driver, so a too-large corpus must raise
+    BEFORE `toPandas()` rather than OOM mid-collect. Raise the cap only if
+    driver memory genuinely allows; the scale path is
+    `embedding_dup_pairs_lsh`.
     """
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_dup_pairs is an exact block-nested-loop baseline that "
+            f"collects the corpus driver-side: got {n} rows > max_rows={max_rows}. "
+            f"Use embedding_dup_pairs_lsh (banded hyperplane LSH, no collect) "
+            f"for corpora of this size."
+        )
     pdf = src.toPandas()
     ids_b = pdf["_id"].to_numpy()
     mat_b = np.array([np.asarray(v, dtype="float64") for v in pdf["_v"]], dtype="float64")

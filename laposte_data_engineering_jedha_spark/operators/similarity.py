@@ -43,17 +43,21 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
 def _sides(
     df: DataFrame, queries: DataFrame, vec_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Corpus + query sides with Arrow-kernel norms precomputed per row."""
+    """Corpus + query sides with Arrow-kernel norms precomputed per row.
+
+    Zero-norm vectors are dropped on both sides: cosine is undefined for
+    them, and the engines disagree on 0/0 (Spark NULL, DuckDB NaN/inf) —
+    the same guard knn_graph and embedding_dup_pairs_lsh carry."""
     cand = df.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         vectors.pd_norm(vec_col).alias("cn"),
-    )
+    ).where(F.col("cn") > 0)
     qry = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         vectors.pd_norm(vec_col).alias("qn"),
-    )
+    ).where(F.col("qn") > 0)
     return cand, qry
 
 
@@ -148,6 +152,11 @@ def knn_graph(
             F.col(vec_col).alias("_v"),
             vectors.pd_norm(vec_col).alias("_n"),
         )
+        # zero-norm guard: cosine is undefined for the zero vector — Spark
+        # would emit NULL (0/0) while DuckDB emits NaN/inf, breaking the
+        # cross-engine gate and corrupting top-k ranking. Same filter as
+        # embedding_dup_pairs_lsh; SQL twin carries WHERE nrm > 0.
+        .where(F.col("_n") > 0)
         .withColumn("bucket", vectors.pd_lsh_bucket("_v", dim, planes))
         .repartition("bucket")
     )
@@ -247,8 +256,18 @@ def ivf_knn(
             F.explode(vectors.pd_nearest_centroids(vec_col, centers, n)).alias("centroid"),
         )
 
-    cand = assign(df, "cand_id", "cv", 1).withColumn("cn", vectors.pd_norm("cv"))
-    qry = assign(queries, "query_id", "qv", n_probe).withColumn("qn", vectors.pd_norm("qv"))
+    # zero-norm guard: cosine undefined for the zero vector (same filter as
+    # _sides / knn_graph)
+    cand = (
+        assign(df, "cand_id", "cv", 1)
+        .withColumn("cn", vectors.pd_norm("cv"))
+        .where(F.col("cn") > 0)
+    )
+    qry = (
+        assign(queries, "query_id", "qv", n_probe)
+        .withColumn("qn", vectors.pd_norm("qv"))
+        .where(F.col("qn") > 0)
+    )
     cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     pairs = (
         cand.join(F.broadcast(qry), "centroid")

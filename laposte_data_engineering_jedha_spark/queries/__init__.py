@@ -286,15 +286,25 @@ def with_deliveries(body: str, weather: bool = False) -> str:
 # --- driver contract exports --------------------------------------------------
 #
 # The driver hash-checks only the FIRST 50 registered queries (dict insertion
-# order — CORRECTNESS_r02 truncated at 50 of 67). With 68 registered Op-IDs
-# the window is a priority decision, made explicit here: every SURVEY §2
-# reference-parity op (parity exprs, olap, io round-trips) goes first, then
-# the most load-bearing llmops operators fill the remaining slots. Everything
-# past slot 50 keeps full oracle coverage via the in-repo replica gate
-# (tests/test_oracle_parity.py runs ALL registered oracles at sf0.001) and is
-# benched per-round by bench.py.
+# order — CORRECTNESS_r02 truncated at 50 of 67). With 100 registered Op-IDs
+# the window is a priority decision, made explicit here and ROTATED per round
+# so every oracle-eligible query earns a hard driver CORRECTNESS row across
+# consecutive rounds:
+#
+#   round 3 window — the SURVEY §2 parity surface (24 parity exprs, 12 olap,
+#     6 io round-trips, 8 core llmops): ALL 50 green in CORRECTNESS_r03.json.
+#   round 4 window (this ordering) — the 47 oracle-eligible queries that sat
+#     past slot 50 in round 3, plus the 3 rows-only ops (src_generate,
+#     ivf_knn, stream_sessionize) which get the driver's weaker rows-only
+#     check. The externally-proven round-3 set moves past the window.
+#
+# Everything outside the window keeps full oracle coverage via the in-repo
+# replica gate (tests/test_oracle_parity.py runs ALL registered oracles at
+# sf0.001) and is benched per-round by bench.py.
 
-DRIVER_WINDOW_PRIORITY = [
+# Round-3 window: externally hash-verified by CORRECTNESS_r03.json (50/50
+# green); now past the window, covered by the in-repo replica gate.
+ROUND3_VERIFIED = [
     # parity (SURVEY §2.3–§2.6) — 24
     "pipeline_delay_status",
     "expr_ts_diff",
@@ -340,7 +350,7 @@ DRIVER_WINDOW_PRIORITY = [
     "src_sqlite_roundtrip",
     "src_xlsx_roundtrip",
     "src_weather_flatten",
-    # llmops core — 8 (fills the window to exactly 50)
+    # llmops core — 8
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -349,7 +359,10 @@ DRIVER_WINDOW_PRIORITY = [
     "events_sessionize",
     "events_asof_last_purchase",
     "events_sketch_aggregates",
-    # --- past the 50-query window (replica-gate + bench coverage) ---
+]
+
+DRIVER_WINDOW_PRIORITY = [
+    # --- round-4 window: the 47 oracle queries unchecked in round 3 ---
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_simhash",
@@ -372,7 +385,6 @@ DRIVER_WINDOW_PRIORITY = [
     "knn_brute_force",
     "knn_graph",
     "dedup_semantic",
-    "ivf_knn",
     "text_token_count",
     "text_lang_id",
     "text_quality",
@@ -398,8 +410,12 @@ DRIVER_WINDOW_PRIORITY = [
     "events_ab_conversion",
     "multimodal_frame_sample",
     "multimodal_features",
+    # rows-only ops (no SQL twin) — driver records the weaker rows-only check
     "src_generate",
+    "ivf_knn",
     "stream_sessionize",
+    # --- past the 50-query window: round-3-verified set (replica gate) ---
+    *ROUND3_VERIFIED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

@@ -616,7 +616,11 @@ def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK, _OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK - _OVERLAP
-_CHUNK_CAP = 64  # oracle-only explode bound (fixture max ~100 tokens/doc)
+# Oracle-only explode bound. The Spark side is unbounded; the fixture max is
+# ~100 tokens/doc, and tests/test_llmops.py::
+# test_chunk_overlap_oracle_cap_covers_fixture asserts the headroom at every
+# sf so a fixture change fails loudly instead of as a hash mismatch.
+_CHUNK_CAP = 64
 
 
 @query(
@@ -1158,7 +1162,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ============================= similarity search =============================
 
 _SQL_KNN_BASE = f"""
-n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
+n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
+      WHERE {SQL_NORM} > 0),
 q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 8)"""
 
 
@@ -1214,7 +1219,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed corpus-wide top-3 graph CTEs, shared by knn_graph and the
 # SemDeDup-style dedup_semantic composition.
 _SQL_KNN_GRAPH_CTES = f"""n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
-cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n),
+cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n WHERE nrm > 0),
 capped AS (
   SELECT *, row_number() OVER (
     PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _r
@@ -1688,14 +1693,22 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-isomorphic (log is monotone) and the score is a single IEEE
     division+multiply, exactly reproducible across engines — ln() is only
     ulp-accurate and engine-dependent. Plan: explode -> two hash aggs
-    (term-frequency, doc-frequency) -> broadcast-join the term dim ->
-    per-doc top-k window."""
+    (term-frequency, doc-frequency) -> term-keyed join -> per-doc top-k
+    window.
+
+    The term-dim join is deliberately NOT broadcast-hinted (round-3
+    verdict item 3): at web-corpus scale the distinct-term set (URLs,
+    typos, code tokens) grows with the corpus and an unconditional
+    broadcast OOMs the driver. A shuffle join on `term` is the scale-safe
+    shape — both inputs are already hash-partitioned on compatible keys
+    from their aggregations, and AQE still converts to broadcast at
+    runtime whenever the measured docfreq side is genuinely small."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(texts.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    scored = tf.join(docfreq, "term").select(
         "doc_id",
         "term",
         (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))).alias("score"),

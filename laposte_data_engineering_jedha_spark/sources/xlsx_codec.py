@@ -107,8 +107,11 @@ def write_xlsx(
     (stored entries open fine in Excel/openpyxl), and skipping deflate
     halves the driver-side write (3.3 s -> 1.7 s at 150k rows) at ~10x
     the file size. Pass compress=True for interchange-sized files."""
+    # compresslevel only applies when deflating — passing it alongside
+    # ZIP_STORED would be a silently-dead argument (round-3 advice item)
     comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
-    with zipfile.ZipFile(path, "w", comp, compresslevel=1) as zf:
+    zip_kw = {"compresslevel": 1} if compress else {}
+    with zipfile.ZipFile(path, "w", comp, **zip_kw) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
@@ -181,8 +184,11 @@ def write_xlsx_fragments(
     """Assemble a workbook from pre-built sheetData row fragments
     (see rows_xml_fragment): header row first, then each fragment streamed
     through the zip entry. Stored-by-default like write_xlsx."""
+    # compresslevel only applies when deflating — passing it alongside
+    # ZIP_STORED would be a silently-dead argument (round-3 advice item)
     comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
-    with zipfile.ZipFile(path, "w", comp, compresslevel=1) as zf:
+    zip_kw = {"compresslevel": 1} if compress else {}
+    with zipfile.ZipFile(path, "w", comp, **zip_kw) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))

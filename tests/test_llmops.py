@@ -152,6 +152,37 @@ def test_embedding_lsh_pairs_subset_of_brute_force(spark, sf_dir):
         assert exact[(r["id_a"], r["id_b"])] == r["cosine"]
 
 
+def test_knn_zero_norm_vectors_excluded(spark):
+    """Cosine is undefined for the zero vector: Spark yields NULL (0/0)
+    while DuckDB yields NaN/inf, so a zero embedding would break the
+    cross-engine hash gate and corrupt top-k ranking. All kNN entry
+    points must silently drop zero-norm rows on both sides (round-3
+    advice item)."""
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    graph = similarity.knn_graph(df, k=3, dim=4, planes=2).collect()
+    brute = similarity.brute_force_knn(df, df, k=3, dim=4).collect()
+    for out in (graph, brute):
+        assert len(out) > 0
+        ids = {r["query_id"] for r in out} | {r["cand_id"] for r in out}
+        assert 0 not in ids
+        assert all(r["cosine"] is not None for r in out)
+
+
+def test_embedding_block_nl_fails_fast_over_cap(spark, sf_dir):
+    """The exact block-NL baseline collects the corpus driver-side; a
+    too-large corpus must raise BEFORE toPandas() with a pointer to the
+    LSH scale path, instead of OOMing mid-collect (round-3 verdict item
+    4)."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="embedding_dup_pairs_lsh"):
+        dedup.embedding_dup_pairs(emb, threshold=0.4, max_rows=5)
+
+
 def test_ivf_kmeans_fits_on_a_sample(spark):
     """The coarse-quantizer fit input is capped: above fit_max_rows the fit
     sees a seeded sample, not the full corpus (the 100 TB claim in the
@@ -410,6 +441,32 @@ def test_chunk_with_overlap_boundaries(spark):
     assert rows[(2, 0)]["chunk_text"] == text10
     with pytest.raises(ValueError):
         corpus.chunk_with_overlap(df, chunk_tokens=8, overlap_tokens=8)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_chunk_overlap_oracle_cap_covers_fixture(sf):
+    """The corpus_chunk_overlap SQL oracle bounds its chunk explode with
+    _CHUNK_CAP while the Spark side is unbounded. If a fixture doc ever
+    grew past the cap (~1,544 tokens) the oracle would silently emit fewer
+    rows and the gate would fail as a confusing hash mismatch — assert the
+    headroom explicitly so a fixture change surfaces here as a clear
+    assertion instead (round-3 advice item)."""
+    import duckdb
+
+    from laposte_data_engineering_jedha_spark.queries import llmops
+
+    max_chunks = duckdb.sql(
+        f"""SELECT max(greatest(1, CAST(ceil(
+                (len({llmops.sql_toks('text')}) - {llmops._OVERLAP})
+                / CAST({llmops._CHUNK_STRIDE} AS DOUBLE)) AS INTEGER)))
+            FROM read_parquet('{sf}/documents.parquet')"""
+    ).fetchone()[0]
+    assert max_chunks <= llmops._CHUNK_CAP, (
+        f"{sf}: fixture needs {max_chunks} chunks > oracle cap "
+        f"{llmops._CHUNK_CAP} — raise _CHUNK_CAP in queries/llmops.py"
+    )
 
 
 def test_weighted_priority_sample_monotone_and_stable(spark):

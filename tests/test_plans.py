@@ -192,11 +192,15 @@ def test_retention_copartitions_on_user(plans):
     import re as _re
 
     p = plans("events_retention_cohorts")
-    # both user-keyed inputs partition on user_id; the join itself adds no
-    # third user exchange, and the only other exchange is the final
-    # (cohort, offset) aggregate
-    assert len(_re.findall(r"hashpartitioning\(user_id", p)) == 2
-    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 3
+    # Invariant bounds, not exact counts (exact Exchange tallies are
+    # brittle across Spark versions / AQE / conf — round-3 advice item):
+    # both user-keyed inputs may partition on user_id but the join must
+    # not add a third user exchange; total exchanges stay within the two
+    # user-side ones + the final (cohort, offset) aggregate; and nothing
+    # introduces a global range sort.
+    assert 1 <= len(_re.findall(r"hashpartitioning\(user_id", p)) <= 2
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) <= 3
+    assert "rangepartitioning" not in p
 
 
 def test_grouping_sets_single_scan_expand(plans):
@@ -204,7 +208,9 @@ def test_grouping_sets_single_scan_expand(plans):
 
     p = plans("olap_grouping_sets")
     assert "Expand" in p  # grouping-set expansion is map-side
-    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    # at most the one final-aggregate exchange; never a range sort
+    assert len(_re.findall(r"\(\d+\) Exchange\b", p)) <= 1
+    assert "rangepartitioning" not in p
 
 
 def test_zscore_stats_are_broadcast(plans):
