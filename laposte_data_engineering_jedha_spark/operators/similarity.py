@@ -118,33 +118,45 @@ def knn_graph(
     df: DataFrame,
     k: int = 3,
     dim: int = 64,
-    planes: int = 6,
+    bands: int = 4,
+    band_planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 256,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus — every vector's top-k
-    bucket-local neighbors. The building block of SemDeDup-style semantic
+    band-local neighbors. The building block of SemDeDup-style semantic
     dedup and embedding clustering, where the query set IS the corpus, so
     neither side can broadcast (unlike `lsh_knn`): both sides are the same
-    bucketed relation, hash-partitioned on the LSH bucket id, joined with
-    a sort-merge join on the bucket key. Each alias shuffles the narrow
-    (id, vec, norm, bucket) projection — Spark cannot merge the two into
-    a ReusedExchange because PythonUDF subtrees never canonicalize equal
-    (SCALE.md finding 11); persist(MEMORY_AND_DISK) on `src` is the
+    banded relation, hash-partitioned on the (band, key) LSH bucket id,
+    joined with a sort-merge join on it. Each alias shuffles the narrow
+    (id, vec, norm, band, key) projection — Spark cannot merge the two
+    into a ReusedExchange because PythonUDF subtrees never canonicalize
+    equal (SCALE.md finding 11); persist(MEMORY_AND_DISK) on `src` is the
     escalation when the Arrow kernels dominate. Exact cosine re-ranks
-    within the bucket; per-vector top-k is a bucket-co-partitioned window.
-    Recall < 1 by design (neighbors outside the bucket are unseen);
-    fewer planes = bigger buckets = higher recall, more compute.
+    within the bucket; per-vector top-k is a window over the deduped
+    candidate edges.
 
-    `max_bucket` caps the CANDIDATE side per bucket (deterministic
-    md5-ordered head) — the LSH twin of the stop-shingle df cap. On
-    clustered corpora (the realistic embedding shape) a whole topic
-    cluster collapses into a handful of buckets and the uncapped
+    BANDED OR-amplification (round-4 fix): the original single-band shape
+    had recall == the one-band collision probability — measured 0.0871
+    recall@3 at 6 planes on a structureless corpus (SCALE.md round-4
+    table), because a theta-degree true neighbor collides with
+    p = (1 - theta/pi)^planes and there was exactly one chance. With
+    `bands` independent 6-plane bands a pair is a candidate if it collides
+    in ANY band: recall = 1 - (1 - p)^bands (~4x at mid-range cosine,
+    ~1.0 for near-dup edges) for ~bands-x candidate compute — the same
+    AND/OR construction as `embedding_dup_pairs_lsh`. Pairs colliding in
+    several bands are deduplicated on (query_id, cand_id) BEFORE ranking
+    (cosine is identical per collision), on a narrow 3-column shuffle.
+
+    `max_bucket` caps the CANDIDATE side per (band, key) bucket
+    (deterministic md5-ordered head) — the LSH twin of the stop-shingle
+    df cap. On clustered corpora (the realistic embedding shape) a whole
+    topic cluster collapses into a handful of buckets and the uncapped
     self-join goes quadratic in cluster size (measured: 400k clustered
-    vectors at 12 planes did not finish; capped at 256 it is bounded by
-    n * max_bucket comparisons). Every vector still gets ranked against
-    a bounded, deterministic sample of its bucket-mates.
+    vectors did not finish uncapped; capped at 256 it is bounded by
+    bands * n * max_bucket comparisons). Every vector still gets ranked
+    against a bounded, deterministic sample of its bucket-mates per band.
     """
     src = (
         df.select(
@@ -157,20 +169,32 @@ def knn_graph(
         # cross-engine gate and corrupting top-k ranking. Same filter as
         # embedding_dup_pairs_lsh; SQL twin carries WHERE nrm > 0.
         .where(F.col("_n") > 0)
-        .withColumn("bucket", vectors.pd_lsh_bucket("_v", dim, planes))
-        .repartition("bucket")
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
+                "band", "key"
+            ),
+        )
+        .repartition("band", "key")
     )
     a = src.select(
-        "bucket", F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
+        "band",
+        "key",
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"),
     )
-    cap_w = Window.partitionBy("bucket").orderBy(
+    cap_w = Window.partitionBy("band", "key").orderBy(
         F.md5(F.col("_id").cast("string")), F.col("_id")
     )
     b = (
         src.withColumn("_r", F.row_number().over(cap_w))
         .where(F.col("_r") <= max_bucket)
         .select(
-            "bucket",
+            "band",
+            "key",
             F.col("_id").alias("cand_id"),
             F.col("_v").alias("cv"),
             F.col("_n").alias("cn"),
@@ -178,9 +202,10 @@ def knn_graph(
     )
     cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, ["band", "key"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+        .dropDuplicates(["query_id", "cand_id"])
     )
     return _ranked_topk(pairs, k)
 

@@ -1216,18 +1216,24 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_knn(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64, planes=8)
 
 
-# LSH-bucketed corpus-wide top-3 graph CTEs, shared by knn_graph and the
-# SemDeDup-style dedup_semantic composition.
+# Banded-LSH corpus-wide top-3 graph CTEs, shared by knn_graph and the
+# SemDeDup-style dedup_semantic composition. 4 bands x 6 planes
+# (OR-amplification — round-4 fix: the single-band shape measured
+# recall@3 = 0.0871, the one-band collision probability itself; banding
+# lifts recall to 1-(1-p)^4 for ~4x candidate compute, SCALE.md table).
+_GRAPH_BANDS, _GRAPH_BAND_PLANES = 4, 6
 _SQL_KNN_GRAPH_CTES = f"""n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings),
-cb AS (SELECT vec_id, e, nrm, {_sql_bucket('e', 6)} AS bucket FROM n WHERE nrm > 0),
+nb AS (SELECT vec_id, e, nrm, CAST(r.range AS BIGINT) AS band
+       FROM n CROSS JOIN range(0, {_GRAPH_BANDS}) r WHERE nrm > 0),
+cb AS (SELECT vec_id, e, nrm, band, {_sql_band_key('e', _GRAPH_BAND_PLANES)} AS key FROM nb),
 capped AS (
   SELECT *, row_number() OVER (
-    PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _r
+    PARTITION BY band, key ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _r
   FROM cb),
 gpairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id,
          {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
-  FROM cb a JOIN capped b USING (bucket)
+  FROM cb a JOIN capped b ON a.band = b.band AND a.key = b.key
   WHERE b._r <= 256 AND a.vec_id <> b.vec_id),
 granked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
@@ -1243,10 +1249,12 @@ SELECT query_id, cand_id, cosine, rank FROM knn""",
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate top-3 neighbor graph (SemDeDup / embedding
-    clustering input): LSH bucket self-join with a shared exchange, no
-    broadcast side (operators/similarity.py knn_graph)."""
+    clustering input): banded-LSH (band, key) self-join with no broadcast
+    side (operators/similarity.py knn_graph)."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, k=3, dim=64, planes=6)
+    return similarity.knn_graph(
+        emb, k=3, dim=64, bands=_GRAPH_BANDS, band_planes=_GRAPH_BAND_PLANES
+    )
 
 
 @query(
@@ -1281,7 +1289,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_survivors — so the whole semantic-dedup pipeline is one
     hash-gated query."""
     emb = table(spark, sf_dir, "embeddings")
-    g = similarity.knn_graph(emb, k=3, dim=64, planes=6)
+    g = similarity.knn_graph(
+        emb, k=3, dim=64, bands=_GRAPH_BANDS, band_planes=_GRAPH_BAND_PLANES
+    )
     pairs = (
         g.where(F.col("cosine") >= 0.4)
         .select(

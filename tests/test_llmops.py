@@ -162,7 +162,7 @@ def test_knn_zero_norm_vectors_excluded(spark):
         (i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(1, 8)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    graph = similarity.knn_graph(df, k=3, dim=4, planes=2).collect()
+    graph = similarity.knn_graph(df, k=3, dim=4, bands=1, band_planes=2).collect()
     brute = similarity.brute_force_knn(df, df, k=3, dim=4).collect()
     for out in (graph, brute):
         assert len(out) > 0

@@ -239,7 +239,7 @@ def test_knn_graph_bucket_smj_no_cartesian(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in p
-    assert len(_re.findall(r"hashpartitioning\(bucket", p)) == 2
+    assert len(_re.findall(r"hashpartitioning\(band", p)) == 2
     assert "Cartesian" not in p and "rangepartitioning" not in p
 
 
