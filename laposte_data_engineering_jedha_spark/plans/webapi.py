@@ -71,6 +71,20 @@ def prepare_job(
     return session_id, config
 
 
+def _service_descriptor() -> dict:
+    """GET / payload — the reference serves its HTML UI here (api.py:82-89);
+    the rebuild serves a machine-readable route map (also the Docker
+    healthcheck target)."""
+    return {
+        "service": "laposte-etl-pyspark",
+        "routes": {
+            "run": "POST /run-etl?rows=N&formats=all|all_but_xlsx|csv|... (optional multipart file)",
+            "status": "GET /status/{session_id}",
+            "download": "GET /download/{session_id}",
+        },
+    }
+
+
 def status_payload(session_id: str) -> tuple[int, dict]:
     """GET /status/{id} (reference api.py:141-147)."""
     job = JOBS.get(session_id)
@@ -130,7 +144,9 @@ class MiniApp:
             if not message.get("more_body"):
                 break
         method, path = scope["method"], scope["path"]
-        if method == "POST" and path == "/run-etl":
+        if method == "GET" and path == "/":
+            status, payload = 200, _service_descriptor()
+        elif method == "POST" and path == "/run-etl":
             status, payload = self._run_etl(scope, body)
         elif method == "GET" and path.startswith("/status/"):
             status, payload = status_payload(path[len("/status/") :])
@@ -197,6 +213,10 @@ def _create_fastapi_app(spark, workdir: str):  # pragma: no cover - env-dependen
     from fastapi.responses import FileResponse, JSONResponse
 
     app = FastAPI(title="SuperCourier ETL (PySpark)")
+
+    @app.get("/")
+    def root():
+        return _service_descriptor()
 
     @app.post("/run-etl")
     async def run_etl(

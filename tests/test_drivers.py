@@ -175,6 +175,53 @@ def test_webapi_unknown_session_and_route(webapp):
     assert status == 404
 
 
+def test_webapi_root_descriptor(webapp):
+    """GET / is the healthcheck target of the Docker deployment shell."""
+    import json
+
+    status, body = _asgi_call(webapp, "GET", "/")
+    assert status == 200
+    payload = json.loads(body)
+    assert payload["service"] == "laposte-etl-pyspark"
+    assert set(payload["routes"]) == {"run", "status", "download"}
+
+
+def test_serve_stdlib_bridge_http_roundtrip(webapp):
+    """plans/serve.py's stdlib ASGI bridge over real sockets: the
+    deployment path this container actually uses (uvicorn absent). Drives
+    GET / and the POST -> poll -> download flow through genuine HTTP."""
+    import io
+    import json
+    import time
+    import urllib.request
+
+    from laposte_data_engineering_jedha_spark.plans.serve import run_stdlib_server
+
+    server = run_stdlib_server(webapp, "127.0.0.1", 0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/") as resp:
+            assert resp.status == 200
+            assert json.load(resp)["service"] == "laposte-etl-pyspark"
+        req = urllib.request.Request(f"{base}/run-etl?rows=20&formats=json", method="POST")
+        with urllib.request.urlopen(req) as resp:
+            session_id = json.load(resp)["session_id"]
+        for _ in range(100):
+            with urllib.request.urlopen(f"{base}/status/{session_id}") as resp:
+                payload = json.load(resp)
+            if payload["status"] != "running":
+                break
+            time.sleep(0.3)
+        assert payload["status"] == "completed"
+        with urllib.request.urlopen(f"{base}/download/{session_id}") as resp:
+            data = resp.read()
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            assert "results_manifest.json" in zf.namelist()
+    finally:
+        server.shutdown()
+
+
 def test_benchmark_matrix_shape(spark, tmp_path, monkeypatch):
     """Reference harness contract (benchmarks.py:13-89): rows x format grid,
     warm-up run, per-run seconds, results CSV."""
