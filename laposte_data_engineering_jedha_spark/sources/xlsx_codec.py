@@ -116,7 +116,11 @@ def write_xlsx(
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
         zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        with zf.open("xl/worksheets/sheet1.xml", "w") as ws:
+        # force_zip64: the streamed worksheet's size is unknown up front, and
+        # zipfile refuses to finalize a streamed entry >4 GiB without zip64
+        # headers (surfaced by the 10M-row 'all' benchmark axis: stored XML
+        # for 10M rows is ~5 GiB)
+        with zf.open("xl/worksheets/sheet1.xml", "w", force_zip64=True) as ws:
             ws.write(
                 b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 b'<worksheet xmlns="' + _MAIN_NS.encode() + b'"><sheetData>'
@@ -193,7 +197,9 @@ def write_xlsx_fragments(
         zf.writestr("_rels/.rels", _PACKAGE_RELS)
         zf.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
         zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        with zf.open("xl/worksheets/sheet1.xml", "w") as ws:
+        # force_zip64: streamed-entry size is unknown; >4 GiB worksheets
+        # (10M-row stored XML) otherwise fail at entry close
+        with zf.open("xl/worksheets/sheet1.xml", "w", force_zip64=True) as ws:
             ws.write(
                 b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 b'<worksheet xmlns="' + _MAIN_NS.encode() + b'"><sheetData>'
