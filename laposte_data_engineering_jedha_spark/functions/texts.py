@@ -387,3 +387,39 @@ def quality_score(col: Column | str) -> Column:
         + F.lit(0.25) * sym_ok
         + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
     )
+
+
+def pd_char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    gibberish/compressed-junk detector of a corpus quality pipeline (random
+    bytes ≈ log2(alphabet), natural English ≈ 4.1, 'aaaa…' ≈ 0).
+
+    One Arrow-batched pass per document (no per-char explode shuffle — at
+    100 TB a char-level explode multiplies the row count by document
+    length; this kernel touches each doc once, map-side). Cross-engine
+    discipline: terms accumulate LEFT-TO-RIGHT in sorted-char order and
+    log2 is C-libm on both sides (Python math.log2 == DuckDB log2,
+    verified bit-identical), so the DuckDB twin
+    (`list(count ORDER BY ch)` + `list_reduce`) reproduces the double
+    exactly. Empty text -> 0.0; the `+ 0.0` folds the single-char-doc
+    -0.0 into +0.0 on both engines.
+    """
+    import math
+    from collections import Counter
+
+    @pandas_udf("double")
+    def kernel(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s:
+            n = len(txt)
+            if n == 0:
+                out.append(0.0)
+                continue
+            acc = 0.0
+            for _ch, c in sorted(Counter(txt).items()):
+                p = c / n
+                acc = acc + p * math.log2(p)
+            out.append(-acc + 0.0)
+        return pd.Series(out)
+
+    return kernel(_c(col))

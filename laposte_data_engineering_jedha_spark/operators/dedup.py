@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import texts, vectors
 from ..functions.vectors import _ltr_dot
@@ -493,3 +493,102 @@ def embedding_dup_pairs(
     return pairs.select(
         "id_a", "id_b", (F.round(F.col("raw") * 10000) / 10000).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm).
+
+    Positional word k-grams are hashed (md5) and, for every window of `w`
+    consecutive k-grams, the minimal (hash, position) is selected; the
+    distinct selected hashes are the document's fingerprint set. Unlike
+    0-mod-p hash sampling, winnowing GUARANTEES every shared substring of
+    at least w+k-1 tokens contributes at least one common fingerprint — the
+    substring-level duplication detector the shingle-set family
+    (Jaccard/containment) structurally is not.
+
+    Implementation is pure DataFrame ops: positional grams via
+    `transform(sequence)+slice` (codegen), then ONE window `min` per gram
+    over `ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW` partitioned by doc —
+    the set of those window-minima IS the set of per-window minima (each
+    window [j, j+w-1] is the frame of its last row), so no self-join or
+    per-window explode is needed. Selection key is the string
+    `md5hex || '-' || lpad(pos)`: distinct hashes order by hash, equal
+    hashes break ties by LEFTMOST position — deterministic and identically
+    computable in DuckDB (min over VARCHAR, binary collation both sides).
+
+    Scale: per-doc windows only — the window shuffle hash-partitions by
+    `id_col` and each partition sorts locally by gram position; docs are
+    bounded-length so no partition outgrows memory. Returns distinct
+    (id_col, fp) with fp the 32-hex gram hash. Docs with fewer than
+    w+k-1 tokens yield no fingerprints (no complete window), matching the
+    paper's guarantee threshold.
+    """
+    toks = texts.tokens(text_col)
+    count = F.size(toks) - (k - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    sel = F.concat(
+        F.md5(F.col("gram")),
+        F.lit("-"),
+        F.lpad(F.col("pos").cast("string"), 8, "0"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        g.select(F.col(id_col), F.col("pos"), F.min(sel).over(win).alias("sel"))
+        .where(F.col("pos") >= w - 1)
+        .select(F.col(id_col), F.substring("sel", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 100,
+) -> DataFrame:
+    """Substring-overlap pairs by shared winnowing fingerprints.
+
+    Same inverted-index shape as `ngram_jaccard_pairs` — (id, fp) index,
+    self-join on fp, count shared — but over the winnowed fingerprint set,
+    which is ~1/((w+1)/2) the size of the full shingle set (the paper's
+    expected density 2/(w+1)), so the join input shrinks by the same
+    factor. `max_fp_df` is the stop-fingerprint guard (same role as
+    `max_shingle_df`). Emits (id_a, id_b, n_shared, overlap) where overlap
+    = shared / min(|fpA|, |fpB|) — fingerprint containment, round4.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    if max_fp_df is not None:
+        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fp = fp.join(freq.where(F.col("df") <= max_fp_df), "fp").select(id_col, "fp")
+    fp = fp.repartition("fp")
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ov = F.col("n_shared") / F.least(F.col("sa.n_fp"), F.col("sb.n_fp"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b", "n_shared", (F.round(ov * 10000) / 10000).alias("overlap"))
+    )

@@ -361,6 +361,18 @@ ROUND3_VERIFIED = [
     "events_sketch_aggregates",
 ]
 
+# Round-4 additions: registered AFTER the 50-slot window (the window is
+# reserved for the 47+3 queries earning their first driver row this round);
+# covered by the in-repo replica gate now, window candidates for round 5.
+ROUND4_ADDED = [
+    "olap_local_supplier_volume",
+    "olap_returned_items",
+    "olap_order_priority",
+    "dedup_winnow",
+    "text_entropy",
+    "embedding_domain_centroids",
+]
+
 DRIVER_WINDOW_PRIORITY = [
     # --- round-4 window: the 47 oracle queries unchecked in round 3 ---
     "dedup_ngram_jaccard",
@@ -416,6 +428,8 @@ DRIVER_WINDOW_PRIORITY = [
     "stream_sessionize",
     # --- past the 50-query window: round-3-verified set (replica gate) ---
     *ROUND3_VERIFIED,
+    # --- round-4 additions (replica gate; next round's window candidates) ---
+    *ROUND4_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}
@@ -437,5 +451,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, parity  # noqa: E402,F401
+from . import io, llmops, olap, parity, round4  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)

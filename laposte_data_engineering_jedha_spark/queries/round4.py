@@ -1,0 +1,312 @@
+"""Round-4 registry extensions — deeper multi-way OLAP join shapes over the
+TPC-H tables (Q4/Q5/Q10 analogues) plus three LLM-pipeline operators:
+winnowing substring-fingerprint dedup, per-document character entropy, and
+per-label embedding centroids. Each with a DuckDB oracle twin; same
+cross-engine float discipline as queries/olap.py (DECIMAL-internal sums,
+left-to-right double folds, md5-bottomed hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import texts
+from ..operators import dedup
+from . import query, table
+
+_DEC = "decimal(18,4)"
+_DEC9 = "decimal(18,9)"
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast(_DEC))
+
+
+# ============================ OLAP join shapes ===============================
+
+
+@query(
+    "olap_local_supplier_volume",
+    """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name""",
+)
+def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the six-way join — lineitem x orders x customer x
+    supplier x nation x region with the 'local' c_nationkey = s_nationkey
+    restriction — grouped into per-nation revenue.
+
+    Plan at scale: lineitem and orders are the two big tables and meet on a
+    shuffle (or pre-bucketed) equi-join on orderkey; customer joins on
+    custkey. Only nation (25 rows) and region (5 rows) carry explicit
+    broadcast hints — they are FIXED-size dimensions. supplier and customer
+    SCALE with the data (TPC-H: SF x 10k / SF x 150k rows), so hinting them
+    would OOM a 100 TB run the same way the round-3 tf-idf term broadcast
+    would have; instead Catalyst's size estimate broadcasts them at small SF
+    and AQE falls back to shuffle joins at scale. region's r_name filter
+    still prunes nation->supplier transitively BEFORE the big join, and the
+    c_nationkey = s_nationkey predicate rides the customer join as part of
+    its key (no extra shuffle). One final 5-group aggregate."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp.select("s_suppkey", "s_nationkey", "n_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+    Returned lineitems (l_returnflag='R' pushed to the parquet scan) join
+    date-filtered orders on orderkey, then customer (stats-based broadcast
+    at small SF, shuffle join at scale — customer is SF x 150k rows, NOT
+    hint-broadcastable at 100 TB) and nation (25 rows, hinted), grouped per
+    customer, deterministic top-20 via TakeOrderedAndProject (ties on
+    revenue broken by custkey)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "olap_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+)
+def olap_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one quarter) that have at least one lineitem
+    shipped strictly after the order date, counted per priority. The EXISTS
+    becomes a LEFT SEMI join whose equi-part (orderkey) hashes and whose
+    inequality (l_shipdate > o_orderdate) rides as a residual join filter —
+    no pair explosion, no distinct needed (semi join emits each order at
+    most once)."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ========================== LLM-pipeline operators ===========================
+
+_WIN_K = 3  # winnowing k-gram width (tokens)
+_WIN_W = 4  # winnowing window (k-grams); guarantee threshold = w+k-1 tokens
+_WIN_MAX_DF = 100  # stop-fingerprint document-frequency cap
+
+
+@query(
+    "dedup_winnow",
+    rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+gr AS (SELECT doc_id,
+              [{{'p': i - 1,
+                 's': md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')) || '-' ||
+                      lpad(CAST(i - 1 AS VARCHAR), 8, '0')}}
+               for i in range(1, len(t) - {_WIN_K - 2})] AS gl
+       FROM toks),
+g AS (SELECT doc_id, u.p AS pos, u.s AS sel
+      FROM (SELECT doc_id, unnest(gl) AS u FROM gr)),
+m AS (SELECT doc_id, pos,
+             min(sel) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS sel
+      FROM g),
+fp0 AS (SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+        FROM m WHERE pos >= {_WIN_W - 1}),
+freq AS (SELECT fp, count(*) AS df FROM fp0 GROUP BY 1),
+fp AS (SELECT doc_id, f.fp FROM fp0 f JOIN freq USING (fp)
+       WHERE df <= {_WIN_MAX_DF}),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) * 10000) / 10000
+         AS overlap
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE n_shared >= 2""",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring-fingerprint pairs (MOSS; Schleimer et al. 2003):
+    every shared run of >= w+k-1 tokens is GUARANTEED to produce a shared
+    fingerprint, so this catches copied passages the set-semantic shingle
+    family dilutes away in long documents. See operators/dedup.py
+    winnow_fingerprints for the single-window-min formulation and scale
+    notes; the oracle regenerates the identical (hash, pos) selection
+    strings, window minima, and stop-fingerprint cap."""
+    return dedup.winnow_pairs(
+        table(spark, sf_dir, "documents"),
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=2,
+        max_fp_df=_WIN_MAX_DF,
+    )
+
+
+@query(
+    "text_entropy",
+    """
+WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM cs GROUP BY 1, 2),
+lst AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY ch) AS cl,
+               CAST(sum(c) AS DOUBLE) AS n
+        FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(
+         -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   [(x / n) * log2(x / n) for x in cl]),
+                      (a, b) -> a + b) + 0.0,
+         CAST(0.0 AS DOUBLE)) AS entropy
+FROM documents d LEFT JOIN lst USING (doc_id)""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish / encoding-junk / repetition detector next to text_quality.
+    Arrow-batched single pass (functions/texts.py pd_char_entropy); the
+    oracle rebuilds the same sorted-char left-to-right fold, and log2 is
+    C-libm bit-identical on both engines, so the doubles hash-match
+    without rounding."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", texts.pd_char_entropy("text").alias("entropy")
+    )
+
+
+_EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+@query(
+    "embedding_domain_centroids",
+    f"""
+SELECT label, i - 1 AS pos,
+       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         / count(*) AS centroid,
+       count(*) AS n_vecs
+FROM embeddings, (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i) dims
+WHERE i <= len(embedding)
+GROUP BY 1, 2""",
+)
+def embedding_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in long (label, pos, centroid, n_vecs) form —
+    the centroid table behind domain balancing, outlier filtering
+    (distance-to-centroid) and IVF-style coarse quantization.
+
+    posexplode fans each vector into (label, pos, value) rows — dim x n,
+    narrow — and ONE hash aggregate on (label, pos) with map-side partial
+    combine produces every centroid component; sums run through
+    DECIMAL(18,9) so partition order cannot perturb low bits (same
+    discipline as the OLAP money sums, at embedding precision). Long form
+    keeps the oracle comparison element-wise exact and needs no
+    order-sensitive array re-assembly."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("double").cast(_DEC9)).cast("double") / F.count(F.lit(1)))
+        .alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -254,6 +254,17 @@ def test_driver_window_priority_matches_registry():
     rows_only = {"src_generate", "ivf_knn", "stream_sessionize"}
     assert all(name in q.ORACLE_SQL or name in rows_only for name in window)
     assert not set(window) & set(q.ROUND3_VERIFIED)
-    assert set(window) | set(q.ROUND3_VERIFIED) == set(q.SPARK_QUERIES)
-    # every oracle-eligible query therefore has a driver row across r3+r4
-    assert set(q.ORACLE_SQL) <= set(window) | set(q.ROUND3_VERIFIED)
+    # registry = window (r4 driver rows) + r3-verified + r4 additions
+    # (replica-gate-only this round, window candidates for round 5)
+    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_ADDED) == set(
+        q.SPARK_QUERIES
+    )
+    assert not set(q.ROUND4_ADDED) & (set(window) | set(q.ROUND3_VERIFIED))
+    # round-4 additions must not displace a window occupant
+    assert all(
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND4_ADDED
+    )
+    # every pre-round-4 oracle query has a driver row across r3+r4
+    assert set(q.ORACLE_SQL) - set(q.ROUND4_ADDED) <= set(window) | set(
+        q.ROUND3_VERIFIED
+    )
