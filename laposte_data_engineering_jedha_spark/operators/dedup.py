@@ -513,45 +513,30 @@ def winnow_fingerprints(
     substring-level duplication detector the shingle-set family
     (Jaccard/containment) structurally is not.
 
-    Implementation is pure DataFrame ops: positional grams via
-    `transform(sequence)+slice` (codegen), then ONE window `min` per gram
-    over `ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW` partitioned by doc —
-    the set of those window-minima IS the set of per-window minima (each
-    window [j, j+w-1] is the frame of its last row), so no self-join or
-    per-window explode is needed. Selection key is the string
-    `md5hex || '-' || lpad(pos)`: distinct hashes order by hash, equal
-    hashes break ties by LEFTMOST position — deterministic and identically
-    computable in DuckDB (min over VARCHAR, binary collation both sides).
+    Implementation is ENTIRELY map-side — selection never leaves the row:
+    tokenization stays JVM-side (regex parity with the SQL oracle), then an
+    Arrow-batched kernel (functions/texts.py pd_winnow_fps) builds per-gram
+    selection strings `md5hex || '-' || lpad(pos)`, takes the min per
+    w-window, and dedups the selected 32-hex hashes. Selection-string
+    ordering means distinct hashes order by hash and equal hashes break
+    ties by LEFTMOST position — deterministic and identically computable in
+    DuckDB (min over VARCHAR, binary collation both sides; the oracle uses
+    the equivalent running-window-min formulation: the set of minima of
+    windows ending at each row == the set of per-window minima).
 
-    Scale: per-doc windows only — the window shuffle hash-partitions by
-    `id_col` and each partition sorts locally by gram position; docs are
-    bounded-length so no partition outgrows memory. Returns distinct
-    (id_col, fp) with fp the 32-hex gram hash. Docs with fewer than
+    Scale: ZERO shuffles — fingerprinting is per-document, so the operator
+    is embarrassingly parallel and emits the (id, fp) index straight out
+    of the scan stage. (The first formulation shuffled on doc_id for a
+    window-function min — 5.3 s at sf0.1; a second used interpreted
+    `transform`/`array_min` HOFs — 3.0 s, all of it the per-element md5
+    lambda interpreter; the Arrow kernel computes identical values in
+    0.74 s, the same trade as pd_shingle_hashes.) Docs with fewer than
     w+k-1 tokens yield no fingerprints (no complete window), matching the
-    paper's guarantee threshold.
+    paper's guarantee threshold. Output rows are already distinct: per-doc
+    dedup happens inside the kernel before the explode.
     """
-    toks = texts.tokens(text_col)
-    count = F.size(toks) - (k - 1)
-    grams = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
-    sel = F.concat(
-        F.md5(F.col("gram")),
-        F.lit("-"),
-        F.lpad(F.col("pos").cast("string"), 8, "0"),
-    )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
-    return (
-        g.select(F.col(id_col), F.col("pos"), F.min(sel).over(win).alias("sel"))
-        .where(F.col("pos") >= w - 1)
-        .select(F.col(id_col), F.substring("sel", 1, 32).alias("fp"))
-        .distinct()
-    )
+    fps = texts.pd_winnow_fps(texts.tokens(text_col), k=k, w=w)
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def winnow_pairs(
@@ -573,11 +558,14 @@ def winnow_pairs(
     `max_shingle_df`). Emits (id_a, id_b, n_shared, overlap) where overlap
     = shared / min(|fpA|, |fpB|) — fingerprint containment, round4.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    # One explicit Exchange on fp: the df-cap aggregate, its join back, and
+    # the a/b self-join are all fp-keyed, so they reuse this partitioning
+    # (and the map-side fingerprint stage is computed once per consumer
+    # instead of once per downstream reference).
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).repartition("fp")
     if max_fp_df is not None:
         freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         fp = fp.join(freq.where(F.col("df") <= max_fp_df), "fp").select(id_col, "fp")
-    fp = fp.repartition("fp")
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     inter = (

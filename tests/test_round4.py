@@ -148,11 +148,51 @@ def test_q4_plan_is_semi_join_with_residual(spark, sf_dir_small):
     assert "HashAggregate" in plan
 
 
-def test_winnow_plan_single_window_no_self_cartesian(spark, sf_dir_small):
-    """Fingerprint selection is ONE running window min per doc (no
-    per-window explode) and candidate generation is an equi-join on fp —
-    no cartesian anywhere."""
+def test_winnow_plan_mapside_selection_no_self_cartesian(spark, sf_dir_small):
+    """Fingerprint selection is map-side array ops — NO window function
+    (no per-doc shuffle+sort for selection) — and candidate generation is
+    an equi-join on fp with no cartesian anywhere."""
     plan = _plan(round4.dedup_winnow(spark, sf_dir_small))
-    assert plan.count("Window") >= 1
+    assert "Window" not in plan  # selection never shuffles
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir_small):
+    """The fingerprint index itself must come straight out of the scan
+    stage: no Exchange of any kind in its plan."""
+    from laposte_data_engineering_jedha_spark.queries import table
+
+    fp = dedup.winnow_fingerprints(table(spark, sf_dir_small, "documents"))
+    plan = _plan(fp)
+    assert "Exchange" not in plan
+
+
+def test_perplexity_proxy_known_corpus(spark, monkeypatch):
+    """4-doc corpus with hand-computable unigram stats: 'common common' is
+    all high-frequency tokens -> lowest cross-entropy; the doc holding the
+    two singleton tokens scores highest; empty doc -> (0, NULL)."""
+    import math
+
+    from laposte_data_engineering_jedha_spark.queries import round4
+
+    rows = [
+        (1, "common common"),
+        (2, "common rare1 rare2"),
+        (3, "common common common"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(round4, "table", lambda s, d, n: df)
+    out = {r["doc_id"]: r for r in round4.text_perplexity_proxy(spark, "unused").collect()}
+    # corpus: common x6, rare1 x1, rare2 x1 -> N=8
+    p_common, p_rare = 6 / 8, 1 / 8
+    assert out[4]["n_tokens"] == 0 and out[4]["xent_bits"] is None
+    assert out[1]["n_tokens"] == 2
+    assert abs(out[1]["xent_bits"] - (-math.log2(p_common))) < 1e-12
+    expect2 = -(math.log2(p_common) + 2 * math.log2(p_rare)) / 3
+    assert abs(out[2]["xent_bits"] - expect2) < 1e-12
+    # docs 1 and 3 are both all-'common' but fold 2 vs 3 terms — equal only
+    # to within an ulp ((x+x)/2 is exact, ((x+x)+x)/3 rounds)
+    assert out[2]["xent_bits"] > out[1]["xent_bits"]
+    assert abs(out[1]["xent_bits"] - out[3]["xent_bits"]) < 1e-12
