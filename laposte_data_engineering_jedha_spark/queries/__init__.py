@@ -370,6 +370,7 @@ ROUND4_ADDED = [
     "olap_order_priority",
     "dedup_winnow",
     "text_entropy",
+    "text_perplexity_proxy",
     "embedding_domain_centroids",
 ]
 

@@ -1,9 +1,9 @@
 """Round-4 registry extensions — deeper multi-way OLAP join shapes over the
-TPC-H tables (Q4/Q5/Q10 analogues) plus three LLM-pipeline operators:
-winnowing substring-fingerprint dedup, per-document character entropy, and
-per-label embedding centroids. Each with a DuckDB oracle twin; same
-cross-engine float discipline as queries/olap.py (DECIMAL-internal sums,
-left-to-right double folds, md5-bottomed hashes).
+TPC-H tables (Q4/Q5/Q10 analogues) plus four LLM-pipeline operators:
+winnowing substring-fingerprint dedup, per-document character entropy, a
+unigram-LM perplexity proxy, and per-label embedding centroids. Each with a
+DuckDB oracle twin; same cross-engine float discipline as queries/olap.py
+(DECIMAL-internal sums, left-to-right double folds, md5-bottomed hashes).
 """
 
 from __future__ import annotations
@@ -309,4 +309,74 @@ def embedding_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("v").cast("double").cast(_DEC9)).cast("double") / F.count(F.lit(1)))
         .alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "text_perplexity_proxy",
+    r"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+freq AS (SELECT tok, sum(c) AS tf FROM tc GROUP BY 1),
+n_tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS nn FROM freq),
+lst AS (SELECT doc_id,
+               list(struct_pack(c := t.c, tf := f.tf) ORDER BY t.tok) AS terms,
+               sum(t.c) AS n
+        FROM tc t JOIN freq f USING (tok) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(l.n, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN l.doc_id IS NULL THEN NULL ELSE
+         -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [CAST(x.c AS DOUBLE) * log2(CAST(x.tf AS DOUBLE) / nn) for x in terms]),
+            (a, b) -> a + b) / l.n END AS xent_bits
+FROM documents d
+LEFT JOIN lst l USING (doc_id)
+CROSS JOIN n_tot""",
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM cross-entropy per document (bits/token) —
+    the cheap perplexity proxy of corpus curation: documents whose tokens
+    are rare in THIS corpus score high (junk, boilerplate-free rarities),
+    formulaic/common text scores low. The standard
+    quality-vs-diversity knob next to text_quality / text_rarity.
+
+    Shape at 100 TB: explode -> (doc, tok) count (shuffle 1), token
+    frequencies by a second aggregate on tok (shuffle 2), a SHUFFLE join
+    back on tok (the vocabulary is unbounded — deliberately no broadcast
+    hint, the same rule as text_tfidf_topterms), and one per-doc
+    collect+fold (shuffle 3). All shuffled rows are narrow (ids + two
+    longs). The corpus token total N is a single driver scalar (legitimate
+    like the IDF doc count). Per-token log2 math runs in an Arrow kernel,
+    not JVM — Spark's StrictMath log2 is NOT bit-identical to C libm, the
+    kernel's Python log2 is (see functions/texts.py pd_unigram_xent), so
+    the doubles hash-match the oracle unrounded."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(texts.tokens("text")).alias("tok"))
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = tc.groupBy("tok").agg(F.sum("c").alias("tf"))
+    n_total = float(freq.agg(F.sum("tf").alias("n")).first()["n"])
+    per_doc = (
+        tc.join(freq, "tok")  # no broadcast hint: vocabulary is unbounded
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tok", "c", "tf"))).alias("terms"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            texts.pd_unigram_xent("terms", F.lit(n_total)).alias("xent_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "xent_bits",
+        )
     )
