@@ -50,6 +50,49 @@ def run_query(fn, spark, sf_dir) -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
+def machine_calibration(spark) -> dict[str, float]:
+    """Fixed CPU probes so cross-round totals are comparable across driver
+    hosts. Round-4 finding: re-timing queries UNCHANGED since round 3 on
+    this round's host gave ~7x the recorded round-3 wall — the hosts
+    differ, not the plans. These two probes pin the host's single-thread
+    numpy speed and the Spark job-scheduling+codegen speed; divide totals
+    by (calib / reference-calib) before comparing rounds (BASELINE.md).
+    """
+    import numpy as np
+
+    def numpy_probe() -> float:
+        a = np.random.RandomState(0).rand(1500, 1500)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            a = a @ a
+            a /= np.abs(a).max()
+        return time.perf_counter() - t0
+
+    def spark_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id * 3 % 7)").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def shuffle_probe() -> float:
+        # tiny data, 2 stages: measures per-stage scheduler + shuffle
+        # overhead, which round-4 probing showed dominates the host gap on
+        # sub-second queries (raw compute probes alone under-correct)
+        t0 = time.perf_counter()
+        spark.range(100_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    numpy_probe(), spark_probe(), shuffle_probe()  # warm-up (BLAS, codegen)
+    return {
+        "calib_numpy_sec": round(min(numpy_probe() for _ in range(3)), 3),
+        "calib_spark_sec": round(min(spark_probe() for _ in range(3)), 3),
+        "calib_shuffle_sec": round(min(shuffle_probe() for _ in range(3)), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -95,6 +138,7 @@ def main() -> None:
         "n_runs": n_runs,
         "n_queries": len(times),
         "n_errors": len(errors),
+        **machine_calibration(spark),
     }
     detail = {**headline, "queries": times, "spread": spread}
     if errors:
