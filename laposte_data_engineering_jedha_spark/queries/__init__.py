@@ -372,6 +372,9 @@ ROUND4_ADDED = [
     "text_entropy",
     "text_perplexity_proxy",
     "embedding_domain_centroids",
+    "olap_top_balance_no_orders",
+    "events_interarrival_stats",
+    "embedding_outliers",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

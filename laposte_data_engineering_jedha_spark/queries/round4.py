@@ -1,9 +1,11 @@
 """Round-4 registry extensions — deeper multi-way OLAP join shapes over the
-TPC-H tables (Q4/Q5/Q10 analogues) plus four LLM-pipeline operators:
+TPC-H tables (Q4/Q5/Q10/Q22 analogues) plus LLM-pipeline operators:
 winnowing substring-fingerprint dedup, per-document character entropy, a
-unigram-LM perplexity proxy, and per-label embedding centroids. Each with a
-DuckDB oracle twin; same cross-engine float discipline as queries/olap.py
-(DECIMAL-internal sums, left-to-right double folds, md5-bottomed hashes).
+unigram-LM perplexity proxy, per-label embedding centroids,
+distance-to-centroid outliers, and event inter-arrival cadence features.
+Each with a DuckDB oracle twin; same cross-engine float discipline as
+queries/olap.py (DECIMAL-internal sums, left-to-right double folds,
+md5-bottomed hashes).
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts
 from ..operators import dedup
-from . import query, table
+from . import events_table, query, table
 
 _DEC = "decimal(18,4)"
 _DEC9 = "decimal(18,9)"
@@ -379,4 +381,157 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             "xent_bits",
         )
+    )
+
+
+@query(
+    "olap_top_balance_no_orders",
+    """
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment""",
+)
+def olap_top_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered — a scalar
+    aggregate subquery feeding a filter, plus a NOT EXISTS anti join.
+
+    The scalar threshold is a one-row aggregate CROSS-JOINED with an
+    explicit broadcast (one row is the one always-safe broadcast), NOT a
+    driver collect — the value never leaves the cluster. The NOT EXISTS is
+    a LEFT ANTI hash join on custkey against the orders key column only.
+    The average is the quotient of a DECIMAL-exact sum and a count, so
+    partition order can't move the threshold between engines."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(sum(gap_ms) AS DOUBLE) / count(*) AS mean_gap_ms,
+       max(gap_ms) AS max_gap_ms, min(gap_ms) AS min_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY user_id""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival statistics — the activity-cadence
+    feature behind bot filtering and engagement modeling. One window
+    shuffle on user_id (lag over (ts, event_id) — the event_id tiebreak
+    makes simultaneous events deterministic, the asof-join lesson), then a
+    reuse of the SAME user_id partitioning for the aggregate: Catalyst
+    plans zero additional Exchanges after the window. All gap math is
+    integer milliseconds (epoch_ms in both engines), so sums are exact and
+    the mean is a deterministic long/long->double quotient."""
+    ev = events_table(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (ms - F.lag(ms).over(win)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_ms").cast("double") / F.count(F.lit(1))).alias("mean_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+    )
+
+
+@query(
+    "embedding_outliers",
+    f"""
+WITH cent AS (
+  SELECT label, i - 1 AS pos,
+         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / count(*) AS centroid
+  FROM embeddings, (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i) dims
+  WHERE i <= len(embedding)
+  GROUP BY 1, 2),
+terms AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i) dims
+  WHERE i <= len(embedding)),
+diffs AS (
+  SELECT t.vec_id, t.label,
+         list((t.v - c.centroid) * (t.v - c.centroid) ORDER BY t.pos) AS ds
+  FROM terms t JOIN cent c ON t.label = c.label AND t.pos = c.pos
+  GROUP BY 1, 2),
+d AS (SELECT vec_id, label,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds),
+                              (a, b) -> a + b)) AS dist
+      FROM diffs)
+SELECT vec_id, label, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn
+  FROM d) WHERE rn <= 5""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest vectors from their own label centroid — the
+    distance-to-centroid outlier filter of embedding curation (mislabeled
+    or junk points sit far from their domain's center; SemDeDup's
+    complementary 'keep the unusual' signal).
+
+    Two phases sharing one scan shape: the centroid aggregate (posexplode
+    -> decimal mean per (label, pos), same plan as
+    embedding_domain_centroids) is assembled back into a per-label ARRAY
+    and broadcast (labels are a bounded domain dimension — tens to
+    thousands — unlike supplier/customer this broadcast is safe BY
+    CONSTRUCTION at any corpus size); each vector then computes its
+    distance in one zip_with/aggregate left-to-right fold (bit-identical
+    to the oracle's pos-ordered list_reduce) and a per-label
+    top-5 window (WindowGroupLimit prunes before the final sort). Ties on
+    distance break by vec_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_long = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("double").cast(_DEC9)).cast("double") / F.count(F.lit(1)))
+        .alias("c")
+    )
+    cent_arr = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    diff = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        emb.join(F.broadcast(cent_arr), "label")
+        .select("vec_id", "label", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "label", "dist")
     )

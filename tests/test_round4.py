@@ -196,3 +196,44 @@ def test_perplexity_proxy_known_corpus(spark, monkeypatch):
     # to within an ulp ((x+x)/2 is exact, ((x+x)+x)/3 rounds)
     assert out[2]["xent_bits"] > out[1]["xent_bits"]
     assert abs(out[1]["xent_bits"] - out[3]["xent_bits"]) < 1e-12
+
+
+def test_q22_plan_anti_join_one_row_broadcast(spark, sf_dir_small):
+    """The NOT EXISTS must be a LEFT ANTI join and the scalar threshold a
+    broadcast of a one-row aggregate — no driver collect in the plan
+    path, no cartesian of anything bigger than one row."""
+    plan = _plan(round4.olap_top_balance_no_orders(spark, sf_dir_small))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold cross join
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_reuses_user_partitioning(spark, sf_dir_small):
+    """lag window and the per-user aggregate share the user_id hash
+    partitioning: exactly ONE user_id Exchange in the whole plan."""
+    plan = _plan(round4.events_interarrival_stats(spark, sf_dir_small))
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(exchanges) <= 1
+    assert "Window" in plan
+
+
+def test_embedding_outliers_values_and_plan(spark):
+    """Synthetic 1-label corpus with one planted far point: it must rank
+    first; centroid side must broadcast."""
+    rows = [(i, [0.0, 0.0], 0) for i in range(1, 7)] + [(99, [12.0, 16.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import laposte_data_engineering_jedha_spark.queries.round4 as r4
+
+    orig = r4.table
+    try:
+        r4.table = lambda s, d, n: df
+        out = r4.embedding_outliers(spark, "unused").collect()
+    finally:
+        r4.table = orig
+    top = max(out, key=lambda r: r["dist"])
+    assert top["vec_id"] == 99
+    # centroid of 7 vecs: (12/7, 16/7); dist of planted point = sqrt((12-12/7)^2+(16-16/7)^2) = 20*6/7
+    assert abs(top["dist"] - 20 * 6 / 7) < 1e-9
+    assert len(out) == 5  # top-5 per label
