@@ -375,6 +375,19 @@ ROUND4_ADDED = [
     "olap_top_balance_no_orders",
     "events_interarrival_stats",
     "embedding_outliers",
+    # TPC-H shape completion (queries/olap2.py)
+    "olap_shipping_priority",
+    "olap_nation_trade_volume",
+    "olap_product_margin",
+    "olap_late_lines_by_priority",
+    "olap_order_count_distribution",
+    "olap_promo_revenue_share",
+    "olap_top_supplier",
+    "olap_part_supplier_counts",
+    "olap_large_volume_customers",
+    "olap_brand_band_revenue",
+    "olap_waiting_suppliers",
+    "olap_regional_min_price_supplier",
 ]
 
 DRIVER_WINDOW_PRIORITY = [
@@ -455,5 +468,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, parity, round4  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
