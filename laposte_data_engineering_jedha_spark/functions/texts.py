@@ -485,3 +485,45 @@ def pd_unigram_xent(terms_col: Column | str, n_total: Column) -> Column:
         return pd.Series(out, dtype="float64")
 
     return kernel(_c(terms_col), n_total)
+
+
+def pd_zipf_fit(freqs_col: Column | str) -> Column:
+    """Arrow-batched OLS fit of the corpus Zipf curve: given the top-N token
+    frequencies as an array SORTED in rank order (freq desc, token asc —
+    the caller pins the tie-break), regress y = ln(freq) on x = ln(rank)
+    and return struct(slope, intercept). A healthy natural-language corpus
+    sits near slope -1; templated/boilerplate-heavy crawls flatten it, and
+    a slope collapse after dedup is the classic over-dedup smell test.
+
+    The ln/multiply/divide arithmetic runs HERE (C libm via Python math)
+    and not JVM-side for the same reason as pd_unigram_xent: StrictMath's
+    low bits diverge from libm, while DuckDB's ln() matches it — the
+    kernel sees only exact integer frequencies and its doubles hash-match
+    the SQL twin's list-comprehension folds without rounding. All four
+    sums accumulate left-to-right in rank order; the slope/intercept
+    formulas are written in the same association order as the twin."""
+    import math
+
+    @pandas_udf("struct<slope:double,intercept:double>")
+    def kernel(freqs: pd.Series) -> pd.DataFrame:
+        slopes, intercepts = [], []
+        for fs in freqs:
+            n = len(fs)
+            if n < 2:
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            sx = sy = sxy = sxx = 0.0
+            for i, f in enumerate(fs, start=1):
+                x = math.log(float(i))
+                y = math.log(float(f))
+                sx = sx + x
+                sy = sy + y
+                sxy = sxy + x * y
+                sxx = sxx + x * x
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            slopes.append(slope)
+            intercepts.append((sy - slope * sx) / n)
+        return pd.DataFrame({"slope": slopes, "intercept": intercepts})
+
+    return kernel(_c(freqs_col))

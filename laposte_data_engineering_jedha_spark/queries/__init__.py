@@ -388,6 +388,14 @@ ROUND4_ADDED = [
     "olap_brand_band_revenue",
     "olap_waiting_suppliers",
     "olap_regional_min_price_supplier",
+    # corpus-curation aggregate layer (queries/round4b.py)
+    "text_lang_confusion",
+    "text_gopher_rules",
+    "corpus_token_bigrams",
+    "text_zipf_fit",
+    "corpus_trigram_novelty",
+    "corpus_length_histogram",
+    "events_daily_stickiness",
 ]
 
 DRIVER_WINDOW_PRIORITY = [
@@ -468,5 +476,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
