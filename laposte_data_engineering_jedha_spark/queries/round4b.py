@@ -269,15 +269,16 @@ def corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely original passages worth up-weighting; near-zero novelty
     marks template text even when no single duplicate pair exists.
 
-    Reuses the exact shingle universe of the dedup family (same
-    tokenize -> distinct-trigram expansion), one df aggregate on the
-    shingle key, a shingle-keyed join back (narrow (doc_id, shingle)
-    rows; AQE absorbs stop-shingle skew), one per-doc aggregate, and a
-    LEFT join from documents so sub-3-token docs surface with zero
-    shingles and a NULL ratio instead of vanishing."""
+    Reuses the exact shingle universe of the dedup family — including its
+    Arrow shingle kernel (pd_shingles; the codegen'd slice/concat HOF
+    chain measured 10x slower at 500k docs, scripts/scale_smoke.py) —
+    then one df aggregate on the shingle key, a shingle-keyed join back
+    (narrow (doc_id, shingle) rows; AQE absorbs stop-shingle skew), one
+    per-doc aggregate, and a LEFT join from documents so sub-3-token docs
+    surface with zero shingles and a NULL ratio instead of vanishing."""
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(texts.shingles(texts.tokens("text"))).alias("shingle")
+        "doc_id", F.explode(texts.pd_shingles(texts.tokens("text"))).alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (

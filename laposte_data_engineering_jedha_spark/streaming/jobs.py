@@ -338,3 +338,89 @@ def run_tumbling_counts_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+SESSION_GAP = "30 minutes"
+
+
+def session_window_counts(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Native session-window per-user counts — the SAME merge-on-overlap
+    operator as the batch query events_session_window_native (see
+    queries/llmops.py for the empirically-pinned exact-30:00 boundary
+    semantics), here built once for both batch and streaming inputs.
+
+    In streaming mode the watermark gives session state an expiry: a
+    user's open session is emitted and dropped once the watermark passes
+    its close (last event + gap), so state stays bounded by the active-
+    session set instead of the full user history. This is Spark's managed
+    twin of the applyInPandasWithState sessionizer in this module — same
+    output shape, no custom state code; the custom operator remains for
+    semantics session_window can't express (per-session value rollups
+    emitted mid-session, cross-session features)."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_close_us"),
+            "n_events",
+        )
+    )
+
+
+def run_session_window_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_session_window"
+) -> DataFrame:
+    """Drive the native session-window job over the directory stream with
+    availableNow into a memory sink; returns the closed sessions."""
+    stream = session_window_counts(read_events_stream(spark, events_dir), with_watermark=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def upsert_batch_to_parquet(batch: DataFrame, batch_id: int, out_dir: str) -> None:
+    """foreachBatch sink body: write one micro-batch to
+    `{out_dir}/batch_id={batch_id}/` with dynamic partition OVERWRITE.
+
+    This is the canonical idempotent-sink recipe for exactly-once file
+    output: foreachBatch gives at-least-once delivery (a batch may be
+    re-run after a failure between sink write and checkpoint commit), and
+    keying the output directory by batch_id + overwriting makes the replay
+    a no-op instead of a duplicate append. Executors write directly; the
+    driver never sees rows."""
+    (
+        batch.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
+def run_events_to_parquet(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream the events source into an idempotent partitioned parquet sink
+    via foreachBatch (availableNow, resumable from the checkpoint)."""
+    q = (
+        read_events_stream(spark, events_dir)
+        .writeStream.foreachBatch(
+            lambda batch, bid: upsert_batch_to_parquet(batch, bid, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

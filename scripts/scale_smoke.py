@@ -344,7 +344,101 @@ def bloom_scale(spark, times=20):
     docs.unpersist()
 
 
+def curation_scale(spark, times=200):
+    """Round-4b corpus-curation aggregates at 1M docs / 10M events: the
+    bigram count job, trigram novelty (shingle df join), the Gopher rule
+    funnel (pure map-side + tiny agg), the Zipf top-k fit, and exact
+    DAU/WAU stickiness."""
+    docs1m = blown_up_docs(spark, times).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    ).cache()
+    timed(f"corpus: documents x{times}", docs1m)
+
+    bigrams = F.expr(
+        "filter(transform(t, (x, i) -> "
+        "IF(i < size(t) - 1, concat(x, ' ', element_at(t, i + 2)), NULL)), "
+        "x -> x IS NOT NULL)"
+    )
+    bg = docs1m.select("doc_id", texts.tokens("text").alias("t")).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    top = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+    timed(f"token_bigrams top-50 @{times * 5}k docs", top)
+
+    sh = docs1m.select(
+        "doc_id", F.explode(texts.pd_shingles(texts.tokens("text"))).alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    timed(f"trigram_novelty @{times * 5}k docs", nov)
+
+    n_tokens = texts.token_count("text")
+    n_chars = F.length("text")
+    stop_hits = texts.stopword_hits("text", "en")
+    flags = docs1m.select(
+        "source",
+        F.when(n_tokens.between(10, 2000), 1).otherwise(0).alias("len_ok"),
+        F.when(stop_hits >= 2, 1).otherwise(0).alias("stop_ok"),
+        F.when(
+            (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 3.0), 1
+        ).otherwise(0).alias("word_ok"),
+    )
+    funnel = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_ok").alias("n_len"),
+        F.sum("stop_ok").alias("n_stop"),
+        F.sum("word_ok").alias("n_word"),
+    )
+    timed(f"gopher_rules funnel @{times * 5}k docs", funnel)
+
+    tf = (
+        docs1m.select(F.explode(texts.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    zipf = tf.orderBy(F.col("f").desc(), "tok").limit(64).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct((-F.col("f")).alias("nf"), "tok", "f"))),
+            lambda s: s["f"],
+        ).alias("fs")
+    ).select(texts.pd_zipf_fit("fs").alias("fit"))
+    timed(f"zipf_fit (top 64) @{times * 5}k docs", zipf)
+    docs1m.unpersist()
+
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, SF_DIR).select("ts", "user_id")
+    copies = spark.range(100).select(F.col("id").alias("_c"))
+    big = ev.crossJoin(copies).select(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") + F.col("_c") * 1000).alias("user_id"),
+    )
+    pairs = big.distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    timed("daily_stickiness @10M events (15k users)", dau.join(wau, "day"))
+
+
 SECTIONS = {
+    "curation": curation_scale,
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
     "ivf": ivf_scale,

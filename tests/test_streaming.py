@@ -297,3 +297,49 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
             r["n_events"],
             r["total_value"],
         ), r
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, events_dir):
+    """The native session-window job yields identical sessions in batch
+    mode and under the watermarked directory stream (complete mode sees
+    every closed session once all files arrive)."""
+    batch = jobs.session_window_counts(events_table(spark, sf_dir))
+    streamed = jobs.run_session_window_available_now(
+        spark, events_dir, query_name="sw_equiv"
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["session_start_us"], r["session_close_us"], r["n_events"])
+        for r in df.collect()
+    )
+    assert canon(streamed) == canon(batch)
+    assert len(canon(batch)) > 0
+
+
+def test_session_window_plan_is_streaming(spark, events_dir):
+    df = jobs.session_window_counts(
+        jobs.read_events_stream(spark, events_dir), with_watermark=True
+    )
+    assert df.isStreaming
+
+
+def test_foreach_batch_sink_is_idempotent(spark, sf_dir, events_dir, tmp_path):
+    """Replaying a micro-batch through the foreachBatch upsert sink must
+    not duplicate rows: the batch_id-partitioned dynamic overwrite makes
+    re-delivery (at-least-once -> exactly-once) a no-op."""
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    jobs.run_events_to_parquet(spark, events_dir, out, ck)
+    once = spark.read.parquet(out)
+    n_first = once.count()
+    assert n_first == events_table(spark, sf_dir).count()
+
+    # Simulate a post-failure replay of one already-committed batch.
+    replay = once.where(once["batch_id"] == 0).drop("batch_id")
+    jobs.upsert_batch_to_parquet(replay, 0, out)
+    again = spark.read.parquet(out)
+    assert again.count() == n_first
+    assert again.select("event_id").distinct().count() == n_first
+
+    # Resuming the checkpointed stream with no new files adds nothing.
+    jobs.run_events_to_parquet(spark, events_dir, out, ck)
+    assert spark.read.parquet(out).count() == n_first
