@@ -396,6 +396,7 @@ ROUND4_ADDED = [
     "corpus_trigram_novelty",
     "corpus_length_histogram",
     "events_daily_stickiness",
+    "stream_session_window",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -392,3 +392,38 @@ def events_daily_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         _r4(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+@query(
+    "stream_session_window",
+    """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_close_us,
+       count(*) AS n_events
+FROM z GROUP BY user_id, session_id""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the streaming-capable native session-window job
+    (streaming/jobs.py session_window_counts; batch==stream equivalence
+    asserted in tests/test_streaming.py::test_session_window_stream_matches_batch).
+    The oracle is the lag/cumsum sessionization with the empirically-pinned
+    inclusive-30:00 merge boundary, emitting µs epochs (the job's
+    timezone-agnostic output contract)."""
+    from ..streaming import jobs as streaming_jobs
+
+    return streaming_jobs.session_window_counts(events_table(spark, sf_dir))
