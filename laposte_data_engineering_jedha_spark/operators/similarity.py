@@ -25,7 +25,10 @@ SQL-expressible, so its guarantees are covered by tests
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions import vectors
 
@@ -301,3 +304,94 @@ def ivf_knn(
         .dropDuplicates(["query_id", "cand_id"])
     )
     return _ranked_topk(pairs, k)
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_max_rows: int = 4096,
+):
+    """Product-quantization codebooks: split each vector into `m` subvectors
+    of dim/m and k-means each subspace independently (Jégou et al. 2011).
+    Returns an (m, k, dim/m) float64 numpy codebook.
+
+    PQ is the storage side of billion-scale ANN: m=4, k=16 encodes a
+    64-dim float vector in 4x4 bits = 2 bytes (128x smaller), and
+    asymmetric distance scans run over code tables instead of floats.
+    Like ivf_knn, every fit runs on ONE seeded bounded sample (cached,
+    m small k-means over the same few thousand rows); the full corpus is
+    never iterated by the trainer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    sample = kmeans_fit_sample(
+        df.select(F.col(vec_col).cast("array<double>").alias("v")), fit_max_rows, seed
+    ).cache()
+    try:
+        books = []
+        for j in range(m):
+            train = sample.select(
+                array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, featuresCol="features", maxIter=10, initMode="random"
+            ).fit(train)
+            books.append(np.array(model.clusterCenters(), dtype="float64"))
+    finally:
+        sample.unpersist()
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) PQ encoding — one Arrow map-side pass, the
+    codebook ships in the kernel closure (m*k*sub doubles; bytes, not a
+    join). No shuffle: encoding 100 TB is embarrassingly parallel."""
+    m, k, sub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def kernel(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype="float64")
+        out = np.empty((mat.shape[0], m), dtype="int32")
+        for j in range(m):
+            block = mat[:, j * sub : (j + 1) * sub]
+            # (n, k) squared distances to this subspace's centroids
+            d = ((block[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), kernel(F.col(vec_col)).alias("codes"))
+
+
+def pq_reconstruction_mse(
+    df: DataFrame, codebooks, vec_col: str = "embedding"
+) -> float:
+    """Mean squared reconstruction error of the PQ encoding over the corpus
+    — the quantizer-quality scalar (compare against a mismatched codebook
+    or a higher m/k to size the recall/storage trade). One Arrow pass +
+    one tiny aggregate."""
+    m, k, sub = codebooks.shape
+
+    @pandas_udf("double")
+    def kernel(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype="float64")
+        err = np.zeros(mat.shape[0], dtype="float64")
+        for j in range(m):
+            block = mat[:, j * sub : (j + 1) * sub]
+            d = ((block[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1)
+        return pd.Series(err / (m * sub))
+
+    row = df.select(kernel(F.col(vec_col)).alias("e")).agg(
+        F.avg("e").alias("mse")
+    ).first()
+    return float(row["mse"])

@@ -397,6 +397,10 @@ ROUND4_ADDED = [
     "corpus_length_histogram",
     "events_daily_stickiness",
     "stream_session_window",
+    "olap_important_parts",
+    "olap_bulk_part_suppliers",
+    "embedding_truncation_fidelity",
+    "embedding_pq_codes",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

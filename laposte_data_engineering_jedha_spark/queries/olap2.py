@@ -669,3 +669,124 @@ def olap_regional_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("p_partkey", "s_name")
     )
+
+
+@query(
+    "olap_important_parts",
+    """
+WITH vol AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4))
+           AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(part_value) * CAST(0.001 AS DECIMAL(18,4)) AS DECIMAL(38,8))
+          AS threshold FROM vol)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM vol CROSS JOIN tot
+WHERE part_value > threshold
+ORDER BY part_value DESC, l_partkey""",
+)
+def olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of one
+    nation's total supplied value — a GROUP BY whose HAVING compares
+    against a scalar aggregate OF THE SAME grouped view (sum-over-sum
+    with a fraction). partsupp value is proxied by shipped revenue per
+    part from that nation's suppliers.
+
+    The grouped view computes once; the total re-aggregates the (already
+    tiny) per-part rows — Spark evaluates the reused subtree twice, but
+    the second pass runs over the aggregate's output, not the fact
+    table. The threshold stays DECIMAL end-to-end (sum * 0.001 exact at
+    scale 8), so the > comparison has no float ambiguity; the output cast
+    to double happens after the filter. Nation filter prunes supplier
+    BEFORE the big join."""
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(_rev()).cast("decimal(38,4)").alias("part_value"))
+    )
+    tot = vol.agg(
+        (F.sum("part_value") * F.lit(0.001).cast(_DEC))
+        .cast("decimal(38,8)")
+        .alias("threshold")
+    )
+    return (
+        vol.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "olap_bulk_part_suppliers",
+    """
+WITH bulk AS (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > CAST(45.0 AS DOUBLE))
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM bulk)
+ORDER BY s_suppkey""",
+)
+def olap_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved bulk volume of a part family
+    in one year — an IN-subquery over a GROUP BY ... HAVING on the fact
+    table (the original's availqty comparison, re-anchored to shipped
+    quantity; same nesting: name-filtered parts -> per-(supplier, part)
+    volume -> qualifying-supplier set -> supplier/nation projection).
+
+    Plan: part's LIKE filter and lineitem's year filter prune their scans,
+    the (suppkey, partkey) aggregate collapses the fact table, and the IN
+    becomes a LEFT SEMI join of supplier against the distinct qualifying
+    keys — supplier never joins the raw fact table. sum(l_quantity) is a
+    sum of small integer-valued doubles (exact in IEEE), so the HAVING
+    threshold is engine-stable."""
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    bulk = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 45.0)
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(bulk, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

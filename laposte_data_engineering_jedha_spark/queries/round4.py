@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts
 from ..operators import dedup
+from .llmops import sql_dot
 from . import events_table, query, table
 
 _DEC = "decimal(18,4)"
@@ -535,3 +536,112 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "label", "dist")
     )
+
+
+_TRUNC_DIM = 16
+
+
+@query(
+    "embedding_truncation_fidelity",
+    f"""
+WITH pairs AS (
+  SELECT vec_id, label, embedding,
+         lead(vec_id)    OVER (PARTITION BY label ORDER BY vec_id) AS next_id,
+         lead(embedding) OVER (PARTITION BY label ORDER BY vec_id) AS next_emb
+  FROM embeddings),
+scored AS (
+  SELECT vec_id, next_id, label,
+         {{dot_full}} AS df_, {{naa_full}} AS na_f, {{nbb_full}} AS nb_f,
+         {{dot_t}} AS dt_, {{naa_t}} AS na_t, {{nbb_t}} AS nb_t
+  FROM pairs WHERE next_id IS NOT NULL)
+SELECT vec_id, next_id, label,
+       round(df_ / (sqrt(na_f) * sqrt(nb_f)) * 1000000) / 1000000 AS cos_full,
+       round(dt_ / (sqrt(na_t) * sqrt(nb_t)) * 1000000) / 1000000 AS cos_trunc
+FROM scored
+WHERE na_f > 0 AND nb_f > 0 AND na_t > 0 AND nb_t > 0""".format(
+        dot_full=sql_dot("embedding", "next_emb", _EMB_DIM),
+        naa_full=sql_dot("embedding", "embedding", _EMB_DIM),
+        nbb_full=sql_dot("next_emb", "next_emb", _EMB_DIM),
+        dot_t=sql_dot("embedding", "next_emb", _TRUNC_DIM),
+        naa_t=sql_dot("embedding", "embedding", _TRUNC_DIM),
+        nbb_t=sql_dot("next_emb", "next_emb", _TRUNC_DIM),
+    ),
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for a deterministic chain of
+    within-label vector pairs (each vector vs the next vec_id in its
+    label), the cosine computed on the full {64} dims NEXT TO the cosine
+    on the first {16} dims. The downstream decision — can ANN recall /
+    dedup run on a 4x-cheaper prefix? — reads directly off the
+    cos_trunc-vs-cos_full spread, and the pairing is a window `lead`, not
+    a sampled join, so the audit is reproducible run-to-run and engine-
+    to-engine.
+
+    One window shuffle on label (the pairing), then pure map-side
+    arithmetic: both cosines are strict left-to-right `aggregate` folds
+    (slice() for the prefix) matching the twin's list comprehensions
+    term-for-term; sqrt is IEEE-exact on both engines; zero-norm pairs
+    are filtered (the knn_graph lesson) and the r6 quantization matches
+    the similarity family's pair convention."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy("vec_id")
+    pairs = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.lead("vec_id").over(w).alias("next_id"),
+        F.lead("embedding").over(w).alias("next_emb"),
+    ).where(F.col("next_id").isNotNull())
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    full_a, full_b = F.col("embedding"), F.col("next_emb")
+    tr_a = F.slice(full_a, 1, _TRUNC_DIM)
+    tr_b = F.slice(full_b, 1, _TRUNC_DIM)
+    scored = pairs.select(
+        "vec_id",
+        "next_id",
+        "label",
+        fold_dot(full_a, full_b).alias("df_"),
+        fold_dot(full_a, full_a).alias("na_f"),
+        fold_dot(full_b, full_b).alias("nb_f"),
+        fold_dot(tr_a, tr_b).alias("dt_"),
+        fold_dot(tr_a, tr_a).alias("na_t"),
+        fold_dot(tr_b, tr_b).alias("nb_t"),
+    )
+    r6 = lambda c: F.round(c * 1000000) / 1000000  # noqa: E731
+    return (
+        scored.where(
+            (F.col("na_f") > 0) & (F.col("nb_f") > 0)
+            & (F.col("na_t") > 0) & (F.col("nb_t") > 0)
+        )
+        .select(
+            "vec_id",
+            "next_id",
+            "label",
+            r6(F.col("df_") / (F.sqrt("na_f") * F.sqrt("nb_f"))).alias("cos_full"),
+            r6(F.col("dt_") / (F.sqrt("na_t") * F.sqrt("nb_t"))).alias("cos_trunc"),
+        )
+    )
+
+
+@query("embedding_pq_codes")  # no SQL twin: k-means codebook fit is iterative
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 4 subspaces
+    x 16 centroids = 2 bytes per 64-dim vector (operators/similarity.py
+    pq_fit_codebooks / pq_encode — fit on a capped seeded sample, encode
+    in one Arrow map pass). Rows-only driver check; reconstruction-error
+    sanity (true codebook beats a mismatched one, error halves from m=2
+    to m=8) is asserted in tests/test_llmops.py."""
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit_codebooks(emb, m=4, k=16, dim=_EMB_DIM)
+    return similarity.pq_encode(emb, books)

@@ -626,3 +626,38 @@ def test_containment_catches_superset_jaccard_misses(spark):
     jac = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
     assert (1, 2) not in jac  # jaccard never fires on the superset pair
     assert not any(3 in p for p in cont)
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.pq_fit_codebooks(emb, m=4, k=16, dim=64)
+    assert books.shape == (4, 16, 16)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_reconstruction_beats_mismatched_codebook(spark, sf_dir):
+    """The fitted codebook must reconstruct the corpus it was fitted on
+    better than a codebook fitted to a shifted copy — the basic 'the
+    quantizer learned THIS density' check; and more subspaces must not
+    reconstruct worse."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.pq_fit_codebooks(emb, m=4, k=16, dim=64)
+    mse = similarity.pq_reconstruction_mse(emb, books)
+    assert mse >= 0.0
+
+    shifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(7.5)).alias("embedding")
+    )
+    books_wrong = similarity.pq_fit_codebooks(shifted, m=4, k=16, dim=64)
+    mse_wrong = similarity.pq_reconstruction_mse(emb, books_wrong)
+    assert mse < mse_wrong
+
+    books8 = similarity.pq_fit_codebooks(emb, m=8, k=16, dim=64)
+    assert similarity.pq_reconstruction_mse(emb, books8) <= mse * 1.05
