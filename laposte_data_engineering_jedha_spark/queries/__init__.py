@@ -401,6 +401,10 @@ ROUND4_ADDED = [
     "olap_bulk_part_suppliers",
     "embedding_truncation_fidelity",
     "embedding_pq_codes",
+    # graph + chunking (queries/round4c.py)
+    "events_type_affinity",
+    "events_type_pagerank",
+    "corpus_cdc_chunks",
 ]
 
 DRIVER_WINDOW_PRIORITY = [
@@ -481,5 +485,5 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)

@@ -1,0 +1,261 @@
+"""Round-4c extensions: graph analytics over the event stream (type
+affinity lift, an integer-exact unrolled PageRank) and content-defined
+chunking for storage-level dedup. The PageRank is the template for
+iterative algorithms under the cross-engine gate: every iteration runs in
+BIGINT micro-units (floor divisions, no floats), so three unrolled rounds
+hash-match the SQL twin bit-for-bit — the same trick that made the
+rank-stable weighted sample and the bloom bitmap oracle-able."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texts
+from . import events_table, query, table
+from .llmops import sql_md5i, sql_round, sql_toks
+
+
+@query(
+    "events_type_affinity",
+    """
+WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS n_users FROM pairs),
+marg AS (SELECT event_type, count(*) AS n FROM pairs GROUP BY 1),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_both, ma.n AS n_a, mb.n AS n_b,
+       round(CAST(n_both AS DOUBLE) * n_users / (ma.n * mb.n) * 10000) / 10000
+         AS lift
+FROM co
+JOIN marg ma ON type_a = ma.event_type
+JOIN marg mb ON type_b = mb.event_type
+CROSS JOIN tot""",
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types over the user dimension:
+    P(a,b) / (P(a) P(b)) — lift > 1 marks behaviors that travel together
+    (the co-occurrence statistic behind item-item recommenders and
+    feature-cross pruning).
+
+    Shape: the event stream collapses to DISTINCT (user, type) support
+    FIRST (the only fact-sized shuffle); the co-occurrence self-join is
+    then user-keyed with per-user fan-out bounded by |types|^2 (types are
+    a bounded domain — at 100 TB this join grows linearly with users, not
+    events); marginals broadcast. Counts are integers; one r4-quantized
+    double ratio at the end."""
+    ev = events_table(spark, sf_dir)
+    pairs = ev.select("user_id", "event_type").distinct()
+    tot = pairs.agg(F.countDistinct("user_id").alias("n_users"))
+    marg = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = pairs.select("user_id", F.col("event_type").alias("type_a"))
+    b = pairs.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_both").cast("double")
+                    * F.col("n_users")
+                    / (F.col("n_a") * F.col("n_b"))
+                    * 10000
+                )
+                / 10000
+            ).alias("lift"),
+        )
+    )
+
+
+_PR_SCALE = 1_000_000_000_000  # rank micro-units: 1.0 == 10^12
+_PR_ITERS = 3
+
+
+def _sql_pr_iter(prev: str, it: int) -> str:
+    """One unrolled integer PageRank round as a SQL CTE pair."""
+    return f"""
+c{it} AS (
+  SELECT e.dst AS event_type,
+         sum((r.rank_u * 85 // 100) * e.n // e.w_out) AS contrib
+  FROM {prev} r JOIN edges e ON r.event_type = e.src
+  GROUP BY 1),
+r{it} AS (
+  SELECT n.event_type,
+         base_u + coalesce(c.contrib, 0) AS rank_u
+  FROM nodes n
+  LEFT JOIN c{it} c USING (event_type)
+  CROSS JOIN consts)"""
+
+
+@query(
+    "events_type_pagerank",
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+edges0 AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+edges AS (
+  SELECT src, dst, n, sum(n) OVER (PARTITION BY src) AS w_out FROM edges0),
+nodes AS (SELECT DISTINCT event_type FROM events),
+consts AS (
+  SELECT CAST({_PR_SCALE} AS BIGINT) * 15 // (100 * count(*)) AS base_u,
+         CAST({_PR_SCALE} AS BIGINT) // count(*) AS init_u,
+         count(*) AS n_nodes
+  FROM nodes),
+r0 AS (SELECT event_type, init_u AS rank_u FROM nodes CROSS JOIN consts),
+{",".join(_sql_pr_iter("r" + str(i), i + 1).strip() for i in range(_PR_ITERS))}
+SELECT event_type, CAST(rank_u AS BIGINT) AS rank_u FROM r{_PR_ITERS}""",
+)
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edges = the
+    markov-transition counts), {_PR_ITERS} unrolled power iterations with
+    damping 0.85 — the iterative-algorithm template under the exact
+    cross-engine gate.
+
+    The determinism trick: ranks live in BIGINT micro-units (1.0 = 10^12)
+    and every step is integer multiply + floor division — `(rank * 85 //
+    100) * n // w_out` — so the per-node contribution sums are exact
+    BIGINTs in ANY aggregation order; a float formulation would make each
+    shuffle a coin flip in the low bits. Dangling-node mass leaks (the
+    standard simplification; no type is a sink in the fixture, and leak
+    only rescales). Each iteration is one (src-keyed join -> dst-keyed
+    aggregate) pair over a |types|^2-bounded edge table; at 100 TB the
+    expensive part is the ONE windowed pass deriving the edges, shared
+    with events_markov_transitions, and iterations cost nothing because
+    the graph is domain-sized. For billion-node graphs the same loop runs
+    with edges as the big table and localCheckpoint between rounds (see
+    operators/dedup.py connected components)."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    edges0 = (
+        seq.groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = edges0.withColumn(
+        "w_out", F.sum("n").over(Window.partitionBy("src"))
+    ).cache()
+    nodes = ev.select("event_type").distinct()
+    n_nodes = nodes.count()  # domain-sized scalar (like the IDF doc count)
+    base_u = _PR_SCALE * 15 // (100 * n_nodes)
+    init_u = _PR_SCALE // n_nodes
+
+    ranks = nodes.select("event_type", F.lit(init_u).cast("long").alias("rank_u"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks["event_type"] == edges["src"])
+            .select(
+                F.col("dst").alias("event_type"),
+                F.expr("(rank_u * 85 div 100) * n div w_out").alias("c"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "event_type", "left")
+            .select(
+                "event_type",
+                (F.lit(base_u) + F.coalesce("contrib", F.lit(0)))
+                .cast("long")
+                .alias("rank_u"),
+            )
+        )
+    return ranks
+
+
+_CDC_MOD = 16  # boundary when md5int32(tok) % 16 == 0 -> ~16-token chunks
+
+
+@query(
+    "corpus_cdc_chunks",
+    f"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+        FROM (SELECT doc_id, {sql_toks('text')} AS t FROM documents
+              WHERE trim(text) <> ''))),
+flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN {sql_md5i('tok')} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+  FROM toks),
+assigned AS (
+  SELECT doc_id, tok, pos,
+         CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS chunk_idx
+  FROM flagged)
+SELECT doc_id, chunk_idx,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+       count(*) AS n_tokens
+FROM assigned
+GROUP BY doc_id, chunk_idx""",
+)
+def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER every token whose md5 is 0 mod {_CDC_MOD} (expected chunk
+    ~{_CDC_MOD} tokens). Because boundaries depend on CONTENT, not
+    position, an insertion early in a document only re-chunks its local
+    neighborhood — the property that makes CDC the storage-dedup
+    complement to winnowing (which fingerprints for SIMILARITY; CDC
+    chunks for byte-identical reuse, rsync/LBFS-style).
+
+    Shape: posexplode -> map-side boundary flag (md5 mod) -> one
+    windowed cumulative sum per doc assigns chunk ids -> one (doc, chunk)
+    aggregate rebuilds each chunk's hash from pos-ordered tokens. The
+    only shuffle is the doc-keyed window+aggregate (they share
+    partitioning); chunk hashes bottom out in md5 so the dedup join
+    downstream is engine-portable."""
+    docs = table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.posexplode(texts.tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    flagged = toks.withColumn(
+        "b", F.when(texts.md5int32("tok") % _CDC_MOD == 0, 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("b").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
