@@ -405,6 +405,7 @@ ROUND4_ADDED = [
     "events_type_affinity",
     "events_type_pagerank",
     "corpus_cdc_chunks",
+    "src_orc_roundtrip",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -115,3 +115,12 @@ def src_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded synthetic generator (reference core/extract.py:82-119) —
     distributional parity is asserted in tests/test_sources.py."""
     return generate_deliveries(spark, 1000, seed=42, num_partitions=8)
+
+
+@query("src_orc_roundtrip", oracle=_DELIVERIES_ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_orc + src_orc: Spark's second native columnar format, same
+    vectorized-scan / pushdown machinery as parquet (extension beyond the
+    reference's format set — a lake standardized on ORC/Hive switches
+    WRITER_MAP['orc'] in and nothing else changes)."""
+    return _roundtrip(spark, sf_dir, "orc", ".orc")

@@ -56,6 +56,16 @@ class ParquetReader(BaseReader):
         return spark.read.parquet(self.path)
 
 
+class OrcReader(BaseReader):
+    """ORC — Spark's second native columnar format (vectorized reader,
+    predicate pushdown, column pruning — same scan machinery as parquet).
+    Beyond the reference's format set, but a drop-in for lakes standardized
+    on ORC/Hive."""
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.path)
+
+
 class SqliteReader(BaseReader):
     """SQLite, fixed query `SELECT * FROM deliveries` (reference
     sources/readers.py:45-50). Driver-side sqlite3 -> Arrow-backed
@@ -94,6 +104,7 @@ READER_MAP: dict[str, type[BaseReader]] = {
     ".csv": CsvReader,
     ".json": JsonReader,
     ".parquet": ParquetReader,
+    ".orc": OrcReader,
     ".db": SqliteReader,
     ".xlsx": XlsxReader,
 }

@@ -80,6 +80,16 @@ class ParquetWriter(BaseWriter):
             df.write.mode("overwrite").parquet(self.path)
 
 
+class OrcWriter(BaseWriter):
+    """ORC (zlib default; columnar twin of ParquetWriter)."""
+
+    def write(self, df: DataFrame) -> None:
+        if self.single_file:
+            _promote_single_file(df, self.path, "orc")
+        else:
+            df.write.mode("overwrite").orc(self.path)
+
+
 class SqliteWriter(BaseWriter):
     """Chunked append to SQLite table `deliveries` (reference
     sources/writers.py:45-59).
@@ -183,6 +193,7 @@ WRITER_MAP: dict[str, type[BaseWriter]] = {
     "csv": CsvWriter,
     "json": JsonWriter,
     "parquet": ParquetWriter,
+    "orc": OrcWriter,
     "sqlite": SqliteWriter,
     "xlsx": XlsxWriter,
 }
