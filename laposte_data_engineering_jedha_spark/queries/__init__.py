@@ -406,6 +406,7 @@ ROUND4_ADDED = [
     "events_type_pagerank",
     "corpus_cdc_chunks",
     "src_orc_roundtrip",
+    "events_stickiness_hll",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -259,3 +259,66 @@ def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@query(
+    "events_stickiness_hll",
+    """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+contrib AS (
+  SELECT d + CAST(r AS INTEGER) AS day, user_id
+  FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offsets),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau_exact FROM contrib GROUP BY 1),
+dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau_exact FROM pairs GROUP BY 1)
+SELECT dau.day AS day, dau_exact, wau_exact,
+       TRUE AS dau_within_bounds, TRUE AS wau_within_bounds
+FROM dau JOIN wau ON dau.day = wau.day""",
+)
+def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of events_daily_stickiness: DAU and trailing-7-day
+    WAU via HLL++ (approx_count_distinct, 2% rsd) instead of exact
+    distincts — at billions of users/day the exact two-level distinct is
+    a full shuffle of the activity support per window, while the HLL
+    buffers are KBs per day and merge associatively (partial aggregation
+    does almost all the work map-side; this is also the form that keeps
+    running under Structured Streaming, where exact distinct state is
+    unbounded).
+
+    Same oracle discipline as events_sketch_aggregates: sketch values are
+    engine-specific, so the query emits EXACT anchors (hash-matched
+    against DuckDB) plus booleans asserting each HLL estimate landed
+    within 5x its rsd (+1 absolute for tiny days); the oracle states the
+    booleans as TRUE literals, so a gross sketch regression flips the
+    value hash."""
+    ev = events_table(spark, sf_dir)
+    pairs = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    dau_x = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau_exact")
+    )
+    wau_x = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau_exact"))
+    dau_a = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx")
+    )
+    wau_a = contrib.groupBy("day").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx")
+    )
+
+    def within(approx, exact):
+        return F.abs(approx - exact) <= (0.10 * exact + 1)
+
+    return (
+        dau_x.join(wau_x, "day")
+        .join(dau_a, "day")
+        .join(wau_a, "day")
+        .select(
+            "day",
+            "dau_exact",
+            "wau_exact",
+            within(F.col("dau_approx"), F.col("dau_exact")).alias("dau_within_bounds"),
+            within(F.col("wau_approx"), F.col("wau_exact")).alias("wau_within_bounds"),
+        )
+    )

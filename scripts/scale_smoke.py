@@ -437,8 +437,76 @@ def curation_scale(spark, times=200):
     timed("daily_stickiness @10M events (15k users)", dau.join(wau, "day"))
 
 
+def graph_chunk_scale(spark, times=200, ev_times=100):
+    """Round-4c ops at 1M docs / 10M events: CDC chunking (windowed cumsum
+    + per-chunk rebuild), type-affinity self-join, integer PageRank
+    (edge derivation dominates; iterations are domain-sized)."""
+    from laposte_data_engineering_jedha_spark.queries import events_table
+    from pyspark.sql import Window
+
+    docs1m = blown_up_docs(spark, times).cache()
+    timed(f"corpus: documents x{times}", docs1m)
+    toks = docs1m.select(
+        "doc_id", F.posexplode(texts.tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    flagged = toks.withColumn(
+        "b", F.when(texts.md5int32("tok") % 16 == 0, 1).otherwise(0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("b").over(w), F.lit(0)).cast("long")
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    timed(f"cdc_chunks @{times * 5}k docs", chunks)
+    docs1m.unpersist()
+
+    ev = events_table(spark, SF_DIR).select("ts", "user_id", "event_type", "event_id")
+    copies = spark.range(ev_times).select(F.col("id").alias("_c"))
+    big = ev.crossJoin(copies).select(
+        "ts", "event_type",
+        (F.col("user_id") + F.col("_c") * 1000).alias("user_id"),
+        (F.col("event_id") + F.col("_c") * 10_000_000).alias("event_id"),
+    ).cache()
+    timed(f"events x{ev_times}", big)
+
+    pairs = big.select("user_id", "event_type").distinct()
+    a = pairs.select("user_id", F.col("event_type").alias("ta"))
+    b = pairs.select("user_id", F.col("event_type").alias("tb"))
+    co = (
+        a.join(b, "user_id").where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n"))
+    )
+    timed(f"type_affinity @{ev_times * 100}k events", co)
+
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = big.select(
+        "event_type", F.lead("event_type").over(wseq).alias("nt")
+    ).where(F.col("nt").isNotNull())
+    edges = (
+        seq.groupBy(F.col("event_type").alias("src"), F.col("nt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w_out", F.sum("n").over(Window.partitionBy("src")))
+    )
+    timed(f"pagerank edge derivation @{ev_times * 100}k events", edges)
+    big.unpersist()
+
+
 SECTIONS = {
     "curation": curation_scale,
+    "graphchunk": graph_chunk_scale,
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
     "ivf": ivf_scale,
