@@ -1,0 +1,67 @@
+"""MERGE INTO / CDC-apply for plain-parquet lakes — the upsert primitive
+every table format (Delta/Iceberg/Hudi) builds in, expressed as pure
+DataFrame algebra so it runs anywhere Spark runs:
+
+    new_snapshot = (snapshot ANTI-JOIN change_keys)  -- untouched + deleted removed
+                   UNION ALL
+                   (latest change per key WHERE op != 'D')  -- upserts
+
+Semantics match SQL MERGE with WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+WHEN NOT MATCHED INSERT, with last-writer-wins inside the change batch
+(ties broken deterministically by a sequence column).
+
+Scale notes: both legs are key-partitioned — the anti join shuffles on the
+key (or rides a bucketed snapshot layout with ZERO exchange, see
+operators/layout.py), the change-batch dedup is a per-key window over the
+(usually much smaller) change set, and the union is free. Rewriting only
+affected files (copy-on-write pruning) is a table-format concern; this
+operator produces the correct next snapshot for any storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_COL = "op"
+SEQ_COL = "seq"
+
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def latest_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse a change batch to one row per key: highest `seq` wins,
+    ties broken by op descending ('U' > 'I' > 'D' lexicographically is NOT
+    meaningful, so ties on seq are broken by op then arbitrary-free —
+    callers must make seq unique per key; a guard test pins this)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(SEQ_COL).desc(), F.col(OP_COL))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    snapshot: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Next snapshot after applying a CDC batch (op: I/U/D + payload
+    columns matching the snapshot schema + a seq column).
+
+    - keys present in the batch leave the old snapshot (anti join);
+    - the latest non-delete change per key contributes its payload;
+    - deletes contribute nothing (the anti join already removed them).
+
+    Upserts whose key wasn't in the snapshot behave as inserts and
+    updates-as-inserts (standard MERGE leniency); a strict mode would
+    split U/I and assert matched-ness — deliberately not done here, the
+    lake's CDC feeds are not reliably strict."""
+    last = latest_changes(changes, key_cols)
+    payload_cols = list(snapshot.columns)
+    # No broadcast hint on the change-key side: CDC batches range from tiny
+    # (stats-broadcast kicks in) to snapshot-sized backfills (must shuffle).
+    untouched = snapshot.join(last.select(*key_cols), key_cols, "left_anti")
+    upserts = last.where(F.col(OP_COL) != OP_DELETE).select(*payload_cols)
+    return untouched.unionByName(upserts)

@@ -407,6 +407,8 @@ ROUND4_ADDED = [
     "corpus_cdc_chunks",
     "src_orc_roundtrip",
     "events_stickiness_hll",
+    "olap_cdc_merge",
+    "olap_customer_quartiles",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -322,3 +322,149 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             within(F.col("wau_approx"), F.col("wau_exact")).alias("wau_within_bounds"),
         )
     )
+
+
+@query(
+    "olap_cdc_merge",
+    """
+WITH changes AS (
+  -- deterministic CDC batch derived from orders: delete keys = 0 mod 10,
+  -- update keys = 1 or 2 mod 10 (price * 1.1, status 'U'), insert = key 7
+  -- mod 10 re-keyed +10^9. Two seq rows for updates prove last-writer-wins.
+  SELECT o_orderkey AS k, 'D' AS op, 1 AS seq, NULL AS price, NULL AS status
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 1, o_totalprice, 'STALE'
+  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, round(o_totalprice * CAST(1.1 AS DOUBLE) * 100) / 100, 'U'
+  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'I', 1, o_totalprice, 'I'
+  FROM orders WHERE o_orderkey % 10 = 7),
+latest AS (
+  SELECT k, op, price, status FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn
+    FROM changes) WHERE rn = 1),
+merged AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey NOT IN (SELECT k FROM latest)
+  UNION ALL
+  SELECT k, price, status FROM latest WHERE op <> 'D')
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       count(DISTINCT status) AS n_statuses,
+       min(k) AS min_key, max(k) AS max_key
+FROM merged""",
+)
+def olap_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics end-to-end (operators/merge.py apply_changes):
+    a deterministic CDC batch — deletes, two-generation updates (proving
+    last-writer-wins inside the batch), and re-keyed inserts, all derived
+    arithmetically from orders so the oracle can rebuild the identical
+    batch — applied to the orders snapshot; the query emits the merged
+    snapshot's checksum row (count + DECIMAL-exact price mass + key span).
+
+    Shape at scale: one per-key window over the CHANGE batch (small), one
+    anti join + unionByName on the snapshot (key-partitioned; zero
+    Exchange when the snapshot is bucketed per operators/layout.py), one
+    final aggregate for the checksum."""
+    from ..operators import merge as m
+
+    orders = table(spark, sf_dir, "orders")
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mod = F.col("o_orderkey") % 10
+    deletes = orders.where(mod == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    upd1 = orders.where(mod.isin(1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("STALE").alias("status"),
+    )
+    upd2 = orders.where(mod.isin(1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        (F.round(F.col("o_totalprice") * 1.1 * 100) / 100).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    ins = orders.where(mod == 7).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("status"),
+    )
+    changes = deletes.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    merged = m.apply_changes(snap, changes.select("k", "price", "status", "op", "seq"), ["k"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        F.countDistinct("status").alias("n_statuses"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+@query(
+    "olap_customer_quartiles",
+    """
+WITH rev AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment),
+ranked AS (
+  SELECT *, ntile(4) OVER (ORDER BY spend DESC, c_custkey) AS quartile
+  FROM rev)
+SELECT c_mktsegment, quartile, count(*) AS n_cust,
+       CAST(sum(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend
+FROM ranked
+GROUP BY c_mktsegment, quartile""",
+)
+def olap_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles crossed with market segment — the
+    ntile/percentile-band window shape (value-tier reporting, LTV-decile
+    features). ntile over (spend DESC, custkey) is fully deterministic
+    because the sort key is unique; DECIMAL-exact spend sums on both
+    engines make the quartile boundaries identical.
+
+    Scale note: a GLOBAL ntile is a single-partition window — fine for
+    reporting outputs (one pass over the already-aggregated per-customer
+    rows), wrong for per-row feature generation at 100 TB; there the move
+    is approx percentile boundaries broadcast as a cut-point array (see
+    events_value_quantiles), trading exact tiles for full parallelism.
+    This query keeps the exact form because its input is one row per
+    customer, already 5 orders of magnitude smaller than the fact
+    table."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.orderBy(F.col("spend").desc(), "c_custkey")
+    return (
+        rev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("spend").cast("decimal(18,4)")).cast("double").alias("segment_spend"),
+        )
+    )
