@@ -504,9 +504,48 @@ def graph_chunk_scale(spark, times=200, ev_times=100):
     big.unpersist()
 
 
+def skew_scale(spark, n=20_000_000, hot_frac=0.5):
+    """Measured salting evidence: 20M-row aggregate where one key holds
+    half the rows. Three variants: plain groupBy WITH AQE (the default
+    path), plain groupBy with AQE skew handling off (what a naive engine
+    does), salted two-phase (operators/skew.py). Also the skewed join
+    against a 10k-row non-broadcastable side, salted vs not."""
+    from laposte_data_engineering_jedha_spark.operators import skew
+
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise((F.col("id") % 100_000).cast("long"))
+        .alias("k"),
+        (F.col("id") % 977).cast("double").alias("v"),
+    ).cache()
+    timed(f"skew corpus: {n//10**6}M rows, key 0 = {int(hot_frac*100)}%", rows)
+
+    plain = rows.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    timed("plain groupBy (AQE on)", plain)
+    timed("salted_sum (8 salts)", skew.salted_sum(rows, "k", "v", salt=8))
+
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("attr")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timed("plain skewed join (no broadcast)", rows.join(dim, "k").groupBy("attr").count())
+        timed(
+            "salted_join (8 salts, no broadcast)",
+            skew.salted_join(rows, dim, "k", salt=8).groupBy("attr").count(),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    rows.unpersist()
+
+
 SECTIONS = {
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
+    "skew": skew_scale,
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
     "ivf": ivf_scale,

@@ -60,3 +60,40 @@ def test_idempotent_replay(spark):
     once = m.apply_changes(_snap(spark), ch, ["k"])
     twice = m.apply_changes(once, ch, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_matches_dict_model_randomized(spark):
+    """Differential check against a trivial dict model over a grid of
+    seeded random batches: apply_changes == replay the ops into a dict in
+    seq order. (Deterministic seeds instead of hypothesis: each case costs
+    two Spark jobs, so the suite pins 8 diverse cases.)"""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        snap_rows = [(k, f"v{k}", float(k)) for k in range(10) if rng.random() < 0.7]
+        ch_rows = []
+        seqs = {}
+        for _ in range(rng.randint(1, 15)):
+            k = rng.randint(0, 14)
+            op = rng.choice(["I", "U", "D"])
+            seqs[k] = seqs.get(k, 0) + 1  # unique seq per key by construction
+            ch_rows.append((k, f"c{k}_{seqs[k]}", k + seqs[k] / 10.0, op, seqs[k]))
+
+        model = {k: (v, x) for k, v, x in snap_rows}
+        latest = {}
+        for k, v, x, op, seq in ch_rows:
+            if k not in latest or seq > latest[k][3]:
+                latest[k] = (v, x, op, seq)
+        for k, (v, x, op, _) in latest.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = (v, x)
+
+        snap = spark.createDataFrame(snap_rows or [(99, "z", 0.0)], "k int, v string, x double")
+        if not snap_rows:
+            snap = snap.where("k < 0")
+        ch = spark.createDataFrame(ch_rows, "k int, v string, x double, op string, seq int")
+        got = {r["k"]: (r["v"], r["x"]) for r in m.apply_changes(snap, ch, ["k"]).collect()}
+        assert got == model, f"seed={seed}"
