@@ -74,15 +74,28 @@ def prepare_job(
 def _service_descriptor() -> dict:
     """GET / payload — the reference serves its HTML UI here (api.py:82-89);
     the rebuild serves a machine-readable route map (also the Docker
-    healthcheck target)."""
+    healthcheck target) and puts the human console at GET /ui."""
     return {
         "service": "laposte-etl-pyspark",
         "routes": {
+            "ui": "GET /ui (browser console: upload-or-generate -> formats -> run -> download)",
             "run": "POST /run-etl?rows=N&formats=all|all_but_xlsx|csv|... (optional multipart file)",
             "status": "GET /status/{session_id}",
             "download": "GET /download/{session_id}",
         },
     }
+
+
+_WEB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
+
+
+def web_asset(name: str) -> tuple[bytes, str]:
+    """(bytes, content-type) of a bundled web-console asset — the rebuild's
+    twin of the reference's templates/index.html + static/style.css
+    (same three-step flow, own markup/script)."""
+    kinds = {".html": "text/html; charset=utf-8", ".css": "text/css; charset=utf-8"}
+    with open(os.path.join(_WEB_DIR, name), "rb") as fh:
+        return fh.read(), kinds[os.path.splitext(name)[1]]
 
 
 def status_payload(session_id: str) -> tuple[int, dict]:
@@ -146,6 +159,14 @@ class MiniApp:
         method, path = scope["method"], scope["path"]
         if method == "GET" and path == "/":
             status, payload = 200, _service_descriptor()
+        elif method == "GET" and path == "/ui":
+            body_bytes, ctype = web_asset("index.html")
+            await _respond(send, 200, body_bytes, ctype)
+            return
+        elif method == "GET" and path == "/static/app.css":
+            body_bytes, ctype = web_asset("app.css")
+            await _respond(send, 200, body_bytes, ctype)
+            return
         elif method == "POST" and path == "/run-etl":
             status, payload = self._run_etl(scope, body)
         elif method == "GET" and path.startswith("/status/"):
@@ -217,6 +238,20 @@ def _create_fastapi_app(spark, workdir: str):  # pragma: no cover - env-dependen
     @app.get("/")
     def root():
         return _service_descriptor()
+
+    @app.get("/ui")
+    def ui():
+        from fastapi.responses import Response
+
+        body, ctype = web_asset("index.html")
+        return Response(content=body, media_type=ctype)
+
+    @app.get("/static/app.css")
+    def css():
+        from fastapi.responses import Response
+
+        body, ctype = web_asset("app.css")
+        return Response(content=body, media_type=ctype)
 
     @app.post("/run-etl")
     async def run_etl(

@@ -183,7 +183,7 @@ def test_webapi_root_descriptor(webapp):
     assert status == 200
     payload = json.loads(body)
     assert payload["service"] == "laposte-etl-pyspark"
-    assert set(payload["routes"]) == {"run", "status", "download"}
+    assert set(payload["routes"]) == {"ui", "run", "status", "download"}
 
 
 def test_serve_stdlib_bridge_http_roundtrip(webapp):
@@ -268,3 +268,20 @@ def test_driver_window_priority_matches_registry():
     assert set(q.ORACLE_SQL) - set(q.ROUND4_ADDED) <= set(window) | set(
         q.ROUND3_VERIFIED
     )
+
+
+def test_webapi_serves_console_ui(webapp):
+    """GET /ui serves the browser console (the reference's templates/
+    index.html twin) and GET /static/app.css its stylesheet; the console
+    drives only the three JSON routes, so route coverage above covers its
+    backend."""
+    status, body = _asgi_call(webapp, "GET", "/ui")
+    assert status == 200
+    html = body.decode()
+    for marker in ("/run-etl", "/status/", "/download/", "source-file",
+                   "gen-rows", "formats", "Run pipeline"):
+        assert marker in html, marker
+
+    status, css = _asgi_call(webapp, "GET", "/static/app.css")
+    assert status == 200
+    assert b".spinner" in css and b".filebox" in css
