@@ -1,0 +1,59 @@
+"""Three-way consistency: for the TPC-H-shape queries whose oracle SQL is
+ANSI enough to be valid Spark SQL too, running that SQL through
+spark.sql() over registered views must equal the DataFrame-API plan —
+Spark-SQL == Spark-DataFrame == (via the oracle gate) DuckDB. Proves the
+engine serves BOTH query APIs with identical semantics, not just the
+DataFrame surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from laposte_data_engineering_jedha_spark import queries as q
+
+# Queries whose DuckDB oracle text is also valid Spark SQL (no DuckDB-only
+# functions like string_split_regex / list comprehensions / epoch_us).
+SQL_PORTABLE = [
+    "olap_shipping_priority",
+    "olap_nation_trade_volume",
+    "olap_product_margin",
+    "olap_late_lines_by_priority",
+    "olap_order_count_distribution",
+    "olap_promo_revenue_share",
+    "olap_top_supplier",
+    "olap_part_supplier_counts",
+    "olap_large_volume_customers",
+    "olap_brand_band_revenue",
+    "olap_waiting_suppliers",
+    "olap_important_parts",
+    "olap_bulk_part_suppliers",
+    "olap_customer_quartiles",
+]
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def sql_views(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    yield
+    for t in _TABLES:
+        spark.catalog.dropTempView(t)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(row[c]) for c in cols) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", SQL_PORTABLE)
+def test_spark_sql_matches_dataframe_api(name, spark, sf_dir, sql_views):
+    sql = q.oracle_sql()[name]
+    via_sql = spark.sql(sql)
+    via_df = q.queries()[name](spark, sf_dir)
+    assert sorted(via_sql.columns) == sorted(via_df.columns)
+    assert _canon(via_sql) == _canon(via_df)
