@@ -409,6 +409,8 @@ ROUND4_ADDED = [
     "events_stickiness_hll",
     "olap_cdc_merge",
     "olap_customer_quartiles",
+    "events_gap_fill_ffill",
+    "events_path_trigrams",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -468,3 +468,110 @@ def olap_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("spend").cast("decimal(18,4)")).cast("double").alias("segment_spend"),
         )
     )
+
+
+@query(
+    "events_gap_fill_ffill",
+    """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM spans),
+joined AS (
+  SELECT g.user_id, g.h, hour_value FROM grid g
+  LEFT JOIN hourly USING (user_id, h))
+SELECT user_id, epoch_us(h) AS hour_us,
+       last_value(hour_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING)
+         AS filled_value,
+       hour_value IS NULL AS was_gap
+FROM joined""",
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each user's hourly value totals on a
+    DENSE hourly grid (from their first to last active hour), gaps
+    forward-filled with the last observation — the resample+ffill step
+    every feature pipeline runs before windowed models, plus a was_gap
+    flag so imputed points stay distinguishable.
+
+    Shape: hourly totals are one decimal-exact aggregate; the grid is a
+    map-side sequence() explode off the per-user [min, max] span (never a
+    calendar cross join — grid size is sum of user spans, not
+    users x global range); the fill is one last(ignorenulls) running
+    window over the SAME user partitioning as the grid join, so Catalyst
+    plans a single user_id Exchange for join + window. Forward-fill
+    copies doubles bit-exactly, so the filled series hash-matches."""
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    hourly = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("hour_value")
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNull().alias("was_gap"),
+    )
+
+
+_PATH_TOP = 20
+
+
+@query(
+    "events_path_trigrams",
+    f"""
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path LIMIT {_PATH_TOP}""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} three-step behavior paths (a>b>c) across all user
+    journeys — second-order sequence mining next to the first-order
+    markov matrix (a funnel 'view>click>purchase' dominating here but
+    absent from pairwise transitions is the classic insight this view
+    adds).
+
+    One window pass (both leads share the same user/ts frame — Spark
+    evaluates them in a single Window operator over one user_id
+    Exchange), a path-keyed count with map-side partials, deterministic
+    TakeOrderedAndProject top-{20}."""
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOP)
+    )
