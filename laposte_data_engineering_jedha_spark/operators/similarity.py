@@ -395,3 +395,110 @@ def pq_reconstruction_mse(
         F.avg("e").alias("mse")
     ).first()
     return float(row["mse"])
+
+
+def pq_knn(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k: the corpus is
+    scanned as 2-byte codes, never as float vectors — for each query, a
+    per-subspace lookup table of squared distances to every centroid is
+    precomputed (m x k doubles), and a candidate's distance is just m
+    table lookups + adds (Jégou et al. 2011, Eq. 13).
+
+    Scale shape: the corpus side carries only (id, codes) — at 100 TB
+    this is the layout whose scan cost is ~100x below the float corpus —
+    and the query side (id, distance tables) broadcasts into an Arrow
+    kernel; one map pass scores every (query, candidate) pair inside the
+    kernel loop, then the standard per-query top-k window. Scores are
+    approximate by construction (quantization error), so this returns
+    distances for ranking, not oracle-exact cosines — recall against
+    brute force is the quality gate (tests + scripts/recall_report.py)."""
+    m, kk, sub = codebooks.shape
+    codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    qrows = queries.select(id_col, vec_col).collect()  # few query rows by contract
+    q_ids = [r[id_col] for r in qrows]
+    qmat = np.array([list(r[vec_col]) for r in qrows], dtype="float64")
+    # (n_q, m, k) lookup tables: squared distance from each query subvector
+    # to every centroid of that subspace.
+    tables = np.stack(
+        [
+            ((qmat[:, j * sub : (j + 1) * sub][:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    @pandas_udf("array<double>")
+    def score(codes_s: pd.Series) -> pd.Series:
+        cm = np.array(codes_s.tolist(), dtype="int64")  # (n, m)
+        n = cm.shape[0]
+        out = np.zeros((n, tables.shape[0]), dtype="float64")
+        for j in range(m):
+            # tables[:, j, :] is (n_q, k); fancy-index by this batch's codes
+            out += tables[:, j, :][:, cm[:, j]].T
+        return pd.Series(list(out))
+
+    scored = codes.select(F.col(id_col).alias("cand_id"), score("codes").alias("d"))
+    ids = F.array(*[F.lit(i) for i in q_ids])
+    pairs = scored.select(
+        "cand_id", F.explode(F.arrays_zip(ids.alias("query_id"), F.col("d").alias("dist"))).alias("z")
+    ).select(F.col("z.query_id"), "cand_id", F.col("z.dist").alias("dist")).where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cand_id"))
+    shortlist = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (k * rerank if rerank else k))
+        .select("query_id", "cand_id", "dist", "rank")
+    )
+    if not rerank:
+        return shortlist
+    # Exact re-rank of the ADC shortlist (the canonical two-stage PQ
+    # pipeline): only k*rerank candidates per query ever touch float
+    # vectors — the corpus scan stayed 2 bytes/vector; the shortlist join
+    # is id-keyed and tiny.
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vectors.pd_norm(vec_col).alias("qn"),
+    )
+    cside = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        vectors.pd_norm(vec_col).alias("cn"),
+    )
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    exact = (
+        shortlist.select("query_id", "cand_id")
+        .join(cside, "cand_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine")
+        )
+    )
+    return _ranked_topk(exact, k)
+
+
+def l2_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Unit-normalize the vector column (zero vectors dropped — cosine is
+    undefined for them; same guard as every cosine path here). For
+    cosine-semantics ANN over PQ/IVF, quantize NORMALIZED vectors: on the
+    unit sphere L2 and cosine induce the same ranking
+    (||a-b||^2 = 2 - 2cos), so the ADC scan's distances order candidates
+    exactly as cosine would."""
+    nrm = vectors.pd_norm(vec_col)
+    return (
+        df.withColumn("_nrm", nrm)
+        .where(F.col("_nrm") > 0)
+        .withColumn(vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")))
+        .drop("_nrm")
+    )

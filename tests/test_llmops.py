@@ -661,3 +661,31 @@ def test_pq_reconstruction_beats_mismatched_codebook(spark, sf_dir):
 
     books8 = similarity.pq_fit_codebooks(emb, m=8, k=16, dim=64)
     assert similarity.pq_reconstruction_mse(emb, books8) <= mse * 1.05
+
+
+def test_pq_knn_recall_against_brute_force(spark, sf_dir):
+    """Two-stage PQ search (ADC shortlist over 8-byte codes + exact
+    re-rank) must keep most of brute force's top-5. The fixture is a HARD
+    case — near-orthogonal vectors whose neighbor gaps sit at noise
+    level, where quantization hurts most; m=16 x 16 centroids + 10x
+    shortlist measured 90% here (m=8, no re-rank: 25% — the re-rank stage
+    is what makes PQ usable, scripts/recall_report.py has the sweep)."""
+    emb = similarity.l2_normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).cache()
+    qs = emb.where(F.col("vec_id") < 8)
+    books = similarity.pq_fit_codebooks(emb, m=16, k=16, dim=64)
+    approx = similarity.pq_knn(emb, qs, books, k=5, rerank=10)
+    exact = similarity.brute_force_knn(emb, qs, k=5)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    a, e = topsets(approx), topsets(exact)
+    assert set(a) == set(e)
+    hits = sum(len(a[q] & e[q]) for q in e)
+    total = sum(len(e[q]) for q in e)
+    assert hits / total >= 0.8, f"recall@5 {hits}/{total}"
