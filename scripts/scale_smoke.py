@@ -542,10 +542,44 @@ def skew_scale(spark, n=20_000_000, hot_frac=0.5):
     rows.unpersist()
 
 
+def zorder_scale(spark, n=10_000_000):
+    """Z-order write at 10M rows: quantile fit + codegen'd morton code +
+    range shuffle; footer locality ratios printed for both dims."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from laposte_data_engineering_jedha_spark.operators import layout
+
+    rows = spark.range(n).select(
+        (F.col("id") % 100_000).cast("double").alias("a"),
+        ((F.col("id") * 2654435761) % 1_000_000).cast("double").alias("b"),
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_scale_")
+    try:
+        t0 = _t.perf_counter()
+        layout.write_zorder_clustered(rows, tmp, ["a", "b"], n_files=64)
+        wall = _t.perf_counter() - t0
+        ratios = {}
+        for c in ("a", "b"):
+            rg = layout.parquet_file_ranges(tmp, c)
+            glo = min(lo for _, lo, _ in rg)
+            ghi = max(hi for _, _, hi in rg)
+            ratios[c] = sum(hi - lo for _, lo, hi in rg) / (len(rg) * (ghi - glo))
+        print(
+            f"zorder write @{n//10**6}M rows, 64 files: {wall:.1f}s  "
+            f"span-ratios a={ratios['a']:.3f} b={ratios['b']:.3f}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
     "skew": skew_scale,
+    "zorder": zorder_scale,
     "dedup": lambda spark: _dedup_section(spark),
     "vecs": lambda spark: _vec_section(spark),
     "ivf": ivf_scale,

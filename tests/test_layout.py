@@ -94,3 +94,29 @@ def test_compaction_hits_file_count(spark, sf_dir, tmp_path):
     layout.compact_to_files(spark.read.parquet(src), out, n_files=4)
     assert len(glob.glob(f"{out}/*.parquet")) == 4
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order files must be local in BOTH clustered columns: the summed
+    per-file span of each dimension stays well under files x global-span,
+    while 1-D range clustering on the first column leaves the second
+    spanning ~the full range in every file."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    layout.write_zorder_clustered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
+    layout.write_range_clustered(orders, rpath, ["o_custkey"], n_files=16)
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+    def span_ratio(path, column):
+        ranges = layout.parquet_file_ranges(path, column)
+        glo = min(lo for _, lo, _ in ranges)
+        ghi = max(hi for _, _, hi in ranges)
+        total = sum(hi - lo for _, lo, hi in ranges)
+        return total / (len(ranges) * (ghi - glo))
+
+    # Z-order: both dimensions localized (each file covers a small cell).
+    assert span_ratio(zpath, "o_custkey") < 0.55
+    assert span_ratio(zpath, "o_totalprice") < 0.55
+    # 1-D clustering: first dim tight, second dim ~full-range per file.
+    assert span_ratio(rpath, "o_custkey") < 0.2
+    assert span_ratio(rpath, "o_totalprice") > 0.8
