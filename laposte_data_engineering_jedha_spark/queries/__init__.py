@@ -411,6 +411,8 @@ ROUND4_ADDED = [
     "olap_customer_quartiles",
     "events_gap_fill_ffill",
     "events_path_trigrams",
+    "text_tokenizer_fertility",
+    "corpus_curriculum_order",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -427,3 +427,84 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as streaming_jobs
 
     return streaming_jobs.session_window_counts(events_table(spark, sf_dir))
+
+
+@query(
+    "text_tokenizer_fertility",
+    rf"""
+WITH n AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len({sql_toks('text')}) END AS n_ws,
+         len(regexp_extract_all(text, '{texts.BPE_TOKEN_RE}')) AS n_bpe
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       {sql_round('CAST(sum(n_bpe) AS DOUBLE) / greatest(sum(n_ws), 1)', 4)}
+         AS fertility
+FROM n GROUP BY lang""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-style pre-tokens per
+    whitespace word — THE metric for how fairly a tokenizer treats each
+    language (high fertility = more sequence positions per word = higher
+    effective cost and shorter context for that language). Pure map-side
+    counting expressions shared with text_token_count, one |langs|-row
+    aggregate; the ratio is the only double, r4 on both sides."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            texts.token_count("text").alias("n_ws"),
+            texts.bpe_token_count("text").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            (
+                F.round(
+                    F.sum("n_bpe").cast("double") / F.greatest(F.sum("n_ws"), F.lit(1)) * 10000
+                )
+                / 10000
+            ).alias("fertility"),
+        )
+    )
+
+
+from .llmops import sql_md5i, sql_quality  # noqa: E402
+
+
+@query(
+    "corpus_curriculum_order",
+    f"""
+SELECT doc_id, quality,
+       ntile(4) OVER (ORDER BY quality DESC, doc_id) AS phase,
+       CAST({sql_md5i('CAST(doc_id AS VARCHAR)')} % 8 AS BIGINT) AS shard
+FROM {sql_quality()} q""",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: documents ranked into 4 quality phases (phase 1
+    = highest-quality quartile — where curriculum schedules start) and a
+    deterministic md5 shard within each phase, so the training loader can
+    stream phase 1 shard-by-shard, then phase 2, with no global sort at
+    read time. ntile over (quality desc, doc_id) is deterministic because
+    the tie-break key is unique; the shard gate is the same hash-mod
+    discipline as corpus_shard_shuffle. Global ntile is one single-
+    partition window over per-doc rows — the reporting-scale trade
+    documented on olap_customer_quartiles; the 100 TB variant swaps in
+    approx quantile cut-points on the quality score."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    quality = F.round(texts.quality_score("text") * 10000) / 10000
+    scored = docs.select("doc_id", quality.alias("quality"))
+    w = W.orderBy(F.col("quality").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "quality",
+        F.ntile(4).over(w).alias("phase"),
+        (texts.md5int32(F.col("doc_id").cast("string")) % 8).alias("shard"),
+    )
