@@ -133,3 +133,61 @@ def test_asof_operator_dup_ties_stable_across_partitionings(spark):
             left, right.repartition(parts), on="ts", by="user_id", value_cols=["value"]
         ).collect()
         assert [r.asof_value for r in out] == [9.0]
+
+
+# --- TPC-H shape boundary semantics -----------------------------------------
+
+
+def _write_tables(tmp_path, name: str, tables: dict[str, pd.DataFrame]) -> str:
+    d = tmp_path / name
+    os.makedirs(d, exist_ok=True)
+    for t, pdf in tables.items():
+        pdf.to_parquet(d / f"{t}.parquet")
+    return str(d)
+
+
+def test_top_supplier_exact_tie_emits_both(spark, tmp_path):
+    """Q15-shape: two suppliers whose quarter revenue is EXACTLY equal at
+    DECIMAL(18,4) must both surface — the tie set comparison happens on
+    decimals, not post-cast doubles (a double `=` would make the tie a
+    cross-engine coin flip). Constructed: identical lineitems for
+    suppliers 1 and 2; supplier 3 lower."""
+    ts = pd.Timestamp("1999-02-01")
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 4, 5],
+            "l_suppkey": [1, 1, 2, 2, 3],
+            "l_extendedprice": [100.10, 200.20, 200.20, 100.10, 50.0],
+            "l_discount": [0.1, 0.2, 0.2, 0.1, 0.0],
+            # micros precision: nanos parquet arrives as bigint under the
+            # session's nanosAsLong conf and would break the timestamp filter
+            "l_shipdate": pd.Series([ts] * 5, dtype="datetime64[us]"),
+        }
+    )
+    supp = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["Supplier#1", "Supplier#2", "Supplier#3"]}
+    )
+    d = _write_tables(tmp_path, "q15_tie", {"lineitem": li, "supplier": supp})
+    got = q.queries()["olap_top_supplier"](spark, d).collect()
+    assert [r["s_suppkey"] for r in got] == [1, 2]
+    assert got[0]["total_rev"] == got[1]["total_rev"]
+
+
+def test_order_count_distribution_keeps_zero_order_customers(spark, tmp_path):
+    """Q13-shape trap: the status filter must live INSIDE the left join
+    condition — a customer whose ONLY orders are filtered out still counts
+    in the c_count=0 bucket (moving the predicate to WHERE silently drops
+    them by turning the outer join inner). Constructed: cust 1 has 2 kept
+    orders, cust 2 has only filtered ('P') orders, cust 3 has none."""
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["O", "F", "P"],
+        }
+    )
+    d = _write_tables(tmp_path, "q13_zero", {"customer": cust, "orders": orders})
+    got = {r["c_count"]: r["custdist"] for r in
+           q.queries()["olap_order_count_distribution"](spark, d).collect()}
+    assert got == {2: 1, 0: 2}  # cust 1 -> bucket 2; custs 2 AND 3 -> bucket 0
