@@ -503,9 +503,11 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side sequence() explode off the per-user [min, max] span (never a
     calendar cross join — grid size is sum of user spans, not
     users x global range); the fill is one last(ignorenulls) running
-    window over the SAME user partitioning as the grid join, so Catalyst
-    plans a single user_id Exchange for join + window. Forward-fill
-    copies doubles bit-exactly, so the filled series hash-matches."""
+    window per user. Measured plan: THREE Exchanges total — the
+    (user_id, hour) hourly aggregate, the user_id span aggregate, and
+    the user_id window (the grid join rides the window's partitioning) —
+    each carrying narrow rows. Forward-fill copies doubles bit-exactly,
+    so the filled series hash-matches."""
     from pyspark.sql import Window as W
 
     ev = events_table(spark, sf_dir)
