@@ -296,24 +296,26 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
         "user_id",
     )
-    dau_x = pairs.groupBy(F.col("d").alias("day")).agg(
-        F.countDistinct("user_id").alias("dau_exact")
+    # ONE aggregate per granularity carrying both the exact distinct and the
+    # HLL buffer: a SINGLE countDistinct mixes with non-distinct aggregates
+    # via the planner's two-level rewrite WITHOUT the Expand blow-up (that
+    # trap needs multiple distinct columns — cf. events_sketch_aggregates,
+    # which separates because it also carries percentile buffers). Measured:
+    # 6 Exchanges vs 12 for the split four-aggregate form.
+    dau = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
     )
-    wau_x = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau_exact"))
-    dau_a = pairs.groupBy(F.col("d").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx")
-    )
-    wau_a = contrib.groupBy("day").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx"),
     )
 
     def within(approx, exact):
         return F.abs(approx - exact) <= (0.10 * exact + 1)
 
     return (
-        dau_x.join(wau_x, "day")
-        .join(dau_a, "day")
-        .join(wau_a, "day")
+        dau.join(wau, "day")
         .select(
             "day",
             "dau_exact",
