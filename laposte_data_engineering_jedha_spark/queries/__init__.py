@@ -364,6 +364,15 @@ ROUND3_VERIFIED = [
 # Round-4 additions: registered AFTER the 50-slot window (the window is
 # reserved for the 47+3 queries earning their first driver row this round);
 # covered by the in-repo replica gate now, window candidates for round 5.
+#
+# ROUND-5 ROTATION PLAN (mechanical): this list is exactly 45 entries —
+# promote it to the head of DRIVER_WINDOW_PRIORITY, fill the remaining 5
+# slots with the rows-only ops (src_generate, ivf_knn, stream_sessionize,
+# embedding_pq_codes) + 1 externally-verified spot-check, demote the
+# round-4 window behind ROUND3_VERIFIED, and update the pinned head list in
+# tests/test_drivers.py::test_driver_window_priority_matches_registry.
+# After round 5 every oracle-eligible query will have carried a hard
+# external CORRECTNESS row in some round.
 ROUND4_ADDED = [
     "olap_local_supplier_volume",
     "olap_returned_items",
