@@ -167,3 +167,31 @@ def sample_frames(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def dedup_payloads(media: DataFrame) -> DataFrame:
+    """Byte-identical payload dedup: group by (md5(payload), n_bytes) and
+    keep the lowest doc_id as the canonical copy — the storage-dedup step
+    every media lake runs before any decode (CDN mirrors and re-crawls
+    make byte-identical blobs the DOMINANT duplication mode for media;
+    near-dup perceptual hashing sits behind the codec stub, this layer
+    needs no decode at all).
+
+    One hash-keyed aggregate; payload bytes are hashed map-side and never
+    shuffle — the exchange carries (hash_hex, n_bytes, doc_id) only. The
+    size column rides the key as a cheap second factor so a (vanishingly
+    unlikely) md5 collision of different-length blobs cannot merge."""
+    hashed = media.select(
+        "doc_id",
+        "media_type",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("payload_md5", "n_bytes")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_type").alias("media_type"),
+        )
+    )

@@ -579,3 +579,31 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+@query(
+    "multimodal_dedup_bytes",
+    """
+WITH media AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         md5(text) AS payload_md5,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT payload_md5, n_bytes,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       min(media_type) AS media_type
+FROM media GROUP BY payload_md5, n_bytes""",
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup over the binary payload column
+    (operators/multimodal.py dedup_payloads): md5 computed map-side,
+    only (hash, size, id) ever shuffles, min-id canonical copy. The
+    oracle recomputes md5 over the same UTF-8 bytes (fixture corpus is
+    pure ASCII, verified — same byte-exactness note as
+    multimodal_frame_sample)."""
+    from ..operators import multimodal
+
+    media = multimodal.media_table(table(spark, sf_dir, "documents"))
+    return multimodal.dedup_payloads(media)
