@@ -75,10 +75,21 @@ def sliding_counts(
 ATTRIBUTION_HORIZON = "2 hours"
 
 
-def attribution_join(clicks: DataFrame, purchases: DataFrame, with_watermark: bool = False) -> DataFrame:
-    """Stream-stream inner join: every click attributed to the same-user
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    with_watermark: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: every click attributed to the same-user
     purchase whose 2-hour follow-window contains it (the streaming twin of
     the batch range join in queries/llmops.py:events_range_join).
+    how="left_outer" additionally null-extends unconverted clicks once the
+    watermark passes their window close — withheld until provably
+    unmatched, never emitted early (pinned by
+    tests/test_streaming.py::test_stream_stream_left_outer_null_extends_after_watermark);
+    outer stream-stream joins REQUIRE the watermark, since unbounded state
+    could otherwise never declare a click unmatched.
 
     Works unchanged on batch and streaming inputs. In streaming mode both
     sides carry event-time watermarks AND the join predicate bounds
@@ -104,6 +115,7 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame, with_watermark: bo
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") <= F.col("click_ts"))
         & (F.col("click_ts") < F.col("p_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")),
+        how,
     ).select("purchase_event", "user_id", "click_ts")
 
 

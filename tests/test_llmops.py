@@ -689,3 +689,26 @@ def test_pq_knn_recall_against_brute_force(spark, sf_dir):
     hits = sum(len(a[q] & e[q]) for q in e)
     total = sum(len(e[q]) for q in e)
     assert hits / total >= 0.8, f"recall@5 {hits}/{total}"
+
+
+def test_zipf_kernel_matches_numpy_polyfit(spark):
+    """The Arrow OLS kernel must agree with numpy's lstsq-based polyfit on
+    diverse frequency profiles (power-law, uniform, two-point, geometric)
+    to float tolerance — the kernel exists for cross-engine BIT exactness
+    vs DuckDB, this guards its math against silent formula drift."""
+    import numpy as np
+
+    profiles = [
+        [int(1000 / r) for r in range(1, 65)],          # zipf-ish
+        [50] * 30,                                       # uniform (slope 0)
+        [1000, 1],                                       # two-point
+        [2 ** i for i in range(20, 0, -1)],              # geometric
+    ]
+    df = spark.createDataFrame([(p,) for p in profiles], "fs array<long>")
+    got = df.select(texts.pd_zipf_fit("fs").alias("fit")).collect()
+    for p, row in zip(profiles, got):
+        xs = np.log(np.arange(1, len(p) + 1))
+        ys = np.log(np.array(p, dtype="float64"))
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(row["fit"]["slope"] - slope) < 1e-9, p
+        assert abs(row["fit"]["intercept"] - intercept) < 1e-9, p

@@ -343,3 +343,41 @@ def test_foreach_batch_sink_is_idempotent(spark, sf_dir, events_dir, tmp_path):
     # Resuming the checkpointed stream with no new files adds nothing.
     jobs.run_events_to_parquet(spark, events_dir, out, ck)
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_stream_stream_left_outer_null_extends_after_watermark(spark, events_dir):
+    """LEFT OUTER stream-stream join: a click with no purchase in its
+    window must surface null-extended ONCE THE WATERMARK PASSES the
+    window close — withheld (not dropped, not emitted early) until then.
+    The inner-join variant can never emit these rows; the outer variant
+    is how attribution pipelines count unconverted clicks."""
+    from pyspark.sql import functions as F
+
+    ev = jobs.read_events_stream(spark, events_dir)
+    joined = jobs.attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        with_watermark=True,
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("attr_outer")
+    matched = got.where(F.col("purchase_event").isNotNull()).count()
+    unmatched = got.where(F.col("purchase_event").isNull()).count()
+    assert matched > 0
+    # clicks from early in the stream whose horizon closed before the final
+    # watermark MUST have been null-extended
+    assert unmatched > 0
+    # and the matched set equals the inner-join (batch) attribution exactly
+    batch = jobs.attribution_join(
+        events_table(spark, "/root/testdata/sf0.001").where(F.col("event_type") == "click"),
+        events_table(spark, "/root/testdata/sf0.001").where(F.col("event_type") == "purchase"),
+    )
+    assert matched == batch.count()
