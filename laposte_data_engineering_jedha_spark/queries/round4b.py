@@ -508,3 +508,74 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("phase"),
         (texts.md5int32(F.col("doc_id").cast("string")) % 8).alias("shard"),
     )
+
+
+_SQL_QUALITY_VIEW = sql_quality()
+
+
+@query(
+    "corpus_quality_calibration",
+    rf"""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END)
+                   BETWEEN 10 AND 2000 THEN 1 ELSE 0 END
+         * (CASE WHEN CAST(length(text) AS DOUBLE)
+                      / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END, 1)
+                   BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+                 THEN 1 ELSE 0 END)
+         * (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                      / greatest(length(text), 1) <= CAST(0.1 AS DOUBLE)
+                 THEN 1 ELSE 0 END)
+         * (CASE WHEN {sql_stop_hits('en')} >= 2 THEN 1 ELSE 0 END) AS keep
+  FROM (SELECT doc_id, text, {sql_toks('text')} AS t FROM documents)),
+scored AS (
+  SELECT q.doc_id, quality, keep,
+         ntile(10) OVER (ORDER BY quality, q.doc_id) AS decile
+  FROM {_SQL_QUALITY_VIEW} q JOIN flags USING (doc_id))
+SELECT decile, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       {sql_round('CAST(sum(keep) AS DOUBLE) / count(*)', 4)} AS keep_rate,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM scored GROUP BY decile""",
+)
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the scalar quality score against the Gopher rule
+    filter: per score decile, what fraction of documents the rules keep.
+    A well-calibrated score shows keep_rate rising monotonically with
+    decile — the check run before replacing a rule cascade with a learned
+    quality classifier threshold (and the shape fastText-style filters
+    are validated with).
+
+    Both signals are map-side expressions over one shared tokenization;
+    the decile is a global ntile over (quality, doc_id) — unique tie-break,
+    single-partition reporting window (the olap_customer_quartiles trade);
+    the final aggregate is 10 rows. Integer keep counts; r4 rate."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    quality = F.round(texts.quality_score("text") * 10000) / 10000
+    n_tokens = texts.token_count("text")
+    n_chars = F.length("text")
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    mean_word = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    sym_ratio = n_sym.cast("double") / F.greatest(n_chars, F.lit(1))
+    keep = (
+        F.when(n_tokens.between(10, 2000), 1).otherwise(0)
+        * F.when((mean_word >= 3.0) & (mean_word <= 10.0), 1).otherwise(0)
+        * F.when(sym_ratio <= 0.1, 1).otherwise(0)
+        * F.when(texts.stopword_hits("text", "en") >= 2, 1).otherwise(0)
+    )
+    scored = docs.select("doc_id", quality.alias("quality"), keep.alias("keep"))
+    w = W.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            (F.round(F.sum("keep").cast("double") / F.count(F.lit(1)) * 10000) / 10000).alias("keep_rate"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
