@@ -1,0 +1,36 @@
+"""Partition-count invariance: the driver harness runs the registry in ITS
+OWN SparkSession (local[32], its own shuffle settings), so results must be
+identical under different shuffle-partition counts. Representative queries
+from each risk family — decimal aggregate, window+tie-break top-k, Arrow
+kernel fold, integer iteration, global ntile — re-run at 3 partition
+settings and must produce byte-identical canonical rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from laposte_data_engineering_jedha_spark import queries as q
+
+from test_oracle_parity import canon_rows
+
+REPRESENTATIVES = [
+    "olap_pricing_summary",        # decimal sums
+    "olap_returned_items",         # top-k with tie-break
+    "text_perplexity_proxy",       # Arrow libm kernel + collected fold
+    "events_type_pagerank",        # integer iteration over shuffles
+    "corpus_curriculum_order",     # global ntile window
+    "dedup_minhash_lsh",           # banded self-join
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_under_shuffle_partitions(name, spark, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(canon_rows(q.queries()[name](spark, sf_dir).toPandas()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
