@@ -365,10 +365,10 @@ ROUND3_VERIFIED = [
 # reserved for the 47+3 queries earning their first driver row this round);
 # covered by the in-repo replica gate now, window candidates for round 5.
 #
-# ROUND-5 ROTATION PLAN (mechanical): promote the 47 entries of this list
-# to the head of DRIVER_WINDOW_PRIORITY, fill the remaining 3 slots with
-# rows-only ops (stream_sessionize, ivf_knn, embedding_pq_codes — drop
-# src_generate, it already carried r03/r04 rows-only rows), demote the
+# ROUND-5 ROTATION PLAN (mechanical): promote the 48 entries of this list
+# to the head of DRIVER_WINDOW_PRIORITY, fill the remaining 2 slots with
+# rows-only ops (embedding_pq_codes + one of ivf_knn/stream_sessionize —
+# src_generate already carried r03/r04 rows-only rows), demote the
 # round-4 window behind ROUND3_VERIFIED, and update the pinned head list
 # in tests/test_drivers.py::test_driver_window_priority_matches_registry.
 # After round 5 every oracle-eligible query will have carried a hard
@@ -424,6 +424,7 @@ ROUND4_ADDED = [
     "corpus_curriculum_order",
     "multimodal_dedup_bytes",
     "corpus_quality_calibration",
+    "events_user_triangles",
 ]
 
 DRIVER_WINDOW_PRIORITY = [
