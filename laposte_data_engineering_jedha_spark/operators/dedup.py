@@ -580,3 +580,57 @@ def winnow_pairs(
         .where(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b", "n_shared", (F.round(ov * 10000) / 10000).alias("overlap"))
     )
+
+
+def typo_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_token_len: int = 24,
+) -> DataFrame:
+    """Edit-distance-1 token pairs via SymSpell-style deletion
+    neighborhoods: every distinct token emits itself plus its
+    single-character deletions as join keys; two tokens within edit
+    distance 1 ALWAYS share a key (delete the differing position), so the
+    candidate join is keyed — never the all-pairs cross join — and an
+    exact `levenshtein == 1` verify removes neighborhood collisions.
+    Output: (tok_a, tok_b, n_a, n_b) with tok_a < tok_b, corpus counts
+    attached (the query-log / entity-name normalization primitive:
+    low-count token adjacent to a high-count one == probable typo).
+
+    Scale shape: the key explosion is map-side (len+1 keys per DISTINCT
+    token, capped at max_token_len — neighborhoods of pathological
+    "tokens" like URLs explode quadratically in length and belong to a
+    different normalizer); the self-join shuffles (key, token) pairs
+    only; levenshtein runs on the candidate set, which the keyed join
+    keeps near-linear in vocabulary size."""
+    toks = (
+        df.select(F.explode(texts.tokens(text_col)).alias("tok"))
+        .where(F.length("tok") <= max_token_len)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keys = toks.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array_union(
+                F.array(F.col("tok")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok")),
+                    lambda i: F.concat(
+                        F.substring(F.col("tok"), 1, (i - 1).cast("int")),
+                        F.col("tok").substr(i + 1, F.length("tok")),
+                    ),
+                ),
+            )
+        ).alias("k"),
+    )
+    a = keys.select(F.col("k"), F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    b = keys.select(F.col("k"), F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "n_a", "n_b")
+        .distinct()
+        .where(F.levenshtein("tok_a", "tok_b") == 1)
+    )

@@ -712,3 +712,32 @@ def test_zipf_kernel_matches_numpy_polyfit(spark):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(row["fit"]["slope"] - slope) < 1e-9, p
         assert abs(row["fit"]["intercept"] - intercept) < 1e-9, p
+
+
+def test_typo_pairs_deletion_neighborhood(spark):
+    """Planted typos: every true edit-distance-1 pair (substitution,
+    deletion, insertion — all three edit kinds) surfaces exactly once;
+    distance-2 decoys don't."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark sprak"),      # transposition = distance 2: NOT emitted
+            (2, "table tible tables"),           # substitution + insertion
+            (3, "join jon join"),                # deletion
+            (4, "window windw window"),          # deletion
+            (5, "value xylophone"),              # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["tok_a"], r["tok_b"])
+        for r in dedup.typo_pairs(docs).collect()
+    }
+    assert ("table", "tible") in got
+    assert ("table", "tables") in got
+    assert ("join", "jon") in got
+    assert ("window", "windw") in got
+    assert ("spark", "sprak") not in got          # distance 2 (transposition)
+    assert all(a < b for a, b in got)
+    # and counts ride along for the fix-direction heuristic
+    row = [r for r in dedup.typo_pairs(docs).collect() if r["tok_a"] == "join"][0]
+    assert row["n_a"] == 2 and row["n_b"] == 1
