@@ -425,6 +425,8 @@ ROUND4_ADDED = [
     "multimodal_dedup_bytes",
     "corpus_quality_calibration",
     "events_user_triangles",
+    "olap_yearly_growth",
+    "corpus_source_overlap",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -790,3 +790,43 @@ def olap_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "olap_yearly_growth",
+    f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT o_year, revenue, n_orders,
+       round(CASE WHEN lag(revenue) OVER (ORDER BY o_year) IS NULL THEN NULL
+                  ELSE (revenue / lag(revenue) OVER (ORDER BY o_year)
+                        - CAST(1.0 AS DOUBLE)) END * 10000) / 10000
+         AS yoy_growth
+FROM yearly""",
+)
+def olap_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — the canonical reporting window
+    (aggregate to one row per year, then lag over the year order). The
+    window runs over a handful of pre-aggregated rows, so the global
+    ordering costs nothing (the same reporting-scale trade as
+    olap_customer_quartiles); the growth ratio divides two DECIMAL-exact
+    sums post-cast and quantizes r4 — with lag NULL (first year) kept
+    NULL, not zero."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("o_year")
+    growth = F.col("revenue") / F.lag("revenue").over(w) - 1.0
+    return yearly.select(
+        "o_year",
+        "revenue",
+        "n_orders",
+        (F.round(growth * 10000) / 10000).alias("yoy_growth"),
+    )

@@ -579,3 +579,61 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+@query(
+    "corpus_source_overlap",
+    rf"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest({sql_toks('text')}) AS tok
+  FROM documents WHERE trim(text) <> ''),
+sz AS (SELECT source, count(*) AS n FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       {sql_round('CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)', 4)}
+         AS vocab_jaccard
+FROM inter
+JOIN sz sa ON src_a = sa.source
+JOIN sz sb ON src_b = sb.source""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-similarity
+    matrix consulted when merging crawl sources (near-identical
+    vocabularies = redundant source worth down-weighting; disjoint =
+    genuine diversity). Same inverted-index shape as the dedup family,
+    one level up: distinct (source, token) support, token-keyed
+    self-join producing source PAIRS (fan-out bounded by |sources|^2 per
+    token — the same bounded-domain argument as events_type_affinity; a
+    web-scale run caps stop-token df first, exactly like
+    dedup_ngram_jaccard), intersection counts + size join, one r4 ratio."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(texts.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            _r4(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("vocab_jaccard"),
+        )
+    )
