@@ -365,12 +365,12 @@ ROUND3_VERIFIED = [
 # reserved for the 47+3 queries earning their first driver row this round);
 # covered by the in-repo replica gate now, window candidates for round 5.
 #
-# ROUND-5 ROTATION PLAN (mechanical): promote the 48 entries of this list
-# to the head of DRIVER_WINDOW_PRIORITY, fill the remaining 2 slots with
-# rows-only ops (embedding_pq_codes + one of ivf_knn/stream_sessionize —
-# src_generate already carried r03/r04 rows-only rows), demote the
-# round-4 window behind ROUND3_VERIFIED, and update the pinned head list
-# in tests/test_drivers.py::test_driver_window_priority_matches_registry.
+# ROUND-5 ROTATION PLAN (mechanical): promote the FIRST 50 entries of this
+# list to the head of DRIVER_WINDOW_PRIORITY (if it exceeds 50, the tail
+# queues for round 6 — registration order within the list IS the queue),
+# demote the round-4 window behind ROUND3_VERIFIED, and update the pinned
+# head list in
+# tests/test_drivers.py::test_driver_window_priority_matches_registry.
 # After round 5 every oracle-eligible query will have carried a hard
 # external CORRECTNESS row in some round.
 ROUND4_ADDED = [
@@ -427,6 +427,7 @@ ROUND4_ADDED = [
     "events_user_triangles",
     "olap_yearly_growth",
     "corpus_source_overlap",
+    "corpus_split_assign",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -17,6 +17,7 @@ from . import events_table, query, table
 from .llmops import (
     _SQL_SHINGLE_CTES,
     sql_lang_pred,
+    sql_md5i,
     sql_round,
     sql_stop_hits,
     sql_toks,
@@ -636,4 +637,36 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
             ).alias("vocab_jaccard"),
         )
+    )
+
+
+@query(
+    "corpus_split_assign",
+    f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, source,
+               {sql_md5i("CAST(doc_id AS VARCHAR) || '_split'")} % 100 AS h
+        FROM documents))
+SELECT source, split, count(*) AS n_docs
+FROM assigned GROUP BY source, split""",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by salted id hash,
+    reported as the per-(source, split) manifest. The hash gate (not
+    rand()) means membership is a pure function of doc_id — stable across
+    runs, engines, partitionings, and INCREMENTAL INGESTION (a re-crawled
+    doc lands in the same split forever, the property that keeps eval
+    sets uncontaminated as the corpus grows; the same salt discipline as
+    corpus_hash_sample). Map-side assignment, one tiny aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    h = texts.md5int32(F.concat(F.col("doc_id").cast("string"), F.lit("_split"))) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
