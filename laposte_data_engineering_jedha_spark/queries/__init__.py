@@ -428,6 +428,7 @@ ROUND4_ADDED = [
     "olap_yearly_growth",
     "corpus_source_overlap",
     "corpus_split_assign",
+    "stream_funnel_detect",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -721,3 +721,32 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes))
         .select("n_edges", "n_nodes", "n_triangles")
     )
+
+
+@query("stream_funnel_detect")  # custom stateful streaming op: rows-only
+def stream_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode run of the CEP funnel detector's SEMANTICS (the batch
+    window formulation whose equivalence to the applyInPandasWithState
+    operator is pinned in tests/test_streaming.py::
+    test_stateful_funnel_matches_batch): completed view->click->purchase
+    funnels with stage timestamps. Registered rows-only like
+    stream_sessionize — the stateful operator itself has no SQL twin."""
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    df = ev.withColumn("t1", F.min(F.when(typ == "view", t)).over(w))
+    df = df.withColumn("t2", F.min(F.when((typ == "click") & (t > F.col("t1")), t)).over(w))
+    df = df.withColumn("t3", F.min(F.when((typ == "purchase") & (t > F.col("t2")), t)).over(w))
+    return (
+        df.groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
+        .where(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+        )
+    )

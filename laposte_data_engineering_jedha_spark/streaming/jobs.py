@@ -436,3 +436,89 @@ def run_events_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, view_us long, click_us long, purchase_us long"
+)
+_FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"  # micros; 0 = unset
+
+
+def funnel_detect_stream(events: DataFrame) -> DataFrame:
+    """CEP-style stateful pattern detection: emit one row per user the
+    moment their view -> later click -> later purchase funnel COMPLETES —
+    the streaming twin of the batch events_funnel aggregate (identical
+    first-view / first-click-after / first-purchase-after semantics;
+    equivalence asserted in tests/test_streaming.py).
+
+    State per user = the three stage timestamps in integer microseconds
+    (0 = stage not reached); each micro-batch folds its events in
+    (ts, event_id) order through the same three-stage transition the
+    batch window computes, and the completion row emits exactly once
+    (t3 transitions 0 -> value). State is three longs per user — the
+    pattern matcher never buffers events, unlike a join formulation.
+    No timeout: a funnel may complete arbitrarily late; a production
+    deployment bounds user-state lifetime with an event-time TTL exactly
+    like sessionize_stream's (trade documented, not silently applied,
+    because expiring state here CHANGES the answer rather than just
+    splitting a session)."""
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            t1, t2, t3 = state.get
+        else:
+            t1, t2, t3 = 0, 0, 0
+        had_t3 = t3 != 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+            types = rows["event_type"].to_numpy()
+            for t, typ in zip(ts_us, types):
+                t = int(t)
+                if typ == "view" and (t1 == 0 or t < t1):
+                    t1 = t
+                elif typ == "click" and t1 != 0 and t > t1 and (t2 == 0 or t < t2):
+                    t2 = t
+                elif typ == "purchase" and t2 != 0 and t > t2 and (t3 == 0 or t < t3):
+                    t3 = t
+            state.update((t1, t2, t3))
+        if t3 != 0 and not had_t3:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "view_us": [t1],
+                    "click_us": [t2],
+                    "purchase_us": [t3],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_funnel_detect_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_funnels"
+) -> DataFrame:
+    """Drive the funnel detector over the directory stream with
+    availableNow into a memory sink; returns completed funnels."""
+    stream = funnel_detect_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -381,3 +381,40 @@ def test_stream_stream_left_outer_null_extends_after_watermark(spark, events_dir
         events_table(spark, "/root/testdata/sf0.001").where(F.col("event_type") == "purchase"),
     )
     assert matched == batch.count()
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir):
+    """The CEP-style funnel detector must emit exactly the users the batch
+    funnel counts as fully converted, with identical stage timestamps
+    (first view, first click after it, first purchase after that)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    streamed = jobs.run_funnel_detect_available_now(spark, events_dir)
+    got = {
+        r["user_id"]: (r["view_us"], r["click_us"], r["purchase_us"])
+        for r in streamed.collect()
+    }
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    df = ev.withColumn("t1", F.min(F.when(typ == "view", t)).over(w))
+    df = df.withColumn("t2", F.min(F.when((typ == "click") & (t > F.col("t1")), t)).over(w))
+    df = df.withColumn("t3", F.min(F.when((typ == "purchase") & (t > F.col("t2")), t)).over(w))
+    per_user = (
+        df.groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
+        .where(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("v"),
+            F.unix_micros("t2").alias("c"),
+            F.unix_micros("t3").alias("p"),
+        )
+    )
+    want = {r["user_id"]: (r["v"], r["c"], r["p"]) for r in per_user.collect()}
+    assert got == want
+    assert len(want) > 0
+    # exactly-once emission: no user appears twice
+    assert streamed.count() == streamed.select("user_id").distinct().count()
