@@ -511,3 +511,22 @@ def oracle_sql() -> dict[str, str]:
 # import the helpers above).
 from . import io, llmops, olap, olap2, parity, round4, round4b, round4c  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
+
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the full table set as temp views so users can drive the
+    engine through plain `spark.sql(...)` instead of the DataFrame API —
+    both surfaces are first-class (tests/test_sql_api.py proves the
+    TPC-H oracle SQL runs unchanged through spark.sql with identical
+    results). `events` registers through events_table so its
+    nanos-parquet timestamp contract holds in SQL too."""
+    ensure_runtime_confs(spark)
+    for t in TABLE_NAMES:
+        df = events_table(spark, sf_dir) if t == "events" else table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)

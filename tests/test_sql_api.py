@@ -57,3 +57,19 @@ def test_spark_sql_matches_dataframe_api(name, spark, sf_dir, sql_views):
     via_df = q.queries()[name](spark, sf_dir)
     assert sorted(via_sql.columns) == sorted(via_df.columns)
     assert _canon(via_sql) == _canon(via_df)
+
+
+def test_register_sql_views_serves_plain_sql(spark, sf_dir):
+    """A user can point the engine at a data directory and go straight to
+    SQL — including the events timestamp contract."""
+    q.register_sql_views(spark, sf_dir)
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+        assert n > 0
+        r = spark.sql(
+            "SELECT count(*) AS n FROM events WHERE hour(ts) BETWEEN 0 AND 23"
+        ).first()["n"]
+        assert r > 0  # ts is a real timestamp, not raw nanos
+    finally:
+        for t in q.TABLE_NAMES:
+            spark.catalog.dropTempView(t)
