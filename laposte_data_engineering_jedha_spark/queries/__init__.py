@@ -429,6 +429,7 @@ ROUND4_ADDED = [
     "corpus_source_overlap",
     "corpus_split_assign",
     "stream_funnel_detect",
+    "dedup_savings_report",
 ]
 
 DRIVER_WINDOW_PRIORITY = [

@@ -670,3 +670,52 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "dedup_savings_report",
+    rf"""
+WITH sized AS (
+  SELECT doc_id, source, md5(text) AS content_md5,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({sql_toks('text')}) END AS n_tokens
+  FROM documents),
+grouped AS (
+  SELECT content_md5, min(source) AS source, count(*) AS n_copies,
+         min(doc_id) AS keep_doc, any_value(n_tokens) AS n_tokens
+  FROM sized GROUP BY content_md5)
+SELECT source,
+       count(*) AS n_groups,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_removed,
+       CAST(sum(n_tokens * (n_copies - 1)) AS BIGINT) AS tokens_saved,
+       CAST(sum(n_tokens * n_copies) AS BIGINT) AS tokens_before
+FROM grouped GROUP BY source""",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive number behind exact dedup: per source, how many
+    byte-identical copies get removed and how many TOKENS that saves —
+    what justifies (or kills) a dedup stage in the corpus budget.
+    (Copies of one group share a token count by construction, so savings
+    = tokens x (copies - 1); group source = min() for determinism when
+    copies span sources.) One md5-keyed aggregate over map-side hashes +
+    a per-source rollup — integer-exact end to end."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_md5"),
+        texts.token_count("text").alias("n_tokens"),
+    )
+    grouped = sized.groupBy("content_md5").agg(
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return grouped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).alias("n_removed"),
+        F.sum(F.col("n_tokens") * (F.col("n_copies") - 1)).alias("tokens_saved"),
+        F.sum(F.col("n_tokens") * F.col("n_copies")).alias("tokens_before"),
+    )
