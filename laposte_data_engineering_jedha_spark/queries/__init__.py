@@ -293,10 +293,11 @@ def with_deliveries(body: str, weather: bool = False) -> str:
 #
 #   round 3 window — the SURVEY §2 parity surface (24 parity exprs, 12 olap,
 #     6 io round-trips, 8 core llmops): ALL 50 green in CORRECTNESS_r03.json.
-#   round 4 window (this ordering) — the 47 oracle-eligible queries that sat
-#     past slot 50 in round 3, plus the 3 rows-only ops (src_generate,
-#     ivf_knn, stream_sessionize) which get the driver's weaker rows-only
-#     check. The externally-proven round-3 set moves past the window.
+#   round 4 window — the 47 oracle-eligible queries past slot 50 in round 3
+#     plus the 3 rows-only ops: ALL 50 green in CORRECTNESS_r04.json.
+#   round 5 window (this ordering) — the 50 oracle-bearing ROUND4_ADDED
+#     queries (replica-gate-only until now). The r3/r4-proven sets move past
+#     the window; ROUND5_DEFERRED queues for round 6.
 #
 # Everything outside the window keeps full oracle coverage via the in-repo
 # replica gate (tests/test_oracle_parity.py runs ALL registered oracles at
@@ -361,18 +362,13 @@ ROUND3_VERIFIED = [
     "events_sketch_aggregates",
 ]
 
-# Round-4 additions: registered AFTER the 50-slot window (the window is
-# reserved for the 47+3 queries earning their first driver row this round);
-# covered by the in-repo replica gate now, window candidates for round 5.
-#
-# ROUND-5 ROTATION PLAN (mechanical): promote the FIRST 50 entries of this
-# list to the head of DRIVER_WINDOW_PRIORITY (if it exceeds 50, the tail
-# queues for round 6 — registration order within the list IS the queue),
-# demote the round-4 window behind ROUND3_VERIFIED, and update the pinned
-# head list in
-# tests/test_drivers.py::test_driver_window_priority_matches_registry.
-# After round 5 every oracle-eligible query will have carried a hard
-# external CORRECTNESS row in some round.
+# Round-4 additions. In round 4 these sat past the 50-slot window (replica
+# gate only); in round 5 the first 50 oracle-bearing entries of this list
+# ARE the window. The two rows-only entries (embedding_pq_codes,
+# stream_funnel_detect) and the 51st oracle query (dedup_savings_report,
+# last-registered) queue for round 6 — an oracle hash row is strictly
+# stronger than the driver's rows-only check, so rows-only entries never
+# displace an oracle candidate.
 ROUND4_ADDED = [
     "olap_local_supplier_volume",
     "olap_returned_items",
@@ -432,8 +428,23 @@ ROUND4_ADDED = [
     "dedup_savings_report",
 ]
 
-DRIVER_WINDOW_PRIORITY = [
-    # --- round-4 window: the 47 oracle queries unchecked in round 3 ---
+# Round-6 window queue: the three ROUND4_ADDED entries that did not fit the
+# round-5 window (two rows-only + the last-registered oracle query), ahead
+# of any round-5 additions. Registration order IS the queue.
+ROUND5_DEFERRED = [
+    "embedding_pq_codes",  # rows-only: iterative PQ codebook fit has no SQL twin
+    "stream_funnel_detect",  # rows-only: applyInPandasWithState CEP
+    "dedup_savings_report",  # oracle-bearing, 51st in the round-4 queue
+]
+
+# Round-5 additions: registered AFTER the window (replica-gate coverage now,
+# round-6 window candidates behind ROUND5_DEFERRED).
+ROUND5_ADDED: list[str] = []
+
+# Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47
+# oracle hash rows + 3 declared rows-only, 50/50 green); now past the
+# window, covered by the in-repo replica gate.
+ROUND4_VERIFIED = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_simhash",
@@ -481,14 +492,23 @@ DRIVER_WINDOW_PRIORITY = [
     "events_ab_conversion",
     "multimodal_frame_sample",
     "multimodal_features",
-    # rows-only ops (no SQL twin) — driver records the weaker rows-only check
+    # rows-only ops (no SQL twin) — driver recorded the weaker rows-only check
     "src_generate",
     "ivf_knn",
     "stream_sessionize",
-    # --- past the 50-query window: round-3-verified set (replica gate) ---
+]
+
+DRIVER_WINDOW_PRIORITY = [
+    # --- round-5 window: the 50 oracle-bearing round-4 additions, earning
+    # their first external driver hash rows this round ---
+    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
+    # --- past the 50-query window: externally verified in earlier rounds,
+    # kept on the in-repo replica gate ---
+    *ROUND4_VERIFIED,
     *ROUND3_VERIFIED,
-    # --- round-4 additions (replica gate; next round's window candidates) ---
-    *ROUND4_ADDED,
+    # --- round-6 window queue ---
+    *ROUND5_DEFERRED,
+    *ROUND5_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

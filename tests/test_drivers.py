@@ -247,26 +247,29 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-4 rotation: the 50-slot window is exactly the complement of the
-    # round-3-verified set — 47 oracle queries unchecked in CORRECTNESS_r03
-    # plus the 3 rows-only ops; nothing round-3-verified wastes a slot.
+    # round-5 rotation: the 50-slot window is exactly the oracle-bearing
+    # subset of ROUND4_ADDED (the only queries without an external driver
+    # row after r3+r4); every slot carries a full hash check — rows-only
+    # entries were deferred rather than spending a slot on a weaker check.
     window = q.DRIVER_WINDOW_PRIORITY[:50]
-    rows_only = {"src_generate", "ivf_knn", "stream_sessionize"}
-    assert all(name in q.ORACLE_SQL or name in rows_only for name in window)
-    assert not set(window) & set(q.ROUND3_VERIFIED)
-    # registry = window (r4 driver rows) + r3-verified + r4 additions
-    # (replica-gate-only this round, window candidates for round 5)
-    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_ADDED) == set(
-        q.SPARK_QUERIES
-    )
-    assert not set(q.ROUND4_ADDED) & (set(window) | set(q.ROUND3_VERIFIED))
-    # round-4 additions must not displace a window occupant
+    assert len(window) == 50
+    assert set(window) == set(q.ROUND4_ADDED) - set(q.ROUND5_DEFERRED)
+    assert all(name in q.ORACLE_SQL for name in window)
+    # nothing externally verified in r3/r4 wastes a slot
+    assert not set(window) & (set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED))
+    # registry partition: window + r3/r4-verified + round-6 queue
+    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED) | set(
+        q.ROUND5_DEFERRED
+    ) | set(q.ROUND5_ADDED) == set(q.SPARK_QUERIES)
+    # the round-6 queue must not displace a window occupant
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND4_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50
+        for name in [*q.ROUND5_DEFERRED, *q.ROUND5_ADDED]
     )
-    # every pre-round-4 oracle query has a driver row across r3+r4
-    assert set(q.ORACLE_SQL) - set(q.ROUND4_ADDED) <= set(window) | set(
-        q.ROUND3_VERIFIED
+    # after r3+r4+r5 every oracle query outside the round-6 queue has an
+    # external driver row in some round's CORRECTNESS artifact
+    assert set(q.ORACLE_SQL) - set(q.ROUND5_DEFERRED) - set(q.ROUND5_ADDED) <= (
+        set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED)
     )
 
 
