@@ -5,9 +5,12 @@ parity; these assert the *behavior* is right on known inputs)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
+import conftest
 from laposte_data_engineering_jedha_spark.functions import texts, vectors
 from laposte_data_engineering_jedha_spark.operators import dedup, similarity
 
@@ -444,7 +447,16 @@ def test_chunk_with_overlap_boundaries(spark):
 
 
 @pytest.mark.parametrize(
-    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    "sf",
+    [
+        p
+        for p in (
+            conftest.SF_SMOKE,
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        )
+        if os.path.isdir(p)
+    ],
 )
 def test_chunk_overlap_oracle_cap_covers_fixture(sf):
     """The corpus_chunk_overlap SQL oracle bounds its chunk explode with

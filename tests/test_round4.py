@@ -9,6 +9,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import conftest
+
 from laposte_data_engineering_jedha_spark.functions import texts
 from laposte_data_engineering_jedha_spark.operators import dedup
 from laposte_data_engineering_jedha_spark.queries import round4
@@ -122,7 +124,7 @@ def test_embedding_centroids_known_means(spark):
 
 @pytest.fixture(scope="module")
 def sf_dir_small() -> str:
-    return "/root/testdata/sf0.001"
+    return conftest.SF_SMOKE
 
 
 def _plan(df) -> str:

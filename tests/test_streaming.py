@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+import conftest
 from laposte_data_engineering_jedha_spark.queries import events_table
 from laposte_data_engineering_jedha_spark.streaming import jobs
 
@@ -377,8 +378,8 @@ def test_stream_stream_left_outer_null_extends_after_watermark(spark, events_dir
     assert unmatched > 0
     # and the matched set equals the inner-join (batch) attribution exactly
     batch = jobs.attribution_join(
-        events_table(spark, "/root/testdata/sf0.001").where(F.col("event_type") == "click"),
-        events_table(spark, "/root/testdata/sf0.001").where(F.col("event_type") == "purchase"),
+        events_table(spark, conftest.SF_SMOKE).where(F.col("event_type") == "click"),
+        events_table(spark, conftest.SF_SMOKE).where(F.col("event_type") == "purchase"),
     )
     assert matched == batch.count()
 
