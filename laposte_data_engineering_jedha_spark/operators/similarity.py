@@ -213,6 +213,22 @@ def knn_graph(
     return _ranked_topk(pairs, k)
 
 
+def pinned_codebook(m: int, k: int, sub: int) -> np.ndarray:
+    """Closed-form (m, k, sub) codebook for verification twins: entry
+    (j, c, d) = (((c*sub + d + j*31) mod 17) - 8) / 8.
+
+    Every value is an exact multiple of 1/8 (exact in binary floating
+    point), each centroid is a distinct cyclic shift of a 17-periodic
+    pattern over [-1, 1] — the same range as the unit-norm fixture
+    embeddings. Because the formula is integer arithmetic + one exact
+    division, a DuckDB oracle can reproduce the codebook bit-for-bit,
+    which turns the otherwise iterative-fit-only PQ/IVF *encode and
+    assignment* math into hash-checkable queries
+    (queries/round5.py: embedding_pq_encode_pinned, ivf_assign_pinned)."""
+    j, c, d = np.ogrid[:m, :k, :sub]
+    return (((c * sub + d + j * 31) % 17) - 8) / 8.0
+
+
 def kmeans_fit_sample(df: DataFrame, fit_max_rows: int, seed: int) -> DataFrame:
     """Bound the k-means fit input to ~fit_max_rows via a seeded Bernoulli
     sample — the coarse quantizer only needs a sketch of the density, so

@@ -439,7 +439,10 @@ ROUND5_DEFERRED = [
 
 # Round-5 additions: registered AFTER the window (replica-gate coverage now,
 # round-6 window candidates behind ROUND5_DEFERRED).
-ROUND5_ADDED: list[str] = []
+ROUND5_ADDED: list[str] = [
+    "embedding_pq_encode_pinned",
+    "ivf_assign_pinned",
+]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47
 # oracle hash rows + 3 declared rows-only, 50/50 green); now past the
@@ -530,7 +533,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -1312,6 +1312,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ivf_knn")  # no SQL twin: k-means fit is iterative, not SQL-expressible
+# (the assignment math has one: queries/round5.py:ivf_assign_pinned)
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse quantizer (fit on a capped
     seeded sample), n_probe nearest centroid lists per query, exact cosine

@@ -637,7 +637,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the embedding corpus: 4 subspaces
     x 16 centroids = 2 bytes per 64-dim vector (operators/similarity.py
     pq_fit_codebooks / pq_encode — fit on a capped seeded sample, encode
-    in one Arrow map pass). Rows-only driver check; reconstruction-error
+    in one Arrow map pass). Rows-only driver check (the fit is iterative);
+    the encode math itself earns a full hash row via the pinned-codebook
+    twin queries/round5.py:embedding_pq_encode_pinned. Reconstruction-error
     sanity (true codebook beats a mismatched one, error halves from m=2
     to m=8) is asserted in tests/test_llmops.py."""
     from ..operators import similarity

@@ -1,0 +1,68 @@
+"""Round-5 additions: pinned-codebook PQ/IVF verification twins.
+
+The DuckDB hash parity of queries/round5.py is covered by the oracle gate
+(tests/test_oracle_parity.py runs every registered oracle); these tests pin
+the OTHER equivalence — the pure-Catalyst twin must agree with the
+production Arrow kernels (similarity.pq_encode / vectors.pd_nearest_centroids)
+on the same pinned codebook, so a kernel regression can't hide behind a
+green SQL gate."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from laposte_data_engineering_jedha_spark.functions import vectors
+from laposte_data_engineering_jedha_spark.operators import similarity
+from laposte_data_engineering_jedha_spark.queries import round5, table
+
+
+def test_pinned_codebook_shape_and_values():
+    cb = similarity.pinned_codebook(4, 16, 16)
+    assert cb.shape == (4, 16, 16)
+    assert cb.min() >= -1.0 and cb.max() <= 1.0
+    # exact multiples of 1/8 (binary-exact across engines)
+    assert np.all(cb * 8 == np.round(cb * 8))
+    # centroids within a subspace are pairwise distinct
+    for j in range(4):
+        assert len({tuple(c) for c in cb[j]}) == 16
+
+
+def test_pq_pinned_catalyst_equals_arrow_kernel(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cb = similarity.pinned_codebook(4, 16, 16)
+    kernel = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(emb, cb).collect()
+    }
+    catalyst = round5.embedding_pq_encode_pinned(spark, sf_dir).collect()
+    assert len(catalyst) == len(kernel) > 0
+    for r in catalyst:
+        assert [r[f"code{j}"] for j in range(4)] == kernel[r["vec_id"]]
+
+
+def test_ivf_pinned_catalyst_equals_arrow_kernel(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    centers = similarity.pinned_codebook(1, 16, 64)[0]
+    kernel = {
+        r["vec_id"]: r["cent"][0]
+        for r in emb.select(
+            "vec_id", vectors.pd_nearest_centroids("embedding", centers, 1).alias("cent")
+        ).collect()
+    }
+    rows = round5.ivf_assign_pinned(spark, sf_dir).collect()
+    assert len(rows) == len(kernel) > 0
+    for r in rows:
+        assert r["centroid"] == kernel[r["vec_id"]]
+        assert r["d2"] >= 0.0
+
+
+def test_ivf_pinned_d2_is_true_min_distance(spark, sf_dir):
+    """d2 must be the distance to the reported centroid (not some other
+    list element) — recompute in numpy."""
+    emb = table(spark, sf_dir, "embeddings")
+    centers = similarity.pinned_codebook(1, 16, 64)[0]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb.collect()}
+    for r in round5.ivf_assign_pinned(spark, sf_dir).limit(50).collect():
+        d2 = ((vecs[r["vec_id"]] - centers[r["centroid"]]) ** 2).sum()
+        assert abs(d2 - r["d2"]) < 1e-6
