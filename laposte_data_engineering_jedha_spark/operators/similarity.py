@@ -126,19 +126,30 @@ def knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 256,
+    persist_src: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus — every vector's top-k
     band-local neighbors. The building block of SemDeDup-style semantic
     dedup and embedding clustering, where the query set IS the corpus, so
     neither side can broadcast (unlike `lsh_knn`): both sides are the same
     banded relation, hash-partitioned on the (band, key) LSH bucket id,
-    joined with a sort-merge join on it. Each alias shuffles the narrow
-    (id, vec, norm, band, key) projection — Spark cannot merge the two
-    into a ReusedExchange because PythonUDF subtrees never canonicalize
-    equal (SCALE.md finding 11); persist(MEMORY_AND_DISK) on `src` is the
-    escalation when the Arrow kernels dominate. Exact cosine re-ranks
-    within the bucket; per-vector top-k is a window over the deduped
-    candidate edges.
+    joined with a sort-merge join on it. Spark cannot merge the two join
+    aliases into a ReusedExchange because PythonUDF subtrees never
+    canonicalize equal (SCALE.md finding 11), so with `persist_src` (the
+    default) the banded projection is persisted MEMORY_AND_DISK after its
+    repartition: the Arrow kernels (norm + banded bucket ids) and the
+    (band, key) exchange run ONCE, both aliases read the cache, and the
+    join inherits the cached hashpartitioning — one exchange total where
+    round 4 measured two, plus a duplicated kernel pass (round-5 fix;
+    measured plans in tests/test_plans.py pin the single-Exchange shape).
+    The cache is the narrow (id, vec, norm, band, key) projection — at
+    1B x 64-dim that is ~bands x 300 GB spread across the cluster, far
+    cheaper than recomputing + reshuffling it. Lifecycle: the handle is
+    exposed on the result as `_knn_graph_src` so composing operators
+    (dedup_semantic) can unpersist once their downstream is materialized;
+    Spark's LRU eviction bounds the cost if a caller never does. Exact
+    cosine re-ranks within the bucket; per-vector top-k is a window over
+    the deduped candidate edges.
 
     BANDED OR-amplification (round-4 fix): the original single-band shape
     had recall == the one-band collision probability — measured 0.0871
@@ -182,6 +193,10 @@ def knn_graph(
         )
         .repartition("band", "key")
     )
+    if persist_src:
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
     a = src.select(
         "band",
         "key",
@@ -210,7 +225,10 @@ def knn_graph(
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    return _ranked_topk(pairs, k)
+    out = _ranked_topk(pairs, k)
+    if persist_src:
+        out._knn_graph_src = src  # lifecycle handle (see docstring)
+    return out
 
 
 def pinned_codebook(m: int, k: int, sub: int) -> np.ndarray:
