@@ -225,6 +225,62 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (batch-vs-index) MinHash-LSH near-dup pairs: candidates
+    are NEW docs colliding with EXISTING-corpus docs in >= 1 LSH band, so
+    ingestion dedups a day's batch against the historical corpus WITHOUT
+    re-self-joining the corpus — the O(batch) amortized shape (index-side
+    signatures are a narrow (id, band, key) relation a real deployment
+    precomputes once and stores bucketed on key).
+
+    Output: (new_id, base_id, jaccard) for verified pairs; keep-policy
+    (drop the new doc, or version it) is the caller's. Same signature /
+    banding / exact-Jaccard-verify fragments as `minhash_lsh_pairs`, so
+    the pair semantics are identical to the self-join operator's.
+    """
+
+    def sigs(df: DataFrame) -> DataFrame:
+        hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
+        return (
+            df.select(F.col(id_col), hashes.alias("hashes"))
+            .where(F.size("hashes") > 0)
+            .select(id_col, "hashes", texts.pd_minhash_signature("hashes").alias("sig"))
+            .repartition(id_col)
+        )
+
+    def bands(s: DataFrame) -> DataFrame:
+        return s.select(
+            F.col(id_col), F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
+        ).select(id_col, F.col("band.band").alias("band"), F.col("band.key").alias("key"))
+
+    new_sigs, base_sigs = sigs(new_df), sigs(base_df)
+    a, b = bands(new_sigs).alias("a"), bands(base_sigs).alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("base_id"),
+        )
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    sa = new_sigs.select(F.col(id_col).alias("new_id"), F.col("hashes").alias("h_a"))
+    sb = base_sigs.select(F.col(id_col).alias("base_id"), F.col("hashes").alias("h_b"))
+    n_inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = n_inter / (F.size("h_a") + F.size("h_b") - n_inter)
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "base_id")
+        .select("new_id", "base_id", (F.round(jac * 10000) / 10000).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

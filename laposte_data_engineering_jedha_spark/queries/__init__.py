@@ -442,6 +442,8 @@ ROUND5_DEFERRED = [
 ROUND5_ADDED: list[str] = [
     "embedding_pq_encode_pinned",
     "ivf_assign_pinned",
+    "dedup_incremental",
+    "corpus_clean_pipeline_sem",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

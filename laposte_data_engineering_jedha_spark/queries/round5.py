@@ -20,8 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
+from ..functions import texts
+from ..operators import dedup, similarity
 from . import query, table
+from .llmops import (
+    _EMB_BANDS,
+    _ROWS,
+    _SQL_SIG,
+    _sql_band_key,
+    SQL_NORM,
+    SQL_SHINGLES,
+    sql_dot,
+    sql_lang_pred,
+    sql_md5i,
+    sql_minhash_dup_ids,
+    sql_quality,
+    sql_round,
+    sql_toks,
+)
 
 _EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 
@@ -124,3 +140,124 @@ def ivf_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_argmin(0, _IVF_K, _EMB_DIM).cast("int").alias("centroid"),
         (F.round(F.least(*d2s) * 1000000) / 1000000).alias("d2"),
     )
+
+
+# =========================== incremental dedup ================================
+
+_INCR_SQL = f"""
+WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+sigs AS (
+  SELECT doc_id, h, {_SQL_SIG} AS sig
+  FROM (SELECT doc_id, [{sql_md5i('x')} for x in s] AS h FROM sh)
+  WHERE len(h) > 0),
+bands AS (
+  SELECT doc_id, sig, h, r.range AS band,
+         array_to_string(sig[r.range * {_ROWS} + 1 : r.range * {_ROWS} + {_ROWS}], '_') AS key
+  FROM sigs CROSS JOIN range(0, {texts.MINHASH_BANDS}) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+scored AS (
+  SELECT new_id, base_id,
+    len(list_intersect(sa.h, sb.h)) AS inter, len(sa.h) AS na, len(sb.h) AS nb
+  FROM cand JOIN sigs sa ON new_id = sa.doc_id JOIN sigs sb ON base_id = sb.doc_id)
+SELECT new_id, base_id,
+       {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} AS jaccard
+FROM scored
+WHERE {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} >= CAST(0.5 AS DOUBLE)"""
+
+
+@query("dedup_incremental", _INCR_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the 'new batch' (doc_id % 5 == 0)
+    near-dup-checked against the 'historical corpus' (the rest) via the
+    batch-vs-index banded join (operators/dedup.py:minhash_lsh_pairs_cross)
+    instead of a corpus-wide self-join — at 100 TB the index side is a
+    precomputed (id, band, key) relation stored bucketed on key, so daily
+    ingestion costs O(batch), not O(corpus)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs_cross(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
+# ===================== full-chain corpus clean (3 stages) =====================
+
+_SEM_CHAIN_SQL = f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, q.quality
+  FROM documents d
+  JOIN {sql_quality()} q USING (doc_id)
+  JOIN {sql_lang_pred()} l USING (doc_id)
+  WHERE q.quality >= CAST(0.75 AS DOUBLE) AND l.lang_pred = 'en'),
+ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(trim(lower(text)))),
+kept AS (SELECT b.doc_id, b.text, b.quality FROM base b JOIN ex USING (doc_id)),
+kept2 AS (
+  SELECT doc_id, quality FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM {sql_minhash_dup_ids('kept')} dups)),
+n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm
+      FROM embeddings JOIN kept2 ON vec_id = kept2.doc_id
+      WHERE {SQL_NORM} > 0),
+keyed AS (
+  SELECT vec_id, band, {_sql_band_key('e')} AS key
+  FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band
+        FROM n CROSS JOIN range(0, {_EMB_BANDS}) r)),
+semcand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+semdrop AS (
+  SELECT DISTINCT id_b FROM semcand
+  JOIN n va ON id_a = va.vec_id JOIN n vb ON id_b = vb.vec_id
+  WHERE {sql_round(f"{sql_dot('va.e', 'vb.e')} / (va.nrm * vb.nrm)", 4)}
+        >= CAST(0.4 AS DOUBLE))
+SELECT doc_id, quality FROM kept2
+WHERE doc_id NOT IN (SELECT id_b FROM semdrop)"""
+
+
+@query("corpus_clean_pipeline_sem", _SEM_CHAIN_SQL)
+def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean_pipeline extended with the third dedup tier: quality +
+    language filter -> exact dedup -> MinHash-LSH near-dup removal ->
+    embedding-cosine semantic dedup (banded hyperplane LSH, keep-earliest
+    on each verified pair, cosine >= 0.4 on the survivors' vectors,
+    vec_id == doc_id in the fixtures). The hash-gated twin of the full
+    1M-doc chain measured in SCALE.md ("full dedup chain") — every stage
+    is the registered operator itself, so the exact -> near -> semantic
+    composition is value-checked end to end."""
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        (F.round(texts.quality_score("text") * 10000) / 10000).alias("quality"),
+        texts.lang_id("text").alias("lang_pred"),
+    )
+    base = enriched.where(
+        (F.col("quality") >= 0.75) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality")
+    keep = (
+        base.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("k"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = base.join(keep, "doc_id")
+    near = (
+        dedup.minhash_lsh_pairs(kept.select("doc_id", "text"), threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = kept.join(near, "doc_id", "left_anti").select("doc_id", "quality")
+    emb = table(spark, sf_dir, "embeddings").join(
+        kept2.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    semdrop = (
+        dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, bands=_EMB_BANDS)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept2.join(semdrop, "doc_id", "left_anti")

@@ -575,7 +575,106 @@ def zorder_scale(spark, n=10_000_000):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def chain_scale(spark, n=1_000_000, n_exact=60_000, n_near=60_000, n_sem=60_000):
+    """VERDICT r04 item 5: the FULL dedup chain exact -> minhash-LSH ->
+    semantic, end-to-end on one >=1M-doc corpus (previously each stage was
+    measured in isolation). Planted duplicates, one tier per stage:
+
+      - base: `n` docs of 40 hash-derived tokens (5M-word vocab) -> all
+        pairwise-unique texts AND near-orthogonal hash-derived vectors.
+      - exact tier: verbatim copies of base ids [0, n_exact).
+      - near tier: base ids [n_exact, n_exact+n_near) with 3 tokens
+        appended (3-shingle Jaccard 38/41 = 0.927 >= 0.5 threshold).
+      - semantic tier: fresh unique text (different hash salt -> zero
+        shingle overlap) but a perturbed copy (cos ~ 0.9988) of the source
+        doc's vector, for base ids [n_exact+n_near, ... + n_sem).
+
+    Copies carry ids +2e9/+3e9/+4e9, so keep-earliest retains every base
+    doc; a clean run removes exactly n_exact, then n_near, then n_sem, and
+    the final survivor count is n + leakage (any tier's misses surface as
+    excess survivors). Every stage is the registered operator itself."""
+    vocab, n_tok = 5_000_000, 40
+
+    def toks(idc, salt):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_tok - 1)),
+            lambda i: F.concat(
+                F.lit("w"), F.pmod(F.xxhash64(idc, i, F.lit(salt)), F.lit(vocab))
+            ),
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks(F.col("id"), 1), " ").alias("text")
+    )
+    exact = base.where(F.col("doc_id") < n_exact).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id").between(n_exact, n_exact + n_near - 1)).select(
+        (F.col("doc_id") + 3_000_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" za zb zc")).alias("text"),
+    )
+    sem_lo, sem_hi = n_exact + n_near, n_exact + n_near + n_sem
+    sem = spark.range(sem_lo, sem_hi).select(
+        (F.col("id") + 4_000_000_000).alias("doc_id"),
+        F.array_join(toks(F.col("id"), 2), " ").alias("text"),
+    )
+    docs = base.unionByName(exact).unionByName(near).unionByName(sem)
+
+    t_start = time.perf_counter()
+    # stage 1: exact (hash-groupBy, keep lowest id)
+    kept1 = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    sv1 = docs.join(kept1, "doc_id").persist()
+    c1 = timed(f"chain stage 1/3 exact_dedup @{docs.count():,} docs", sv1)
+    # stage 2: MinHash-LSH near-dup, keep-earliest (corpus_clean_pipeline policy)
+    drop2 = (
+        dedup.minhash_lsh_pairs(sv1, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    sv2 = sv1.join(drop2, "doc_id", "left_anti").persist()
+    c2 = timed("chain stage 2/3 minhash_lsh", sv2)
+    sv1.unpersist()
+    # stage 3: semantic — hash-derived vector per surviving doc (semantic-tier
+    # ids reuse their source doc's vector + 5% perturbation), banded
+    # hyperplane LSH pairs, keep-earliest. 20-plane bands: random-pair
+    # collision 2^-20/band (near-orthogonal corpus), planted cos 0.9988
+    # recall 1-(1-0.9844^20)^8 > 0.9999.
+    src_id = F.when(
+        F.col("doc_id") >= 4_000_000_000, F.col("doc_id") - 4_000_000_000
+    ).otherwise(F.col("doc_id"))
+    unit = lambda idc, i, salt: (
+        (F.pmod(F.xxhash64(idc, F.lit(i), F.lit(salt)), F.lit(2001)) - 1000) / 1000.0
+    )
+    vec = F.array(
+        *[
+            unit(src_id, i, 7)
+            + F.when(
+                F.col("doc_id") >= 4_000_000_000, 0.05 * unit(F.col("doc_id"), i, 8)
+            ).otherwise(F.lit(0.0))
+            for i in range(64)
+        ]
+    )
+    emb = sv2.select(F.col("doc_id").alias("vec_id"), vec.alias("embedding"))
+    drop3 = (
+        dedup.embedding_dup_pairs_lsh(
+            emb, threshold=0.99, dim=64, bands=8, band_planes=20
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    sv3 = sv2.join(drop3, "doc_id", "left_anti")
+    c3 = timed("chain stage 3/3 semantic_lsh", sv3)
+    total = time.perf_counter() - t_start
+    sv2.unpersist()
+    print(
+        f"chain TOTAL {docs.count():,} -> {c1:,} -> {c2:,} -> {c3:,} "
+        f"(target {n:,}; leakage {c3 - n:+,})  {total:7.1f}s",
+        flush=True,
+    )
+
+
 SECTIONS = {
+    "chain": chain_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
     "skew": skew_scale,
