@@ -66,3 +66,71 @@ def test_ivf_pinned_d2_is_true_min_distance(spark, sf_dir):
     for r in round5.ivf_assign_pinned(spark, sf_dir).limit(50).collect():
         d2 = ((vecs[r["vec_id"]] - centers[r["centroid"]]) ** 2).sum()
         assert abs(d2 - r["d2"]) < 1e-6
+
+
+# --------------------- incremental (batch-vs-index) dedup ---------------------
+
+
+def test_minhash_cross_planted(spark):
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base_text),                        # historical
+        (11, "completely different words about spark shuffles and parquet files"),
+        (20, base_text + " extra"),             # new batch: near-dup of 10
+        (21, "unrelated fresh content that shares nothing with the corpus at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["new_id"], r["base_id"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_cross(
+            docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+        ).collect()
+    }
+    assert set(got) == {(20, 10)}
+    assert got[(20, 10)] >= 0.5
+
+
+def test_minhash_cross_consistent_with_self_join(spark, sf_dir):
+    """Cross pairs over the %5 split == the self-join pairs with exactly one
+    endpoint on each side (same signatures, banding, verify kernel)."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries import round5
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    selfp = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    expect = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 5 == 0 else (r["id_b"], r["id_a"]): r["jaccard"]
+        for r in selfp
+        if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)
+    }
+    got = {
+        (r["new_id"], r["base_id"]): r["jaccard"]
+        for r in round5.dedup_incremental(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_clean_pipeline_sem_is_clean_pipeline_minus_semantic_drops(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries import llmops, round5
+
+    two_stage = {r["doc_id"] for r in llmops.corpus_clean_pipeline(spark, sf_dir).collect()}
+    three_stage = {
+        r["doc_id"] for r in round5.corpus_clean_pipeline_sem(spark, sf_dir).collect()
+    }
+    assert three_stage <= two_stage
+    assert three_stage  # survivors remain
+    # every doc dropped by stage 3 has a verified cosine>=0.4 pair with a
+    # LOWER-id survivor of stage 2 (keep-earliest over the survivor set)
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries.llmops import (
+        _EMB_BANDS,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isin([int(x) for x in two_stage])
+    )
+    pairs = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, bands=_EMB_BANDS).collect()
+    dropped_expected = {r["id_b"] for r in pairs}
+    assert two_stage - three_stage == dropped_expected
