@@ -412,6 +412,159 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def _minhash_sigs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, hashes, sig) — the shared signature relation behind the LSH
+    operators: shingle-hash arrays + MinHash signature, Arrow kernels,
+    empty-shingle docs excluded (their signatures would all collide)."""
+    hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
+    return (
+        df.select(F.col(id_col), hashes.alias("hashes"))
+        .where(F.size("hashes") > 0)
+        .select(id_col, "hashes", texts.pd_minhash_signature("hashes").alias("sig"))
+    )
+
+
+def _minhash_bands(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) — the banded LSH bucket relation for `sigs`."""
+    return sigs.select(
+        F.col(id_col), F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
+    ).select(id_col, F.col("band.band").alias("band"), F.col("band.key").alias("key"))
+
+
+def write_minhash_index(
+    df: DataFrame,
+    name: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize a corpus's MinHash index as TWO bucketed catalog tables:
+    `<name>_bands` (id, band, key) bucketed on (band, key) — the candidate
+    join side — and `<name>_hashes` (id, hashes) bucketed on id — the
+    exact-Jaccard verify side. This is the persisted half of the
+    incremental-ingestion story (`minhash_lsh_pairs_cross`'s docstring):
+    the corpus is signed ONCE; every subsequent batch screening reads the
+    index pre-partitioned, so the corpus side of the candidate join needs
+    no Exchange ever again (pinned in tests/test_round5.py)."""
+    from . import layout
+
+    sigs = _minhash_sigs(df, text_col, id_col)
+    layout.write_bucketed(
+        _minhash_bands(sigs, id_col),
+        f"{name}_bands",
+        ["band", "key"],
+        n_buckets,
+        f"{path}/bands",
+    )
+    layout.write_bucketed(
+        sigs.select(id_col, "hashes"), f"{name}_hashes", [id_col], n_buckets, f"{path}/hashes"
+    )
+
+
+def screen_against_minhash_index(
+    spark,
+    new_df: DataFrame,
+    name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a PERSISTED MinHash index
+    (written by `write_minhash_index`): O(batch) signature compute + a
+    candidate join in which only the (small) batch side shuffles — the
+    bucketed index scan already reports HashPartitioning(band, key), so
+    Spark aligns to it instead of exchanging the corpus. Output
+    (new_id, base_id, jaccard), identical semantics to
+    `minhash_lsh_pairs_cross` (equality-tested)."""
+    new_sigs = _minhash_sigs(new_df, text_col, id_col).repartition(id_col)
+    a = _minhash_bands(new_sigs, id_col).alias("a")
+    b = spark.table(f"{name}_bands").alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("base_id"),
+        )
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    sa = new_sigs.select(F.col(id_col).alias("new_id"), F.col("hashes").alias("h_a"))
+    sb = spark.table(f"{name}_hashes").select(
+        F.col(id_col).alias("base_id"), F.col("hashes").alias("h_b")
+    )
+    n_inter = F.size(F.array_intersect("h_a", "h_b"))
+    jac = n_inter / (F.size("h_a") + F.size("h_b") - n_inter)
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "base_id")
+        .select("new_id", "base_id", (F.round(jac * 10000) / 10000).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh_cross(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int = 8,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Cross-corpus embedding cosine near-dup pairs: NEW vectors vs an
+    EXISTING corpus via the same banded hyperplane LSH as
+    `embedding_dup_pairs_lsh`, joined across the two sides instead of
+    self-joined — the batch-vs-index shape (see `minhash_lsh_pairs_cross`)
+    that semantic decontamination and incremental ingestion need: at
+    100 TB the base side's (id, band, key) buckets are precomputed and
+    stored bucketed on key, so screening a batch costs O(batch).
+
+    Output: (new_id, base_id, cosine) for verified pairs, cosine rounded
+    to 4 (the hash-gate rounding rule). Same hyperplanes / verify kernel
+    as the self-join operator, so pair semantics are identical."""
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                vectors.pd_norm(vec_col).alias("_n"),
+            )
+            .where(F.col("_n") > 0)
+            .repartition("_id")
+        )
+
+    def banded(src: DataFrame) -> DataFrame:
+        return src.select(
+            "_id",
+            F.posexplode(
+                vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)
+            ).alias("band", "key"),
+        )
+
+    new_src, base_src = prep(new_df), prep(base_df)
+    a, b = banded(new_src).alias("a"), banded(base_src).alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("base_id"))
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    va = new_src.select(
+        F.col("_id").alias("new_id"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    vb = base_src.select(
+        F.col("_id").alias("base_id"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "new_id")
+        .join(vb, "base_id")
+        .select("new_id", "base_id", (F.round(cos * 10000) / 10000).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

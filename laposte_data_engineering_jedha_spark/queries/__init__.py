@@ -444,6 +444,8 @@ ROUND5_ADDED: list[str] = [
     "ivf_assign_pinned",
     "dedup_incremental",
     "corpus_clean_pipeline_sem",
+    "corpus_decontaminate_sem",
+    "corpus_health_report",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -251,7 +251,14 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    kept2 = kept.join(near, "doc_id", "left_anti").select("doc_id", "quality")
+    # kept2 feeds BOTH the semantic stage and the final anti-join; Python-UDF
+    # subtrees never canonicalize equal (SCALE.md finding 11), so without a
+    # persist the whole quality+minhash pipeline above recomputes per
+    # reference (measured 6.7 s -> ~4 s at sf0.1). The persisted projection
+    # is the slim survivor set (id, quality) — ~1% of corpus bytes at scale.
+    kept2 = (
+        kept.join(near, "doc_id", "left_anti").select("doc_id", "quality").persist()
+    )
     emb = table(spark, sf_dir, "embeddings").join(
         kept2.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
@@ -261,3 +268,110 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kept2.join(semdrop, "doc_id", "left_anti")
+
+
+# ======================= semantic decontamination =============================
+
+_DECON_SEM_SQL = f"""
+WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
+           WHERE {SQL_NORM} > 0),
+keyed AS (
+  SELECT vec_id, band, {_sql_band_key('e')} AS key
+  FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band
+        FROM n CROSS JOIN range(0, {_EMB_BANDS}) r)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS base_id
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id % 10 <> 7 AND b.vec_id % 10 = 7),
+hit AS (
+  SELECT DISTINCT new_id FROM cand
+  JOIN n va ON new_id = va.vec_id JOIN n vb ON base_id = vb.vec_id
+  WHERE {sql_round(f"{sql_dot('va.e', 'vb.e')} / (va.nrm * vb.nrm)", 4)}
+        >= CAST(0.4 AS DOUBLE))
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 10 <> 7 AND d.doc_id NOT IN (SELECT new_id FROM hit)"""
+
+
+@query("corpus_decontaminate_sem", _DECON_SEM_SQL)
+def corpus_decontaminate_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: drop training docs whose EMBEDDING is
+    within cosine 0.4 of any held-out eval doc (vec_id % 10 == 7 plays
+    the benchmark set) — the embedding-level counterpart of the 13-gram
+    `corpus_decontaminate`, catching paraphrased contamination n-gram
+    overlap misses. Cross-corpus banded hyperplane LSH
+    (operators/dedup.py:embedding_dup_pairs_lsh_cross): train-vs-eval
+    bucket join, exact-cosine verify on candidates only — the eval side
+    is tiny and precomputable, so at 100 TB this is one narrow
+    broadcast-size join per batch, never a corpus self-join."""
+    emb = table(spark, sf_dir, "embeddings")
+    hits = (
+        dedup.embedding_dup_pairs_lsh_cross(
+            emb.where(F.col("vec_id") % 10 != 7),
+            emb.where(F.col("vec_id") % 10 == 7),
+            threshold=0.4,
+            bands=_EMB_BANDS,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 7)
+    return docs.select("doc_id").join(hits, "doc_id", "left_anti")
+
+
+# =========================== corpus health report =============================
+
+_HEALTH_SQL = f"""
+WITH t AS (
+  SELECT d.doc_id, md5(trim(lower(d.text))) AS k,
+         CAST(len(regexp_extract_all(d.text, '{texts.BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         CAST(round(q.quality * 10000) AS BIGINT) AS q4,
+         CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents d
+  JOIN {sql_quality()} q USING (doc_id)
+  JOIN {sql_lang_pred()} l USING (doc_id))
+SELECT count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(q4) AS DOUBLE) / count(*)) / 10000 AS mean_quality,
+       round(CAST(10000 * sum(is_en) AS DOUBLE) / count(*)) / 10000 AS en_share,
+       round(CAST(10000 * (count(*) - count(DISTINCT k)) AS DOUBLE) / count(*))
+         / 10000 AS exact_dup_ratio,
+       quantile_cont(n_tokens, 0.5) AS median_tokens
+FROM t"""
+
+
+@query("corpus_health_report", _HEALTH_SQL)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary — the dashboard number a curation run
+    starts and ends with: doc/token volume, mean quality, language share,
+    exact-dup ratio, median doc length. Float discipline: every ratio is
+    an integer-exact sum with ONE final IEEE division + round (both
+    engines bit-agree), quality enters pre-rounded to 1e-4 as an integer;
+    median is the exact interpolated percentile (Spark `percentile` ==
+    DuckDB `quantile_cont`, same pinned pattern as
+    events_value_quantiles). One map-side pass + a single one-row
+    aggregate at any scale (count DISTINCT is the only extra shuffle;
+    swap in approx_count_distinct at 100 TB if 1e-4 error is fine)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.md5(F.trim(F.lower("text"))).alias("k"),
+        texts.bpe_token_count("text").cast("long").alias("n_tokens"),
+        F.round(
+            F.round(texts.quality_score("text") * 10000) / 10000 * 10000
+        ).cast("long").alias("q4"),
+        (texts.lang_id("text") == "en").cast("long").alias("is_en"),
+    )
+    n = F.count(F.lit(1))
+    return t.agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.round(F.sum("q4").cast("double") / n) / 10000).alias("mean_quality"),
+        (F.round((F.lit(10000) * F.sum("is_en")).cast("double") / n) / 10000).alias(
+            "en_share"
+        ),
+        (
+            F.round((F.lit(10000) * (n - F.count_distinct(F.col("k")))).cast("double") / n)
+            / 10000
+        ).alias("exact_dup_ratio"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+    )

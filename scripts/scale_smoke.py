@@ -673,8 +673,76 @@ def chain_scale(spark, n=1_000_000, n_exact=60_000, n_near=60_000, n_sem=60_000)
     )
 
 
+def incr_scale(spark, n_base=1_000_000, n_batch=100_000, n_dups=5_000):
+    """Incremental (batch-vs-index) dedup at corpus scale: a 100k-doc daily
+    batch screened against a 1M-doc historical corpus with
+    minhash_lsh_pairs_cross — the O(batch) amortized path. 5k batch docs
+    are planted near-dups (3 tokens appended, Jaccard 0.927) of corpus
+    docs; the rest are unique. Compare against SCALE.md's corpus-wide
+    self-join numbers to see what ingestion saves."""
+    vocab, n_tok = 5_000_000, 40
+
+    def toks(idc, salt):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_tok - 1)),
+            lambda i: F.concat(
+                F.lit("w"), F.pmod(F.xxhash64(idc, i, F.lit(salt)), F.lit(vocab))
+            ),
+        )
+
+    base = spark.range(n_base).select(
+        F.col("id").alias("doc_id"), F.array_join(toks(F.col("id"), 1), " ").alias("text")
+    )
+    dup_part = base.where(F.col("doc_id") < n_dups).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" za zb zc")).alias("text"),
+    )
+    fresh = spark.range(n_batch - n_dups).select(
+        (F.col("id") + 3_000_000_000).alias("doc_id"),
+        F.array_join(toks(F.col("id"), 2), " ").alias("text"),
+    )
+    batch = dup_part.unionByName(fresh)
+    t0 = time.perf_counter()
+    hits = dedup.minhash_lsh_pairs_cross(batch, base, threshold=0.5)
+    flagged = hits.select("new_id").distinct().count()
+    print(
+        f"incr dedup (inline): {n_batch:,}-doc batch vs {n_base:,}-doc corpus -> "
+        f"{flagged:,}/{n_dups:,} planted dups flagged  "
+        f"{time.perf_counter() - t0:7.1f}s",
+        flush=True,
+    )
+    # persisted-index variant: sign the corpus ONCE (the amortized cost),
+    # then screening reads the bucketed index with no corpus-side Exchange
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mh_idx_")
+    try:
+        t0 = time.perf_counter()
+        dedup.write_minhash_index(base, "mh_idx_scale", tmp, n_buckets=64)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        flagged2 = (
+            dedup.screen_against_minhash_index(spark, batch, "mh_idx_scale")
+            .select("new_id")
+            .distinct()
+            .count()
+        )
+        t_screen = time.perf_counter() - t0
+        print(
+            f"incr dedup (index): build {t_build:6.1f}s once, screen "
+            f"{t_screen:6.1f}s/batch -> {flagged2:,}/{n_dups:,} flagged",
+            flush=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_scale_bands")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_scale_hashes")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "chain": chain_scale,
+    "incr": incr_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
     "skew": skew_scale,

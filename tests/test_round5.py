@@ -134,3 +134,63 @@ def test_clean_pipeline_sem_is_clean_pipeline_minus_semantic_drops(spark, sf_dir
     pairs = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, bands=_EMB_BANDS).collect()
     dropped_expected = {r["id_b"] for r in pairs}
     assert two_stage - three_stage == dropped_expected
+
+
+def test_embedding_cross_consistent_with_self_join(spark, sf_dir):
+    """Cross pairs over the %10==7 split == self-join pairs with exactly one
+    endpoint on each side (same hyperplanes, banding, cosine kernel)."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries.llmops import _EMB_BANDS
+
+    emb = table(spark, sf_dir, "embeddings")
+    selfp = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, bands=_EMB_BANDS).collect()
+    expect = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 10 != 7 else (r["id_b"], r["id_a"]): r["cosine"]
+        for r in selfp
+        if (r["id_a"] % 10 == 7) != (r["id_b"] % 10 == 7)
+    }
+    got = {
+        (r["new_id"], r["base_id"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs_lsh_cross(
+            emb.where(F.col("vec_id") % 10 != 7),
+            emb.where(F.col("vec_id") % 10 == 7),
+            threshold=0.4,
+            bands=_EMB_BANDS,
+        ).collect()
+    }
+    assert got == expect
+    assert got  # the split crosses at least one verified pair
+
+
+def test_minhash_index_screen_matches_cross_and_skips_corpus_exchange(
+    spark, sf_dir, tmp_path
+):
+    """Persisted-index screening == the inline cross operator, and the
+    candidate join reads the bucketed index pre-partitioned: exactly ONE
+    Exchange on (band, key) — the batch side — appears in the plan."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new, base = docs.where(F.col("doc_id") % 5 == 0), docs.where(F.col("doc_id") % 5 != 0)
+    dedup.write_minhash_index(base, "mh_idx_t", str(tmp_path / "idx"), n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at real scale neither side broadcasts; force the shuffle planner
+        # to show which sides exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got_df = dedup.screen_against_minhash_index(spark, new, "mh_idx_t")
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        got = {(r["new_id"], r["base_id"]): r["jaccard"] for r in got_df.collect()}
+        expect = {
+            (r["new_id"], r["base_id"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs_cross(new, base).collect()
+        }
+        assert got == expect
+        assert got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS mh_idx_t_bands")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_t_hashes")
