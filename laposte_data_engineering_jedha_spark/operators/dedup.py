@@ -303,7 +303,6 @@ def simhash_pairs(
     """
     if bands is None:
         bands = min(max_hamming + 1, 4)
-    width = texts.SIMHASH_BITS // bands
     sims = (
         df.select(
             F.col(id_col),
@@ -312,17 +311,45 @@ def simhash_pairs(
         .select(F.col(id_col), texts.pd_simhash("h").alias("sim"))
         .repartition(id_col)  # hash once; both join sides reuse this exchange
     )
+    return hamming_band_pairs(
+        sims, id_col=id_col, bits=texts.SIMHASH_BITS, max_hamming=max_hamming, bands=bands
+    )
+
+
+def hamming_band_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "sim",
+    bits: int = texts.SIMHASH_BITS,
+    max_hamming: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """Banded Hamming near-dup join over any precomputed bit-fingerprint
+    column (SimHash over word shingles, perceptual hashes over media
+    bytes, ...): explode `bands` disjoint bit-bands per row, equi-join on
+    (band, key), verify Hamming distance on candidates only.
+
+    Shared candidate engine of `simhash_pairs` and
+    `multimodal.phash_pairs`; the pigeonhole band-count/recall notes on
+    simhash_pairs apply verbatim. The input should already be partitioned
+    (or cheap to recompute) — this helper adds no repartition of its own,
+    the band equi-join's exchange carries (id, sim, band, key) rows only."""
+    if bands is None:
+        bands = min(max_hamming + 1, 4)
+    width = bits // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             # (sim >> b*width) & mask as exact long arithmetic
-            F.expr(f"(sim div {1 << (b * width)}) % {1 << width}").alias("key"),
+            F.expr(f"({sim_col} div {1 << (b * width)}) % {1 << width}").alias("key"),
         )
         for b in range(bands)
     ]
     banded = sims.select(
-        id_col, "sim", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        id_col, sim_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -334,10 +361,76 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            texts.hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            texts.hamming64(F.col(f"a.{sim_col}"), F.col(f"b.{sim_col}")).alias(
+                "hamming"
+            ),
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 8,
+) -> DataFrame:
+    """Passage-level exact dedup statistics — the C4/CCNet span-scrub
+    shape: cut each doc into consecutive `passage_tokens`-token passages
+    (last one may be shorter), hash each, and mark a passage DUPLICATED
+    when its hash occurs in >= 2 distinct docs.
+
+    Output: (id, n_passages, n_dup_passages, dup_ratio) per doc — the
+    per-doc boilerplate measure a scrub pass thresholds on.
+
+    Scale shape: passages explode map-side (md5 of an 8-token join, no
+    Python); the global passage-frequency aggregate and the
+    count-per-doc re-aggregate are the only two shuffles, both on narrow
+    (hash | id) rows. The dup-key relation joins back passage-keyed —
+    co-partitioned with the groupBy that produced it, so AQE plans it
+    without a third full shuffle of the big side."""
+    p = passage_tokens
+    toks = df.select(
+        F.col(id_col), texts.tokens(text_col).alias("t")
+    ).select(
+        id_col,
+        F.ceil(F.size("t") / F.lit(p)).cast("long").alias("n_passages"),
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(t) / {p}) as int) - 1), "
+            f"i -> md5(array_join(slice(t, i * {p} + 1, {p}), ' ')))"
+        ).alias("ps"),
+    )
+    passages = toks.select(id_col, F.explode("ps").alias("key"))
+    dup_keys = (
+        passages.groupBy("key")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key")
+    )
+    dup_per_doc = (
+        passages.join(dup_keys, "key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        toks.select(id_col, "n_passages")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_passages",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_passages"),
+            F.when(F.col("n_passages") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup", F.lit(0)).cast("double")
+                    / F.col("n_passages")
+                    * 10000
+                )
+                / 10000
+            )
+            .alias("dup_ratio"),
+        )
     )
 
 

@@ -65,3 +65,32 @@ def apply_changes(
     untouched = snapshot.join(last.select(*key_cols), key_cols, "left_anti")
     upserts = last.where(F.col(OP_COL) != OP_DELETE).select(*payload_cols)
     return untouched.unionByName(upserts)
+
+
+def scd2_history(
+    versions: DataFrame,
+    key_cols: list[str],
+    effective_col: str = "valid_from",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a version stream: given one
+    row per (key, effective date) attribute version, emit the full
+    validity history — `valid_to` = the NEXT version's effective date
+    (half-open [valid_from, valid_to) intervals, the warehouse-standard
+    convention), `is_current` on the open interval.
+
+    SCD2 is the other half of CDC ingestion next to `apply_changes`
+    (which produces the LATEST snapshot and discards history); dimension
+    joins against facts then use [valid_from, valid_to) containment —
+    see queries/llmops.py events_range_join for that join shape.
+
+    One per-key window, partitioned by the dimension key — at any scale
+    each key's version list is tiny (bounded by change frequency), so the
+    sort inside each partition group is bounded and the single Exchange
+    on the key is the whole cost."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(effective_col))
+    lead = F.lead(effective_col).over(w)
+    return versions.select(
+        "*",
+        lead.alias("valid_to"),
+        lead.isNull().alias("is_current"),
+    )

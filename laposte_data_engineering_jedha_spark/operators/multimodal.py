@@ -195,3 +195,74 @@ def dedup_payloads(media: DataFrame) -> DataFrame:
             F.min("media_type").alias("media_type"),
         )
     )
+
+
+PHASH_GRAM = 4  # chars per content gram (and the sampling stride: disjoint)
+
+
+def pd_payload_gram_hashes(payload_col, gram: int = PHASH_GRAM):
+    """Arrow-batched 60-bit md5 hashes of consecutive `gram`-char windows
+    of the DECODED payload (utf-8; the codec stub's "pixels"). Character
+    (not byte) windows so the DuckDB oracle's `substr` reproduces the
+    grams exactly for any utf-8 payload. Per-gram weight = occurrence
+    count, which is exactly what the SimHash vote downstream wants."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def kernel(s: pd.Series) -> pd.Series:
+        out = []
+        for payload in s:
+            text = bytes(payload).decode("utf-8")
+            n = -(-len(text) // gram)  # ceil; last gram may be short
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            text[i * gram : i * gram + gram].encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(n)
+                ]
+            )
+        return pd.Series(out)
+
+    return kernel(payload_col)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, phash): 60-bit perceptual-style hash per
+    payload — SimHash bit-votes over content-gram hashes, so payloads
+    sharing most of their content agree on most bits (unlike the
+    avalanche `content_hash`). Real image/audio decode would swap the
+    gram stage for DCT / spectral frames behind the same stub boundary;
+    the vote/band/verify machinery downstream is codec-agnostic."""
+    from ..functions import texts
+
+    return media.select(
+        "doc_id",
+        "media_type",
+        pd_payload_gram_hashes(F.col("payload")).alias("h"),
+    ).select("doc_id", "media_type", texts.pd_simhash("h").alias("phash"))
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup pairs over media payloads: phash per payload,
+    then the shared banded-Hamming candidate engine
+    (dedup.hamming_band_pairs — d+1 disjoint bands give full recall by
+    pigeonhole, widest-band layout keeps random collisions linear).
+
+    The payload bytes never shuffle: phash is map-side Arrow compute, and
+    everything past it moves (id, phash, band, key) rows only — at 100 TB
+    of media that's the difference between shuffling blobs and shuffling
+    ~30 bytes/row."""
+    from . import dedup
+
+    sims = phash_media(media).select("doc_id", F.col("phash").alias("sim")).repartition(
+        "doc_id"
+    )
+    return dedup.hamming_band_pairs(
+        sims, id_col="doc_id", bits=60, max_hamming=max_hamming
+    )

@@ -446,6 +446,13 @@ ROUND5_ADDED: list[str] = [
     "corpus_clean_pipeline_sem",
     "corpus_decontaminate_sem",
     "corpus_health_report",
+    # round-5 session batch 2 (queries/round5b.py)
+    "dedup_passage",
+    "corpus_pack_bins",
+    "multimodal_phash_dedup",
+    "olap_scd2_history",
+    "events_windowed_topk",
+    "text_oov_rate",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47
@@ -537,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

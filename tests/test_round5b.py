@@ -1,0 +1,185 @@
+"""Round-5 batch-2 additions (queries/round5b.py): semantic pins that the
+oracle gate can't express — planted-duplicate behavior, interval algebra,
+conservation laws, plan shape. DuckDB hash parity itself is covered by
+tests/test_oracle_parity.py (every registered oracle runs at sf0.001)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from laposte_data_engineering_jedha_spark.operators import dedup, merge, multimodal
+from laposte_data_engineering_jedha_spark.queries import round5b, table
+
+
+# ------------------------------ dedup_passage -------------------------------
+
+
+def test_passage_dup_planted(spark):
+    # doc 1 and 2 share their first 8-token passage exactly; doc 3 is unique.
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one extra words here pad pad"),
+            (2, shared + " other suffix entirely different words pad"),
+            (3, "q w e r t y u i o p unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.passage_dup_stats(docs, passage_tokens=8).collect()
+    }
+    assert rows[1]["n_passages"] == 2 and rows[1]["n_dup_passages"] == 1
+    assert rows[2]["n_passages"] == 2 and rows[2]["n_dup_passages"] == 1
+    assert rows[3]["n_dup_passages"] == 0 and rows[3]["dup_ratio"] == 0.0
+    assert rows[1]["dup_ratio"] == 0.5
+
+
+def test_passage_within_doc_repeat_is_not_cross_doc_dup(spark):
+    # the same passage twice in ONE doc does not count (needs >= 2 docs)
+    p = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, p + " " + p), (2, "z x c v b n m l k j h g")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.passage_dup_stats(docs).collect()}
+    assert rows[1]["n_passages"] == 2 and rows[1]["n_dup_passages"] == 0
+
+
+def test_passage_partial_tail_counted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )  # 10 tokens -> passages of 8 + 2
+    row = dedup.passage_dup_stats(docs).collect()[0]
+    assert row["n_passages"] == 2
+
+
+# ----------------------------- corpus_pack_bins -----------------------------
+
+
+def test_pack_bins_conservation(spark, sf_dir):
+    out = round5b.corpus_pack_bins(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert r["capacity"] == r["bin"] * r["n_docs"]
+        assert r["sum_tokens"] <= r["capacity"]  # nothing overflows its bin
+        assert 0.0 <= r["pad_ratio"] < 1.0
+
+
+# -------------------------- multimodal_phash_dedup --------------------------
+
+
+def _media(spark, rows):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return multimodal.media_table(docs)
+
+
+def test_phash_identical_payloads_distance_zero(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    media = _media(spark, [(1, base), (2, base)])
+    rows = multimodal.phash_pairs(media, max_hamming=3).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_phash_near_identical_found_unrelated_not(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base[:-12] + "sleeping cat"  # small suffix change
+    other = "completely different content with no shared grams at all " * 4
+    media = _media(spark, [(1, base), (2, near), (3, other)])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(media, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_kernel_matches_sql_gram_definition(spark):
+    # unicode payload: char-based grams must match DuckDB substr semantics
+    import duckdb
+
+    text = "héllo wörld des données française encore des mots ici"
+    media = _media(spark, [(1, text)])
+    got = multimodal.phash_media(media).collect()[0]["phash"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text", [text])
+    want = con.execute(
+        round5b._PHASH_SQL.replace("SELECT id_a, id_b, hamming", "SELECT 1")
+        .split("bands AS")[0]
+        .rstrip().rstrip(",")
+        + "\nSELECT sim FROM sims"
+    ).fetchone()[0]
+    assert got == want
+
+
+# ---------------------------- olap_scd2_history -----------------------------
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    rows = round5b.olap_scd2_history(spark, sf_dir).collect()
+    assert rows
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert len(vs) == 4
+        # half-open intervals chain with no gap/overlap; exactly one current
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        # price increases by the 5%-step repricing after the base version
+        assert vs[1]["price"] >= vs[0]["price"]
+
+
+def test_scd2_operator_generic(spark):
+    vers = spark.createDataFrame(
+        [(1, "2024-01-01"), (1, "2024-02-01"), (2, "2024-03-01")],
+        "k long, valid_from string",
+    ).select("k", F.col("valid_from").cast("date").alias("valid_from"))
+    out = {
+        (r["k"], str(r["valid_from"])): r
+        for r in merge.scd2_history(vers, ["k"]).collect()
+    }
+    assert str(out[(1, "2024-01-01")]["valid_to"]) == "2024-02-01"
+    assert out[(1, "2024-02-01")]["is_current"]
+    assert out[(2, "2024-03-01")]["is_current"]
+
+
+# --------------------------- events_windowed_topk ---------------------------
+
+
+def test_windowed_topk_rank_contract(spark, sf_dir):
+    rows = round5b.events_windowed_topk(spark, sf_dir).collect()
+    assert rows
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r)
+    for day, rs in by_day.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert (a["revenue"], b["event_type"]) >= (b["revenue"], a["event_type"])
+
+
+# ------------------------------ text_oov_rate -------------------------------
+
+
+def test_oov_rate_bounds_and_null_free(spark, sf_dir):
+    rows = round5b.text_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_oov"] is not None and 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_oov_vocab_is_broadcast(spark, sf_dir):
+    plan = round5b.text_oov_rate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
