@@ -258,36 +258,33 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, term asc tie-break) — the tokenizer-coverage check run
     before committing a vocab. Build-small-broadcast-wide: the term
     frequency aggregate reduces to a 20-row dim (TakeOrderedAndProject —
-    no global sort materializes), which broadcasts into an anti join
-    against the exploded token stream; per-doc re-aggregation is the only
-    other shuffle. At 100 TB the vocab build is the same two narrow
-    aggregates — nothing scales with corpus width except the explode."""
+    no global sort materializes), collapsed to a ONE-ROW array that
+    broadcasts under every doc; the per-doc OOV count is then a map-side
+    higher-order `filter` over the token array — no explode of the big
+    side, no per-token shuffle, no re-aggregation. Measured at 1M docs /
+    60M tokens: 56 s as explode+anti-join+regroup, 27 s in this shape
+    (SCALE.md) — the remainder is the vocab build's one irreducible
+    token-grain pass, which at 100 TB is the only stage that touches a
+    token-grain relation (score pass is map-side against the broadcast
+    array)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", texts.tokens("text").alias("t"))
-    ex = toks.select("doc_id", F.explode("t").alias("term"))
     vocab = (
-        ex.groupBy("term")
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "term")
         .limit(_VOCAB_K)
-        .select("term")
     )
-    oov = (
-        ex.join(F.broadcast(vocab), "term", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_oov"))
-    )
-    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-    return base.join(oov, "doc_id", "left").select(
+    varr = vocab.agg(F.collect_list("term").alias("v"))  # 1 row x 20 terms
+    n_oov = F.size(
+        F.filter("t", lambda x: ~F.array_contains("v", x))
+    ).cast("long")
+    return toks.crossJoin(F.broadcast(varr)).select(
         "doc_id",
-        "n_tokens",
-        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-        (
-            F.round(
-                F.coalesce("n_oov", F.lit(0)).cast("double")
-                / F.col("n_tokens")
-                * 10000
-            )
-            / 10000
-        ).alias("oov_rate"),
+        F.size("t").cast("long").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (F.round(n_oov.cast("double") / F.size("t").cast("long") * 10000) / 10000).alias(
+            "oov_rate"
+        ),
     )

@@ -740,9 +740,58 @@ def incr_scale(spark, n_base=1_000_000, n_batch=100_000, n_dups=5_000):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round5b_scale(spark) -> None:
+    """The round-5 batch-2 operators at 20-200x fixture scale.
+
+    - passage_dup_stats @1M docs: the blown-up corpus is the worst case —
+      every 200-copy family shares ALL its full 8-token passages, so the
+      dup-key join re-touches nearly every passage instance.
+    - phash_pairs @100k media: 20-copy families of near-identical
+      payloads — every family is a Hamming-0 clique, so candidate volume
+      is the quadratic-in-family-size ceiling the band cap discussion in
+      operators/dedup.py is about (bounded here by family size, not by
+      corpus size).
+    - text_oov_rate @1M docs: the explode is ~60M token rows; the vocab
+      build must stay TakeOrderedAndProject (no global sort) and the
+      anti join must broadcast.
+    """
+    from laposte_data_engineering_jedha_spark.operators import multimodal
+
+    docs1m = blown_up_docs(spark, 200)
+    timed("passage_dup_stats @1M docs", dedup.passage_dup_stats(docs1m))
+
+    docs1m_full = blown_up_docs(spark, 200)
+    t0 = time.perf_counter()
+    # drive the same plan as the registered text_oov_rate, blown-up corpus
+    toks = docs1m_full.select("doc_id", texts.tokens("text").alias("t"))
+    vocab = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term").limit(20)
+    )
+    varr = vocab.agg(F.collect_list("term").alias("v"))
+    n = (
+        toks.crossJoin(F.broadcast(varr))
+        .select(
+            "doc_id",
+            F.size(F.filter("t", lambda x: ~F.array_contains("v", x))).alias("n_oov"),
+        )
+        .count()
+    )
+    print(f"{'text_oov_rate @1M docs':<44} rows={n:>10,}  {time.perf_counter() - t0:7.1f}s", flush=True)
+
+    docs100k = blown_up_docs(spark, 20).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    media = multimodal.media_table(docs100k)
+    timed("phash_pairs @100k media", multimodal.phash_pairs(media, max_hamming=3))
+
+
 SECTIONS = {
     "chain": chain_scale,
     "incr": incr_scale,
+    "round5b": round5b_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
     "skew": skew_scale,
