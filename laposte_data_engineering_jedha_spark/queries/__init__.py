@@ -453,6 +453,9 @@ ROUND5_ADDED: list[str] = [
     "olap_scd2_history",
     "events_windowed_topk",
     "text_oov_rate",
+    # round-5 session batch 3 (queries/round5c.py)
+    "dq_orders_checks",
+    "events_skew_report",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47
@@ -544,7 +547,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

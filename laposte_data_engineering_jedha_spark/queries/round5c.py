@@ -1,0 +1,129 @@
+"""Round-5 session additions, batch 3 — operational tooling queries:
+
+- dq_orders_checks: a one-row data-quality report over orders (null keys,
+  duplicate PKs, domain violations, referential orphans against customer,
+  childless orders against lineitem) — the deequ/GE-style validation pass
+  a pipeline runs before publishing a table.
+- events_skew_report: key-frequency skew diagnostics for the events fact
+  (p50/p99/max per-key counts, skew ratio, suggested salt factor) — the
+  number operators/skew.py's salted joins are tuned from.
+
+Both are integer-exact aggregates with at most one final IEEE division,
+per the registry float rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import events_table, query, table
+
+_DQ_SQL = """
+WITH rc AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_custkey,
+         count(*) - count(DISTINCT o_orderkey) AS n_dup_orderkey,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonpositive_price,
+         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) > DATE '2030-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_future_dates
+  FROM orders),
+orph AS (
+  SELECT count(*) AS n_orphan_custkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+childless AS (
+  SELECT count(*) AS n_childless_orders FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey))
+SELECT * FROM rc CROSS JOIN orph CROSS JOIN childless"""
+
+
+@query("dq_orders_checks", _DQ_SQL)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality report over orders: row count, null FK count,
+    duplicate-PK count (count - count distinct, one aggregate), value
+    domain violations, and two referential checks — orphan custkeys
+    (anti join against customer) and childless orders (anti join against
+    lineitem). The row-level checks ride ONE map-side-combined aggregate
+    pass; each referential check is a key-partitioned anti join reduced
+    to a 1-row count, and the final assembly is three broadcast one-row
+    cross joins (the sanctioned scalar pattern). At 100 TB this is the
+    publish gate: one fact-table pass + two narrow-key anti joins."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    one = F.lit(1)
+    rc = orders.agg(
+        F.count(one).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_custkey"),
+        (F.count(one) - F.count_distinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive_price"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").cast("date") > F.lit("2030-01-01").cast("date"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_future_dates"),
+    )
+    orph = orders.join(
+        customer.select("c_custkey"),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_anti",
+    ).agg(F.count(one).alias("n_orphan_custkey"))
+    childless = orders.join(
+        lineitem.select("l_orderkey"),
+        orders["o_orderkey"] == lineitem["l_orderkey"],
+        "left_anti",
+    ).agg(F.count(one).alias("n_childless_orders"))
+    return rc.crossJoin(orph).crossJoin(childless)
+
+
+_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+SELECT count(*) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       quantile_cont(cnt, 0.5) AS p50_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt,
+       round(CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5) * 100) / 100
+         AS skew_ratio,
+       CAST(ceil(CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.99)) AS BIGINT)
+         AS suggested_salt
+FROM c"""
+
+
+@query("events_skew_report", _SKEW_SQL)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for the events fact keyed by user_id: per-key
+    counts (one map-side-combined aggregate), then a one-row summary —
+    key cardinality, max and exact p50/p99 per-key counts (Spark
+    `percentile` == DuckDB `quantile_cont`, the pinned interpolation
+    pair), the max/p50 skew ratio, and ceil(max/p99) as the salt factor
+    a salted join (operators/skew.py) would use to level the hottest
+    key down to p99 volume. This is the profiling query you run BEFORE
+    choosing broadcast/salt/AQE strategies on a new fact table; at
+    100 TB the per-key count relation is the only shuffle and the
+    summary is exact-percentile over |keys| rows (swap in
+    approx_percentile when even that is too wide)."""
+    ev = events_table(spark, sf_dir)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    maxd = F.max("cnt").cast("double")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        (F.round(maxd / F.expr("percentile(cnt, 0.5)") * 100) / 100).alias(
+            "skew_ratio"
+        ),
+        F.ceil(maxd / F.expr("percentile(cnt, 0.99)")).cast("long").alias(
+            "suggested_salt"
+        ),
+    )

@@ -183,3 +183,53 @@ def test_oov_rate_bounds_and_null_free(spark, sf_dir):
 def test_oov_vocab_is_broadcast(spark, sf_dir):
     plan = round5b.text_oov_rate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------ batch 3: dq + skew ---------------------------
+
+
+def test_dq_orders_checks_clean_fixture(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries import round5c, table
+
+    row = round5c.dq_orders_checks(spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    assert row["n_rows"] == orders.count()
+    # fixture integrity: PK unique, FK closed
+    assert row["n_dup_orderkey"] == 0 and row["n_null_custkey"] == 0
+    assert row["n_orphan_custkey"] == 0
+    assert row["n_childless_orders"] >= 0
+
+
+def test_dq_detects_planted_violations(spark, sf_dir):
+    # verify the checks actually FIRE on dirty data: run the same aggregate
+    # shapes on a corrupted copy of orders
+    import pyspark.sql.functions as F
+    from laposte_data_engineering_jedha_spark.queries import table
+
+    orders = table(spark, sf_dir, "orders").limit(100)
+    dirty = orders.unionByName(  # duplicate PKs + orphan/null custkeys
+        orders.limit(5).select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") * -1).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    agg = dirty.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos"),
+    ).collect()[0]
+    assert agg["dup"] == 5 and agg["nulls"] == 5 and agg["nonpos"] == 5
+
+
+def test_skew_report_invariants(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries import round5c
+
+    row = round5c.events_skew_report(spark, sf_dir).collect()[0]
+    assert row["n_keys"] > 0
+    assert row["max_cnt"] >= row["p99_cnt"] >= row["p50_cnt"] > 0
+    assert row["skew_ratio"] >= 1.0
+    assert row["suggested_salt"] >= 1
