@@ -456,6 +456,7 @@ ROUND5_ADDED: list[str] = [
     # round-5 session batch 3 (queries/round5c.py)
     "dq_orders_checks",
     "events_skew_report",
+    "text_typo_pairs",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

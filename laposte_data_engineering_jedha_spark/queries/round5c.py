@@ -127,3 +127,60 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "suggested_salt"
         ),
     )
+
+
+_TYPO_SQL = r"""
+WITH base AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN
+           text || ' ' || substr(t1, 1, 1) || substr(t1, 3, len(t1))
+         ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+')[1] AS t1
+        FROM documents)),
+toks AS (
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM base)
+  WHERE len(tok) <= 24 GROUP BY tok),
+keys AS (
+  SELECT tok, n, unnest(list_distinct(list_append(
+    [substr(tok, 1, i - 1) || substr(tok, i + 1, len(tok))
+     for i in range(1, len(tok) + 1)],
+    tok))) AS k
+  FROM toks),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.tok < b.tok)
+SELECT tok_a, tok_b, n_a, n_b FROM cand WHERE levenshtein(tok_a, tok_b) = 1"""
+
+
+@query("text_typo_pairs", _TYPO_SQL)
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 token pairs via SymSpell deletion neighborhoods
+    (operators/dedup.py typo_pairs) — the query-log / entity-name
+    normalization primitive: a low-count token keyed next to a high-count
+    one is a probable typo. The fixture vocabulary is typo-free, so every
+    doc with doc_id % 7 == 0 gets a deterministic planted typo (its first
+    token with the 2nd char deleted) appended — arithmetic the oracle
+    reproduces — making the check verify REAL pairs (26 at sf0.01,
+    including genuine neighborhood collisions like row~sow) rather than
+    an empty set. Scale shape per the operator: deletion keys explode
+    map-side over the DISTINCT vocabulary (not the corpus), the self-join
+    shuffles (key, token) pairs, and `levenshtein == 1` verifies
+    candidates only — never an all-pairs compare."""
+    from ..functions import texts
+
+    docs = table(spark, sf_dir, "documents")
+    t1 = F.element_at(texts.tokens("text"), 1)
+    typo = F.concat(
+        F.expr("substring(t1, 1, 1)"), F.expr("substring(t1, 3, length(t1))")
+    )
+    base = docs.select("doc_id", "text", t1.alias("t1")).select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" "), typo)
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    from ..operators import dedup
+
+    return dedup.typo_pairs(base)
