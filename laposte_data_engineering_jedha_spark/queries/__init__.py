@@ -457,6 +457,7 @@ ROUND5_ADDED: list[str] = [
     "dq_orders_checks",
     "events_skew_report",
     "text_typo_pairs",
+    "pq_adc_topk_pinned",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

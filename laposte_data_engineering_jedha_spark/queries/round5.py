@@ -375,3 +375,92 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_ratio"),
         F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
     )
+
+
+# ===================== PQ/ADC top-k search, pinned twin =======================
+
+_ADC_QMOD = 61  # queries = vec_id % 61 == 0 (~n/61 rows, broadcast side)
+
+
+def _sql_tab(j: int) -> str:
+    return "[" + ", ".join(_sql_d2(j, c, _PQ_SUB) for c in range(_PQ_K)) + "]"
+
+
+_ADC_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         {", ".join(f"{_sql_tab(j)} AS tab{j}" for j in range(_PQ_M))}
+  FROM embeddings WHERE vec_id % {_ADC_QMOD} = 0),
+codes AS (
+  SELECT vec_id AS cand_id,
+         {", ".join(f"CAST({_sql_argmin(j, _PQ_K, _PQ_SUB)} AS INTEGER) AS code{j}" for j in range(_PQ_M))}
+  FROM embeddings),
+pairs AS (
+  SELECT q.query_id, c.cand_id,
+         round(((((tab0[code0 + 1] + tab1[code1 + 1]) + tab2[code2 + 1])
+                 + tab3[code3 + 1])) * 1000000) / 1000000 AS adc
+  FROM codes c CROSS JOIN q
+  WHERE q.query_id <> c.cand_id),
+r AS (SELECT query_id, cand_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
+               AS rank
+      FROM pairs)
+SELECT query_id, cand_id, adc, rank FROM r WHERE rank <= 5"""
+
+
+@query("pq_adc_topk_pinned", _ADC_SQL)
+def pq_adc_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PQ asymmetric-distance (ADC) top-k search as a
+    hash-checkable twin of similarity.pq_knn on the pinned codebook:
+    per-query distance TABLES (4 subspaces x 16 centroids, each a
+    left-to-right fold — bit-identical across engines), corpus scanned as
+    codes only (the pinned encode), a candidate's distance = 4 table
+    lookups + 3 adds in pinned association order, per-query top-5 with
+    cand_id tie-break. Scale shape identical to the production kernel
+    path: the corpus side carries (id, 4 codes) — ~100x below float-scan
+    cost — and the query-table side broadcasts (BroadcastNestedLoopJoin
+    with broadcast build, the sanctioned many-row variant); the only
+    exchange is the per-query top-k window. pq_knn's numpy kernel ranks
+    are pinned >= 0.9-recall-equal to this relation in
+    tests/test_round5.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % _ADC_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.array(*[_spark_d2(j, c, _PQ_SUB) for c in range(_PQ_K)]).alias(
+                f"tab{j}"
+            )
+            for j in range(_PQ_M)
+        ],
+    )
+    codes = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        *[
+            _spark_argmin(j, _PQ_K, _PQ_SUB).cast("int").alias(f"code{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    adc = (
+        (
+            F.element_at("tab0", F.col("code0") + 1)
+            + F.element_at("tab1", F.col("code1") + 1)
+        )
+        + F.element_at("tab2", F.col("code2") + 1)
+    ) + F.element_at("tab3", F.col("code3") + 1)
+    pairs = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.round(adc * 1000000) / 1000000).alias("adc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "adc", "rank")
+    )

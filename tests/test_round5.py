@@ -194,3 +194,31 @@ def test_minhash_index_screen_matches_cross_and_skips_corpus_exchange(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS mh_idx_t_bands")
         spark.sql("DROP TABLE IF EXISTS mh_idx_t_hashes")
+
+
+def test_pq_adc_pinned_recall_vs_kernel(spark, sf_dir):
+    """The Catalyst ADC twin and the production numpy-kernel pq_knn must
+    agree on (query, candidate) top-5 sets at >= 0.9 recall — fp
+    association differs (numpy pairwise vs left-to-right fold), so exact
+    rank equality is not required, but wholesale divergence means one of
+    the two ADC implementations is wrong."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.queries.round5 import (
+        _ADC_QMOD,
+        pq_adc_topk_pinned,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % _ADC_QMOD == 0)
+    cb = similarity.pinned_codebook(4, 16, 16)
+    kernel = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.pq_knn(emb, qs, cb, k=5, rerank=0).collect()
+    }
+    twin = {
+        (r["query_id"], r["cand_id"])
+        for r in pq_adc_topk_pinned(spark, sf_dir).collect()
+    }
+    assert len(twin) > 0 and len(kernel) > 0
+    assert len(twin & kernel) / len(twin | kernel) >= 0.9
