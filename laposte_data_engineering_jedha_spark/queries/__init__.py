@@ -458,6 +458,7 @@ ROUND5_ADDED: list[str] = [
     "events_skew_report",
     "text_typo_pairs",
     "pq_adc_topk_pinned",
+    "events_salted_spend",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -184,3 +184,27 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     return dedup.typo_pairs(base)
+
+
+_SALTED_SQL = """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       count(*) AS n
+FROM events WHERE event_type = 'purchase' GROUP BY user_id"""
+
+
+@query("events_salted_spend", _SALTED_SQL)
+def events_salted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase spend computed through the SALTED two-phase
+    aggregation (operators/skew.py salted_sum: partial sums over
+    (key, salt in [0,8)), final re-aggregate over key) while the oracle
+    is the plain one-shot GROUP BY — an external hash row proving the
+    skew-leveling rewrite is RESULT-IDENTICAL, which is the whole point
+    of salting: the DECIMAL(18,4) internal sum makes the re-association
+    exact, so hot-key load can be spread over `salt` reducers without
+    perturbing a single low bit. (The performance side — 20M-row hot-key
+    benchmark — is in SCALE.md; this query pins the correctness side.)"""
+    from ..operators import skew
+
+    ev = events_table(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return skew.salted_sum(ev, "user_id", "value", salt=8)
