@@ -459,6 +459,8 @@ ROUND5_ADDED: list[str] = [
     "text_typo_pairs",
     "pq_adc_topk_pinned",
     "events_salted_spend",
+    "olap_scd2_at_ship_price",
+    "dq_lineitem_checks",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

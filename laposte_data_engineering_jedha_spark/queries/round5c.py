@@ -208,3 +208,136 @@ def events_salted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_table(spark, sf_dir).where(F.col("event_type") == "purchase")
     return skew.salted_sum(ev, "user_id", "value", salt=8)
+
+
+_SCD2_JOIN_SQL = """
+WITH keys AS (SELECT o_orderkey AS k, o_totalprice AS p0,
+                     CAST(o_orderdate AS DATE) AS d0
+              FROM orders WHERE o_orderkey % 20 = 3),
+vers AS (SELECT k, CAST(v.range AS INT) AS version,
+                CASE WHEN v.range = 0 THEN p0
+                     ELSE round(p0 * (100 + 5 * CAST(v.range AS INT))) / 100
+                END AS price,
+                d0 + CAST(v.range AS INT) AS valid_from
+         FROM keys CROSS JOIN range(0, 4) v),
+dim AS (SELECT k, version, price, valid_from,
+               lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from)
+                 AS valid_to
+        FROM vers)
+SELECT l.l_orderkey AS k, l.l_linenumber, d.version,
+       CAST(l.l_quantity AS BIGINT) AS qty,
+       round(d.price * CAST(l.l_quantity AS BIGINT) * 100) / 100
+         AS at_ship_value
+FROM lineitem l JOIN dim d
+  ON l.l_orderkey = d.k
+ AND CAST(l.l_shipdate AS DATE) >= d.valid_from
+ AND (d.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < d.valid_to)"""
+
+
+@query("olap_scd2_at_ship_price", _SCD2_JOIN_SQL)
+def olap_scd2_at_ship_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMING half of SCD2: price each lineitem at the dimension
+    version valid on its ship date — equi join on the dimension key with
+    a half-open [valid_from, valid_to) containment residual, the standard
+    warehouse fact-to-history join (at most ONE dim row matches per fact
+    row by interval disjointness, proven by olap_scd2_history's
+    partition-timeline test). Scale shape: a key-partitioned sort-merge
+    join where the interval predicate is a cheap residual filter — never
+    a range cross join — and the dimension side is versions-per-key
+    small. Value math: price is 2-decimal by construction and quantity
+    integral, so price*qty carries at most 2 decimals — the shared
+    round(x*100)/100 convention is exact on it."""
+    from ..operators import merge
+
+    orders = table(spark, sf_dir, "orders")
+    keys = orders.where(F.col("o_orderkey") % 20 == 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p0"),
+        F.col("o_orderdate").cast("date").alias("d0"),
+    )
+    vers = keys.select(
+        "k", "p0", "d0", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("version")
+    ).select(
+        "k",
+        "version",
+        F.when(F.col("version") == 0, F.col("p0"))
+        .otherwise(
+            F.round(F.col("p0") * (F.lit(100) + F.lit(5) * F.col("version"))) / 100
+        )
+        .alias("price"),
+        F.date_add("d0", F.col("version")).alias("valid_from"),
+    )
+    dim = merge.scd2_history(vers.select("k", "version", "price", "valid_from"), ["k"]).drop(
+        "is_current"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        li.join(
+            dim,
+            (li["l_orderkey"] == dim["k"])
+            & (li["ship"] >= dim["valid_from"])
+            & (dim["valid_to"].isNull() | (li["ship"] < dim["valid_to"])),
+        )
+        .select(
+            F.col("l_orderkey").alias("k"),
+            "l_linenumber",
+            "version",
+            "qty",
+            (F.round(F.col("price") * F.col("qty") * 100) / 100).alias(
+                "at_ship_value"
+            ),
+        )
+    )
+
+
+_DQ_LI_SQL = """
+SELECT count(*) AS n_rows,
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_linekey,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive_qty,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_discount,
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_returnflag
+FROM lineitem"""
+
+
+@query("dq_lineitem_checks", _DQ_LI_SQL)
+def dq_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over lineitem — and unlike the clean orders
+    fixture, a check that genuinely FIRES: the synthetic lineitem's
+    (l_orderkey, l_linenumber) is NOT unique (6000 rows / 4599 distinct
+    pairs at sf0.001), so n_dup_linekey is nonzero and the driver hash
+    proves the duplicate-compound-PK detector counts real violations,
+    not just zeros. One map-side-combined aggregate pass; the compound
+    count DISTINCT is the only extra shuffle (NULL caveat: Spark's
+    multi-column count_distinct drops rows with any NULL while DuckDB's
+    struct-distinct keeps them — both key columns are non-null here, and
+    a production check would coalesce first)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+        ).alias("n_dup_linekey"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_bad_discount"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_returnflag"),
+    )

@@ -233,3 +233,33 @@ def test_skew_report_invariants(spark, sf_dir):
     assert row["max_cnt"] >= row["p99_cnt"] >= row["p50_cnt"] > 0
     assert row["skew_ratio"] >= 1.0
     assert row["suggested_salt"] >= 1
+
+
+def test_scd2_at_ship_price_one_dim_row_per_fact(spark, sf_dir):
+    """Interval disjointness must make the fact->history join at most
+    1:1 per (orderkey, linenumber) fact row."""
+    from laposte_data_engineering_jedha_spark.queries import round5c, table
+
+    out = round5c.olap_scd2_at_ship_price(spark, sf_dir)
+    total = out.count()
+    assert total > 0
+    # every joined fact belongs to an SCD2-tracked order
+    assert out.where(F.col("k") % 20 != 3).count() == 0
+    # disjoint half-open intervals => each FACT ROW matches at most one
+    # version: joined row count must equal the independently-computed
+    # number of qualifying facts (tracked order + ship >= base
+    # valid_from), with zero join inflation. (The fixture's
+    # (orderkey, linenumber) is NOT unique, so count by fact rows.)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.join(
+            orders.where(F.col("o_orderkey") % 20 == 3).select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("d0")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate").cast("date") >= F.col("d0"))
+        .count()
+    )
+    assert total == qualifying
