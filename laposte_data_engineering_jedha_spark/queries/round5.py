@@ -45,7 +45,15 @@ _EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
 def _spark_d2(j: int, c: int, sub: int) -> F.Column:
     """Left-to-right fold of squared diffs between the j-th subvector and
     pinned centroid c: sum_d (emb[j*sub+d] - val(j,c,d))^2 with
-    val = (((c*sub + d + j*31) % 17) - 8) / 8."""
+    val = (((c*sub + d + j*31) % 17) - 8) / 8.
+
+    Deliberately an `F.aggregate` HOF fold, NOT unrolled arithmetic: the
+    unrolled variant (1024+ expression nodes per projection once 4x16
+    centroids multiply out) was measured 4x SLOWER (pq_adc_topk_pinned
+    4.8 s -> 20 s at sf0.1) — Catalyst analysis and codegen choke on the
+    tree long before row throughput matters at gate scale. The compact
+    fold keeps the plan small; the production encode path is the Arrow
+    kernel (similarity.pq_encode) either way."""
     base = c * sub + j * 31
 
     def step(acc: F.Column, d: F.Column) -> F.Column:
