@@ -384,12 +384,15 @@ def passage_dup_stats(
     Output: (id, n_passages, n_dup_passages, dup_ratio) per doc — the
     per-doc boilerplate measure a scrub pass thresholds on.
 
-    Scale shape: passages explode map-side (md5 of an 8-token join, no
-    Python); the global passage-frequency aggregate and the
-    count-per-doc re-aggregate are the only two shuffles, both on narrow
-    (hash | id) rows. The dup-key relation joins back passage-keyed —
-    co-partitioned with the groupBy that produced it, so AQE plans it
-    without a third full shuffle of the big side."""
+    Scale shape: the md5-explode runs in ONE corpus scan whose output is
+    immediately collapsed to distinct (key, id, n_inst) rows; cross-doc
+    key frequency is a window over that collapsed relation (no re-scan,
+    no join back against the raw passage stream — a first cut that
+    re-derived the passage relation for the dup-key join and the totals
+    cost THREE tokenize+md5 corpus scans), and the per-doc re-aggregate
+    sums instance counts. The only other corpus scan is the cheap
+    totals pass (size of the token array, no hashing) that keeps
+    zero-token docs in the output."""
     p = passage_tokens
     toks = df.select(
         F.col(id_col), texts.tokens(text_col).alias("t")
@@ -401,17 +404,23 @@ def passage_dup_stats(
             f"i -> md5(array_join(slice(t, i * {p} + 1, {p}), ' ')))"
         ).alias("ps"),
     )
-    passages = toks.select(id_col, F.explode("ps").alias("key"))
-    dup_keys = (
-        passages.groupBy("key")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("key")
+    # (key, doc, instance-count): distinct per (key, doc), so the window
+    # row count below IS the distinct-doc frequency of the passage
+    per = (
+        toks.select(id_col, F.explode("ps").alias("key"))
+        .groupBy("key", id_col)
+        .agg(F.count(F.lit(1)).alias("n_inst"))
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("key"))
     dup_per_doc = (
-        passages.join(dup_keys, "key")
+        per.withColumn("nd", nd)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_inst")).otherwise(0)).alias(
+                "n_dup"
+            )
+        )
+        .where(F.col("n_dup") > 0)
     )
     return (
         toks.select(id_col, "n_passages")
