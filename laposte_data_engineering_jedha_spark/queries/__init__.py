@@ -461,6 +461,7 @@ ROUND5_ADDED: list[str] = [
     "events_salted_spend",
     "olap_scd2_at_ship_price",
     "dq_lineitem_checks",
+    "stream_windowed_topk",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -341,3 +341,33 @@ def dq_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bad_returnflag"),
     )
+
+
+@query(
+    "stream_windowed_topk",
+    """
+WITH agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM events GROUP BY day, event_type),
+r AS (SELECT day, event_type, revenue,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY revenue DESC, event_type) AS rnk
+      FROM agg)
+SELECT day, event_type, revenue, rnk FROM r WHERE rnk <= 3""",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the STREAMING windowed top-k plan (streaming/jobs.py
+    daily_type_revenue + rank_daily_topk; the availableNow streaming run
+    is asserted row-identical in tests/test_streaming.py): the windowed
+    DECIMAL aggregation is streaming-legal and runs in-stream, the rank
+    is batch-side over the sink — the split every stream-fed top-k
+    dashboard uses. Under the UTC session the 1-day window start equals
+    CAST(ts AS DATE), which is what the oracle (and the batch twin
+    events_windowed_topk, computed WITHOUT the window() operator) key
+    on — three independent routes to one hash."""
+    from ..streaming import jobs as streaming_jobs
+
+    return streaming_jobs.rank_daily_topk(
+        streaming_jobs.daily_type_revenue(events_table(spark, sf_dir))
+    )

@@ -522,3 +522,52 @@ def run_funnel_detect_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def daily_type_revenue(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Per-(day window, event_type) DECIMAL-exact revenue — the
+    aggregation half of windowed top-k, built once for batch and
+    streaming inputs (ranking is NOT streaming-legal in append/update
+    modes, so it stays outside the stream — see run_daily_topk)."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("revenue")
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "revenue")
+    )
+
+
+def rank_daily_topk(daily: DataFrame, k: int = 3) -> DataFrame:
+    """Deterministic top-k per day (revenue desc, type asc) over the
+    already-aggregated relation — |days x types| rows, so the rank
+    window is cheap at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(F.col("revenue").desc(), "event_type")
+    return (
+        daily.select("day", "event_type", "revenue", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def run_daily_topk_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "daily_topk"
+) -> DataFrame:
+    """Streaming windowed top-k, split at the streaming-legality line:
+    the windowed DECIMAL aggregation runs INSIDE the stream (state =
+    open (day, type) pairs, watermark-expired), the rank runs as a batch
+    query over the sink — the standard pattern for top-k dashboards fed
+    by a stream, since ranking needs a total order no append-mode stream
+    can provide."""
+    stream = daily_type_revenue(read_events_stream(spark, events_dir), with_watermark=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rank_daily_topk(spark.table(query_name))

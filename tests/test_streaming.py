@@ -419,3 +419,16 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir):
     assert len(want) > 0
     # exactly-once emission: no user appears twice
     assert streamed.count() == streamed.select("user_id").distinct().count()
+
+
+def test_daily_topk_streaming_matches_batch(spark, events_dir):
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["revenue"], r["rnk"])
+            for r in df.collect()
+        )
+
+    batch = jobs.rank_daily_topk(jobs.daily_type_revenue(spark.read.parquet(events_dir)))
+    stream = jobs.run_daily_topk_available_now(spark, events_dir)
+    assert canon(stream) == canon(batch)
+    assert len(canon(stream)) > 0
