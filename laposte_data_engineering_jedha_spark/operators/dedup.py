@@ -323,6 +323,7 @@ def hamming_band_pairs(
     bits: int = texts.SIMHASH_BITS,
     max_hamming: int = 6,
     bands: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-dup join over any precomputed bit-fingerprint
     column (SimHash over word shingles, perceptual hashes over media
@@ -333,7 +334,17 @@ def hamming_band_pairs(
     `multimodal.phash_pairs`; the pigeonhole band-count/recall notes on
     simhash_pairs apply verbatim. The input should already be partitioned
     (or cheap to recompute) — this helper adds no repartition of its own,
-    the band equi-join's exchange carries (id, sim, band, key) rows only."""
+    the band equi-join's exchange carries (id, sim, band, key) rows only.
+
+    `max_bucket` caps ONE join side per (band, key) bucket with a
+    deterministic md5-ordered head — the LSH twin of knn_graph's bucket
+    cap. Default None: the PAIR output is inherently quadratic in
+    duplicate-family size (that's the correct answer — SCALE.md
+    "phash_pairs @100k media"), so the full join is right when families
+    are bounded; set a cap when a viral blob can put millions of
+    identical fingerprints in one bucket and the downstream only needs
+    clusters/survivors, where a capped (still connected) pair set feeds
+    connected_components identically."""
     if bands is None:
         bands = min(max_hamming + 1, 4)
     width = bits // bands
@@ -350,7 +361,17 @@ def hamming_band_pairs(
     ).select(
         id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    b_side = banded
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("band", "key").orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        b_side = (
+            banded.withColumn("_r", F.row_number().over(cap_w))
+            .where(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    a, b = banded.alias("a"), b_side.alias("b")
     return (
         a.join(
             b,

@@ -263,3 +263,23 @@ def test_scd2_at_ship_price_one_dim_row_per_fact(spark, sf_dir):
         .count()
     )
     assert total == qualifying
+
+
+def test_hamming_band_pairs_bucket_cap_stays_connected(spark):
+    # a 6-copy identical family: uncapped emits C(6,2)=15 pairs; capped at 2
+    # the pair set shrinks but every member still connects to the family
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    media = _media(spark, [(i, base) for i in range(1, 7)])
+    sims = (
+        multimodal.phash_media(media)
+        .select("doc_id", F.col("phash").alias("sim"))
+    )
+    full = dedup.hamming_band_pairs(sims, bits=60, max_hamming=3)
+    capped = dedup.hamming_band_pairs(sims, bits=60, max_hamming=3, max_bucket=2)
+    assert full.count() == 15
+    rows = capped.collect()
+    assert 0 < len(rows) < 15
+    # capped pair set must still collapse the family into ONE component
+    labels = dedup.connected_components(capped).collect()
+    assert {r["node"] for r in labels} == set(range(1, 7))
+    assert len({r["component"] for r in labels}) == 1
