@@ -787,6 +787,21 @@ def round5b_scale(spark) -> None:
     media = multimodal.media_table(docs100k)
     timed("phash_pairs @100k media", multimodal.phash_pairs(media, max_hamming=3))
 
+    # 1M media with 200-copy families: the uncapped pair output would be
+    # ~100M rows (quadratic in family size); the per-bucket cap bounds the
+    # join while keeping every family connected (tests/test_round5b.py)
+    docs1m_media = blown_up_docs(spark, 200).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    sims1m = multimodal.phash_media(multimodal.media_table(docs1m_media)).select(
+        "doc_id", F.col("phash").alias("sim")
+    )
+    timed(
+        "phash capped pairs (max_bucket=8) @1M media",
+        dedup.hamming_band_pairs(sims1m, bits=60, max_hamming=3, max_bucket=8),
+    )
+
 
 SECTIONS = {
     "chain": chain_scale,
