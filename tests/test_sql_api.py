@@ -28,20 +28,22 @@ SQL_PORTABLE = [
     "olap_important_parts",
     "olap_bulk_part_suppliers",
     "olap_customer_quartiles",
+    # round-5 session additions that are also ANSI-portable
+    "dq_orders_checks",
+    "dq_lineitem_checks",
+    "events_salted_spend",
+    "events_windowed_topk",
+    "stream_windowed_topk",
 ]
-
-_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
-
 
 @pytest.fixture(scope="module")
 def sql_views(spark, sf_dir):
-    from laposte_data_engineering_jedha_spark.queries import ensure_runtime_confs
-
-    ensure_runtime_confs(spark)
-    for t in _TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    # register_sql_views covers all 10 tables INCLUDING the events
+    # timestamp contract (nanos parquet -> TimestampType), which the
+    # round-5 portable queries need
+    q.register_sql_views(spark, sf_dir)
     yield
-    for t in _TABLES:
+    for t in q.TABLE_NAMES:
         spark.catalog.dropTempView(t)
 
 
