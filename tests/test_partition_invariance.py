@@ -20,6 +20,11 @@ REPRESENTATIVES = [
     "events_type_pagerank",        # integer iteration over shuffles
     "corpus_curriculum_order",     # global ntile window
     "dedup_minhash_lsh",           # banded self-join
+    # round-5 families
+    "events_salted_spend",         # rand-salt layout changes, result must not
+    "dedup_passage",               # window-count over (key, doc) + re-agg
+    "events_windowed_topk",        # decimal agg + rank window tie-break
+    "pq_adc_topk_pinned",          # HOF folds + broadcast BNLJ + rank
 ]
 
 
