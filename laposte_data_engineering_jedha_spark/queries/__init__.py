@@ -462,6 +462,7 @@ ROUND5_ADDED: list[str] = [
     "olap_scd2_at_ship_price",
     "dq_lineitem_checks",
     "stream_windowed_topk",
+    "events_hll_rollup",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -371,3 +371,66 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_jobs.rank_daily_topk(
         streaming_jobs.daily_type_revenue(events_table(spark, sf_dir))
     )
+
+
+_HLL_ROLLUP_SQL = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+wk AS (SELECT CAST(floor((d - DATE '2024-01-01') / 7) AS BIGINT) AS week_idx,
+              d, user_id
+       FROM pairs)
+SELECT week_idx,
+       count(DISTINCT d) AS n_days,
+       count(DISTINCT user_id) AS wk_exact,
+       TRUE AS within_bounds
+FROM wk GROUP BY week_idx"""
+
+
+@query("events_hll_rollup", _HLL_ROLLUP_SQL)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the hypertable/datasketches pattern that
+    events_stickiness_hll (which re-aggregates raw rows per window) does
+    not exercise: per-day HLL sketches are built ONCE
+    (`hll_sketch_agg`, Apache DataSketches binary buffers), and the
+    weekly level is produced purely by `hll_union_agg` over the 7 daily
+    sketches — the raw events are never re-touched above day grain. At
+    100 TB this is the only viable rollup shape: day sketches are KBs,
+    unions are associative/commutative (any regrouping — week, month,
+    ad-hoc ranges — reuses the same day-grain sketch table).
+
+    Oracle discipline per events_stickiness_hll: sketch bytes are
+    engine-specific, so the hash row carries the EXACT weekly distinct
+    (DuckDB-matched) plus a boolean pinning the union-estimate within
+    5% + 1 of exact; the oracle states TRUE, so a sketch/union
+    regression flips the hash."""
+    ev = events_table(spark, sf_dir)
+    day = F.to_date("ts")
+    week = F.floor(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    daily = ev.select(day.alias("d"), "user_id").groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_sk = (
+        daily.select(week.alias("week_idx"), "sk")
+        .groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wk_approx"),
+        )
+    )
+    exact = (
+        ev.select(day.alias("d"), "user_id")
+        .distinct()
+        .select(week.alias("week_idx"), "user_id")
+        .groupBy("week_idx")
+        .agg(F.count_distinct("user_id").alias("wk_exact"))
+    )
+    return weekly_sk.join(exact, "week_idx").select(
+        "week_idx",
+        "n_days",
+        "wk_exact",
+        (
+            F.abs(F.col("wk_approx") - F.col("wk_exact"))
+            <= (0.05 * F.col("wk_exact") + 1)
+        ).alias("within_bounds"),
+    )

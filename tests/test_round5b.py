@@ -283,3 +283,35 @@ def test_hamming_band_pairs_bucket_cap_stays_connected(spark):
     labels = dedup.connected_components(capped).collect()
     assert {r["node"] for r in labels} == set(range(1, 7))
     assert len({r["component"] for r in labels}) == 1
+
+
+def test_hll_union_of_days_equals_direct_weekly_sketch(spark, sf_dir):
+    """Mergeability law: union of per-day sketches must estimate exactly
+    what a sketch built directly over the week's raw rows estimates —
+    sketch(A) U sketch(B) == sketch(A U B) for DataSketches HLL."""
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, sf_dir)
+    day = F.to_date("ts")
+    week = F.floor(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    daily = ev.select(day.alias("d"), "user_id").groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = {
+        r["week_idx"]: r["est"]
+        for r in daily.select(week.alias("week_idx"), "sk")
+        .groupBy("week_idx")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r["week_idx"]: r["est"]
+        for r in ev.select(day.alias("d"), "user_id")
+        .select(week.alias("week_idx"), "user_id")
+        .groupBy("week_idx")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct and len(merged) > 0
