@@ -433,7 +433,8 @@ ROUND4_ADDED = [
 # of any round-5 additions. Registration order IS the queue.
 ROUND5_DEFERRED = [
     "embedding_pq_codes",  # rows-only: iterative PQ codebook fit has no SQL twin
-    "stream_funnel_detect",  # rows-only: applyInPandasWithState CEP
+    "stream_funnel_detect",  # oracle added in round 5 (batch window twin; the
+    # stateful streaming operator itself stays linked via the equivalence test)
     "dedup_savings_report",  # oracle-bearing, 51st in the round-4 queue
 ]
 

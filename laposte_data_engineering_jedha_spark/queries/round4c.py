@@ -723,14 +723,40 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_funnel_detect")  # custom stateful streaming op: rows-only
+@query(
+    "stream_funnel_detect",
+    """
+WITH b AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM b),
+d AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM c),
+g AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+             any_value(t3) AS t3
+      FROM d GROUP BY user_id)
+SELECT user_id, epoch_us(t1) AS view_us, epoch_us(t2) AS click_us,
+       epoch_us(t3) AS purchase_us
+FROM g WHERE t3 IS NOT NULL""",
+)
 def stream_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-mode run of the CEP funnel detector's SEMANTICS (the batch
     window formulation whose equivalence to the applyInPandasWithState
     operator is pinned in tests/test_streaming.py::
     test_stateful_funnel_matches_batch): completed view->click->purchase
-    funnels with stage timestamps. Registered rows-only like
-    stream_sessionize — the stateful operator itself has no SQL twin."""
+    funnels with stage timestamps. Was registered rows-only through
+    round 4; since the REGISTERED callable is this deterministic window
+    formulation (the stateful operator itself remains non-SQL, linked
+    via the equivalence test), it now carries a full DuckDB oracle —
+    chained CTEs because a window result cannot be referenced inside a
+    sibling window's CASE in the same SELECT."""
     from pyspark.sql import Window as W
 
     ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
