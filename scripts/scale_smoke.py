@@ -282,6 +282,60 @@ def funnel_scale(spark, times=100):
     timed(f"events funnel @{times}x events", per_user)
 
 
+def events_round5_scale(spark, times=100):
+    """The round-5 events-family operators at 10M events (x100 blow-up
+    with disjoint user_id spaces per copy): windowed top-k (map-side
+    combine before the rank window), skew profiling, salted aggregation,
+    and the mergeable HLL day->week rollup."""
+    from pyspark.sql import Window
+    from laposte_data_engineering_jedha_spark.operators import skew
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, SF_DIR)
+    copies = spark.range(times).select(F.col("id").alias("_copy"))
+    big = ev.crossJoin(copies).withColumn(
+        "user_id", F.col("user_id") + F.col("_copy") * 1_000_000
+    ).select("user_id", "ts", "event_type", "value")
+
+    agg = (
+        big.select(F.col("ts").cast("date").alias("day"), "event_type",
+                   F.col("value").cast("decimal(18,4)").alias("v"))
+        .groupBy("day", "event_type")
+        .agg(F.sum("v").cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("revenue").desc(), "event_type")
+    timed(
+        f"windowed_topk @{times / 10:.0f}M events",
+        agg.select("*", F.row_number().over(w).alias("rnk")).where(F.col("rnk") <= 3),
+    )
+
+    c = big.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    timed(
+        f"skew_report @{times / 10:.0f}M events",
+        c.agg(F.count(F.lit(1)).alias("n_keys"),
+              F.expr("percentile(cnt, 0.99)").alias("p99")),
+    )
+
+    timed(
+        f"salted_sum @{times / 10:.0f}M events",
+        skew.salted_sum(big.where(F.col("event_type") == "purchase"), "user_id", "value"),
+    )
+
+    day = F.to_date("ts")
+    week = F.floor(
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    daily = big.select(day.alias("d"), "user_id").groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    timed(
+        f"hll day->week rollup @{times / 10:.0f}M events",
+        daily.select(week.alias("week_idx"), "sk")
+        .groupBy("week_idx")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")),
+    )
+
+
 def rarity_scale(spark, times=200):
     """text_rarity at 1M docs: explode -> vocab aggregate -> token-keyed
     join -> doc aggregate; all counts integer-exact."""
@@ -807,6 +861,7 @@ SECTIONS = {
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
+    "events5": events_round5_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
     "skew": skew_scale,
