@@ -464,6 +464,7 @@ ROUND5_ADDED: list[str] = [
     "dq_lineitem_checks",
     "stream_windowed_topk",
     "events_hll_rollup",
+    "multimodal_frame_dedup",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

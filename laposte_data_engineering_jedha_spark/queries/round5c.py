@@ -434,3 +434,82 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (0.05 * F.col("wk_exact") + 1)
         ).alias("within_bounds"),
     )
+
+
+def _frame_dedup_sql() -> str:
+    from ..operators import multimodal
+    from .llmops import sql_md5i, sql_round
+
+    fs, mf = multimodal.FRAME_SIZE, multimodal.MAX_FRAMES
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         substr(text, 1 + CAST(r.range AS INTEGER) * {fs}, {fs}) AS chunk
+  FROM documents CROSS JOIN range(0, {mf}) r
+  WHERE CAST(r.range AS INTEGER) * {fs} < length(text)),
+per AS (
+  SELECT doc_id, {sql_md5i('chunk')} AS h, length(chunk) AS nb,
+         count(*) AS n_inst
+  FROM f GROUP BY doc_id, h, nb),
+nd AS (SELECT *, count(*) OVER (PARTITION BY h, nb) AS nd FROM per),
+agg AS (
+  SELECT doc_id, CAST(sum(n_inst) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END) AS BIGINT)
+           AS n_dup_frames
+  FROM nd GROUP BY doc_id)
+SELECT doc_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+         AS media_type,
+       n_frames, n_dup_frames,
+       {sql_round('CAST(n_dup_frames AS DOUBLE) / n_frames * 10000', 0)} / 10000
+         AS dup_ratio
+FROM agg"""
+
+
+@query("multimodal_frame_dedup", _frame_dedup_sql())
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level near-duplicate detection for media: the per-media ratio
+    of sampled frames whose (hash, size) occurs in >= 2 distinct docs —
+    the cheap video/audio near-dup screen (re-encoded uploads and clip
+    compilations share exact keyframes long before perceptual hashing is
+    needed). Same single-scan shape as dedup_passage at frame grain:
+    frames explode via the Arrow-batched sampler (bytes never shuffle —
+    only (doc, hash, size) rows move), collapse to distinct
+    (hash, size, doc) with instance counts, cross-doc frequency is a
+    window over that collapsed relation, one per-doc re-aggregate. The
+    (hash, size) compound key mirrors multimodal.dedup_payloads' md5
+    collision guard."""
+    from pyspark.sql import Window
+
+    from ..operators import multimodal
+
+    media = multimodal.media_table(table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media).select(
+        "doc_id", F.col("frame_hash").alias("h"), F.col("n_bytes").alias("nb")
+    )
+    per = frames.groupBy("doc_id", "h", "nb").agg(F.count(F.lit(1)).alias("n_inst"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h", "nb"))
+    agg = (
+        per.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_inst").cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_inst")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_frames"),
+        )
+    )
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in multimodal.MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return agg.select(
+        "doc_id",
+        mt.alias("media_type"),
+        "n_frames",
+        "n_dup_frames",
+        (
+            F.round(F.col("n_dup_frames").cast("double") / F.col("n_frames") * 10000)
+            / 10000
+        ).alias("dup_ratio"),
+    )

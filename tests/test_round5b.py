@@ -315,3 +315,45 @@ def test_hll_union_of_days_equals_direct_weekly_sketch(spark, sf_dir):
         .collect()
     }
     assert merged == direct and len(merged) > 0
+
+
+def test_frame_dedup_planted_shared_frame(spark):
+    from laposte_data_engineering_jedha_spark.operators import multimodal as mm
+    from laposte_data_engineering_jedha_spark.queries import round5c
+
+    # 256-byte frames: docs 1 and 2 share frame 0 exactly; doc 3 disjoint
+    shared = "x" * mm.FRAME_SIZE
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "tail-one" * 32),
+            (2, shared + "tail-two" * 32),
+            (3, "z" * (mm.FRAME_SIZE * 2)),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    media = mm.media_table(docs)
+    frames = mm.sample_frames(media).select(
+        "doc_id", F.col("frame_hash").alias("h"), F.col("n_bytes").alias("nb")
+    )
+    from pyspark.sql import Window
+
+    per = frames.groupBy("doc_id", "h", "nb").agg(F.count(F.lit(1)).alias("n_inst"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h", "nb"))
+    out = {
+        r["doc_id"]: r
+        for r in per.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_inst").alias("n_frames"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_inst")).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .collect()
+    }
+    assert out[1]["n_dup"] == 1 and out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["n_frames"] == 2
