@@ -94,3 +94,66 @@ def scd2_history(
         lead.alias("valid_to"),
         lead.isNull().alias("is_current"),
     )
+
+
+def incremental_agg_update(
+    base_agg: DataFrame,
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a materialized
+    `groupBy(group_col).agg(count, SUM(value))` under a CDC batch:
+    instead of recomputing the aggregate from the next snapshot, combine
+    the STORED aggregate with a delta built from (a) the old rows of the
+    touched keys (negative contribution — semi join on the change keys,
+    so only changed keys are re-read) and (b) the surviving new rows
+    (positive contribution). DBSP/Materialize-style maintenance reduced
+    to the algebraic case Spark handles exactly: counts are integers and
+    the value sums aggregate as DECIMAL(18,4), so delta-apply is
+    bit-identical to recompute (pinned by the olap_ivm_agg oracle).
+
+    `base_agg` must have columns (group_col, n_rows, total_dec) with
+    total_dec still DECIMAL — keep the stored aggregate in decimal and
+    cast to double only at read time, or repeated maintenance rounds
+    would accumulate float drift.
+
+    Scale shape: the delta side touches |changed keys| rows (key-
+    partitioned semi join against the snapshot — zero-Exchange on a
+    bucketed layout), the stored aggregate is |groups| rows, and the
+    combine is a tiny full-outer join; the snapshot is never re-scanned
+    in full. Groups whose maintained count reaches 0 drop out, exactly
+    as a recompute would drop them."""
+    last = latest_changes(changes, key_cols)
+    old = snapshot.join(last.select(*key_cols), key_cols, "left_semi")
+    neg = old.select(
+        F.col(group_col).alias("_g"),
+        F.lit(-1).alias("_w"),
+        (-F.col(value_col)).cast("decimal(18,4)").alias("_v"),
+    )
+    pos = last.where(F.col(OP_COL) != OP_DELETE).select(
+        F.col(group_col).alias("_g"),
+        F.lit(1).alias("_w"),
+        F.col(value_col).cast("decimal(18,4)").alias("_v"),
+    )
+    delta = (
+        neg.unionByName(pos)
+        .groupBy("_g")
+        .agg(F.sum("_w").alias("_dn"), F.sum("_v").alias("_dv"))
+    )
+    zero_dec = F.lit(0).cast("decimal(18,4)")
+    return (
+        base_agg.join(delta, base_agg[group_col] == delta["_g"], "full_outer")
+        .select(
+            F.coalesce(F.col(group_col), F.col("_g")).alias(group_col),
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (F.coalesce("total_dec", zero_dec) + F.coalesce("_dv", zero_dec)).alias(
+                "total_dec"
+            ),
+        )
+        .where(F.col("n_rows") > 0)
+    )

@@ -465,6 +465,7 @@ ROUND5_ADDED: list[str] = [
     "stream_windowed_topk",
     "events_hll_rollup",
     "multimodal_frame_dedup",
+    "olap_ivm_agg",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -513,3 +513,93 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("dup_ratio"),
     )
+
+
+_IVM_SQL = """
+WITH changes AS (
+  SELECT o_orderkey AS k, 'D' AS op, 1 AS seq, NULL AS price, NULL AS status
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 1, o_totalprice, 'STALE'
+  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, round(o_totalprice * CAST(1.1 AS DOUBLE) * 100) / 100, 'U'
+  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'I', 1, o_totalprice, 'I'
+  FROM orders WHERE o_orderkey % 10 = 7),
+latest AS (
+  SELECT k, op, price, status FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn
+    FROM changes) WHERE rn = 1),
+merged AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey NOT IN (SELECT k FROM latest)
+  UNION ALL
+  SELECT k, price, status FROM latest WHERE op <> 'D')
+SELECT status, count(*) AS n_rows,
+       CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM merged GROUP BY status"""
+
+
+@query("olap_ivm_agg", _IVM_SQL)
+def olap_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/merge.py
+    incremental_agg_update): a materialized per-status (count, decimal
+    revenue) aggregate is DELTA-MAINTAINED under the same deterministic
+    CDC batch as olap_cdc_merge — old rows of touched keys contribute
+    negatively (semi join on change keys; the snapshot is never
+    re-scanned in full), surviving new rows positively, and the stored
+    aggregate absorbs the delta through a tiny full-outer combine. The
+    oracle RECOMPUTES the aggregate from the merged snapshot, so the
+    hash row is the delta-apply == full-recompute proof — including
+    groups that only exist after the batch ('U', 'I') and exact decimal
+    totals."""
+    from ..operators import merge as m
+
+    orders = table(spark, sf_dir, "orders")
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mod = F.col("o_orderkey") % 10
+    deletes = orders.where(mod == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    upd1 = orders.where(mod.isin(1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("STALE").alias("status"),
+    )
+    upd2 = orders.where(mod.isin(1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        (F.round(F.col("o_totalprice") * 1.1 * 100) / 100).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    ins = orders.where(mod == 7).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("I").alias("status"),
+    )
+    changes = deletes.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    base_agg = snap.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,4)")).alias("total_dec"),
+    )
+    out = m.incremental_agg_update(
+        base_agg, snap, changes, ["k"], "status", "price"
+    )
+    return out.select(
+        "status", "n_rows", F.col("total_dec").cast("double").alias("total_price")
+    )

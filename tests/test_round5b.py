@@ -357,3 +357,47 @@ def test_frame_dedup_planted_shared_frame(spark):
     }
     assert out[1]["n_dup"] == 1 and out[2]["n_dup"] == 1
     assert out[3]["n_dup"] == 0 and out[3]["n_frames"] == 2
+
+
+def test_ivm_two_rounds_equals_recompute(spark):
+    """Repeated delta maintenance must stay exact: maintain the stored
+    aggregate through TWO CDC batches and compare against a recompute
+    over the final snapshot — decimal internals mean zero drift."""
+    from laposte_data_engineering_jedha_spark.operators import merge as m
+
+    snap = spark.createDataFrame(
+        [(1, 10.25, "A"), (2, 20.50, "A"), (3, 30.10, "B"), (4, 5.05, "C")],
+        "k long, price double, status string",
+    )
+    b1 = spark.createDataFrame(
+        [  # delete 1, reprice 3 into status B, insert 5 as C
+            (1, "D", 1, None, None),
+            (3, "U", 1, 33.33, "B"),
+            (5, "I", 1, 7.77, "C"),
+        ],
+        "k long, op string, seq int, price double, status string",
+    )
+    agg0 = snap.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,4)")).alias("total_dec"),
+    )
+    agg1 = m.incremental_agg_update(agg0, snap, b1, ["k"], "status", "price")
+    snap1 = m.apply_changes(snap, b1, ["k"])
+    b2 = spark.createDataFrame(
+        [  # move 2 from A to B (A shrinks to empty? no: A had 2 only after b1), delete 5
+            (2, "U", 1, 21.00, "B"),
+            (5, "D", 1, None, None),
+        ],
+        "k long, op string, seq int, price double, status string",
+    )
+    agg2 = m.incremental_agg_update(agg1, snap1, b2, ["k"], "status", "price")
+    snap2 = m.apply_changes(snap1, b2, ["k"])
+    recompute = snap2.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,4)")).alias("total_dec"),
+    )
+    got = {(r["status"], r["n_rows"], str(r["total_dec"])) for r in agg2.collect()}
+    want = {(r["status"], r["n_rows"], str(r["total_dec"])) for r in recompute.collect()}
+    assert got == want and len(got) > 0
+    # the group 'A' vanished after round 2 (its only member moved to B)
+    assert not any(s == "A" for s, _, _ in got)
