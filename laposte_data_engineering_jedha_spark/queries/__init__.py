@@ -440,6 +440,14 @@ ROUND5_DEFERRED = [
 
 # Round-5 additions: registered AFTER the window (replica-gate coverage now,
 # round-6 window candidates behind ROUND5_DEFERRED).
+#
+# ROUND 6 TODO (rotation plan): the round-6 window should be
+# ROUND5_DEFERRED (3: 2 rows-only + dedup_savings_report) + all 23
+# oracle-bearing ROUND5_ADDED entries = 26 slots; fill the remaining 24
+# with the OLDEST ROUND3_VERIFIED §2 parity queries (their driver rows
+# date to r03) — that starts the second full-registry external pass.
+# Mechanics: rebuild DRIVER_WINDOW_PRIORITY with those 50 first and
+# update tests/test_drivers.py::test_driver_window_priority_matches_registry.
 ROUND5_ADDED: list[str] = [
     "embedding_pq_encode_pinned",
     "ivf_assign_pinned",
