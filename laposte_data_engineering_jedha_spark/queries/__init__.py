@@ -474,6 +474,7 @@ ROUND5_ADDED: list[str] = [
     "events_hll_rollup",
     "multimodal_frame_dedup",
     "olap_ivm_agg",
+    "graph_bfs_reach",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

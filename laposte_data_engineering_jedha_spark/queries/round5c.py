@@ -603,3 +603,56 @@ def olap_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "status", "n_rows", F.col("total_dec").cast("double").alias("total_price")
     )
+
+
+def _bfs_sql() -> str:
+    from . import ORACLE_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLE_SQL["dedup_minhash_lsh"]}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+bfs AS (
+  SELECT doc_id AS node, 0 AS hops FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT e.v, b.hops + 1 FROM bfs b JOIN edges e ON e.u = b.node
+  WHERE b.hops < 3)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM bfs GROUP BY node"""
+
+
+@query("graph_bfs_reach", _bfs_sql())
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (3 hops) from a deterministic seed set over the
+    MinHash near-dup graph — the Spark twin of SQL's `WITH RECURSIVE`
+    (which Spark lacks): the recursion unrolls into per-hop
+    frontier-join rounds, exactly how connected_components and the
+    unrolled PageRank express iteration here, and the DuckDB oracle IS
+    the recursive CTE over the identical edge relation (built by
+    embedding dedup_minhash_lsh's own oracle as the pair source — one
+    definition of the graph, two engines). Transitive near-dup reach is
+    the practical query: 'everything within k dedup hops of these
+    flagged docs'. Scale shape: each round is one frontier equi-join +
+    distinct on narrow (node) rows; the frontier is monotone-bounded by
+    the reachable set, never the corpus."""
+    from ..operators import dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    seeds = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("node"), F.lit(0).alias("hops")
+    )
+    cur, all_levels = seeds, seeds
+    for h in range(1, 4):
+        cur = (
+            edges.join(cur.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(h))
+        )
+        all_levels = all_levels.unionByName(cur)
+    return all_levels.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
