@@ -475,6 +475,7 @@ ROUND5_ADDED: list[str] = [
     "multimodal_frame_dedup",
     "olap_ivm_agg",
     "graph_bfs_reach",
+    "olap_unpivot_metrics",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

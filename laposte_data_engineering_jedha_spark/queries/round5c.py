@@ -656,3 +656,44 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         all_levels = all_levels.unionByName(cur)
     return all_levels.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_tax', sum_tax FROM wide"""
+
+
+@query("olap_unpivot_metrics", _UNPIVOT_SQL)
+def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): a wide per-returnflag aggregate reshaped to long
+    (flag, metric, value) rows via the native `DataFrame.unpivot`
+    (Expand under the hood — each input row fans to |metrics| rows
+    map-side, no shuffle beyond the aggregate that built the wide
+    relation). The long form is what metric stores and plotting layers
+    ingest; the oracle states the ANSI equivalent as stacked UNION ALL
+    over the same wide CTE. Completes the reshape family next to
+    events_pivot_type_counts (pivot/wide) — pivot and unpivot round-trip
+    by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_tax").cast("decimal(18,4)")).cast("double").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -34,6 +34,7 @@ SQL_PORTABLE = [
     "events_salted_spend",
     "events_windowed_topk",
     "stream_windowed_topk",
+    "olap_unpivot_metrics",
 ]
 
 @pytest.fixture(scope="module")
