@@ -476,6 +476,7 @@ ROUND5_ADDED: list[str] = [
     "olap_ivm_agg",
     "graph_bfs_reach",
     "olap_unpivot_metrics",
+    "events_nullsafe_match",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

@@ -697,3 +697,44 @@ def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_NULLSAFE_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 = 3
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+         END AS segment
+  FROM events),
+dim AS (SELECT * FROM (VALUES (0, 'seg-0'), (1, 'seg-1'), (2, 'seg-2'),
+                              (NULL, 'unknown')) AS t(segment, label))
+SELECT label, count(*) AS n_events
+FROM ev JOIN dim ON ev.segment IS NOT DISTINCT FROM dim.segment
+GROUP BY label"""
+
+
+@query("events_nullsafe_match", _NULLSAFE_SQL)
+def events_nullsafe_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): events with a
+    nullable derived segment joined to a dim that carries an explicit
+    NULL->'unknown' row — the untagged traffic a plain equi-join would
+    silently DROP lands in its bucket instead. Null-safe equality is a
+    first-class join key for Spark's hash/sort-merge strategies (no
+    fallback to nested-loop), so the plan shape is identical to a normal
+    equi-join; the dim is a 4-row literal relation and broadcasts."""
+    ev = events_table(spark, sf_dir).select(
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") % 4 == 3, F.lit(None)
+        )
+        .otherwise(F.get_json_object("props", "$.k").cast("int") % 4)
+        .alias("segment")
+    )
+    dim = spark.createDataFrame(
+        [(0, "seg-0"), (1, "seg-1"), (2, "seg-2"), (None, "unknown")],
+        "segment int, label string",
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["segment"].eqNullSafe(dim["segment"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
