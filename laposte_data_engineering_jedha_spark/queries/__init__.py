@@ -477,6 +477,7 @@ ROUND5_ADDED: list[str] = [
     "graph_bfs_reach",
     "olap_unpivot_metrics",
     "events_nullsafe_match",
+    "events_variant_extract",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47
