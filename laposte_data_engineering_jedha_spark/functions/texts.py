@@ -527,3 +527,18 @@ def pd_zipf_fit(freqs_col: Column | str) -> Column:
         return pd.DataFrame({"slope": slopes, "intercept": intercepts})
 
     return kernel(_c(freqs_col))
+
+
+def pd_sigmoid(col: Column | str) -> Column:
+    """Arrow-batched logistic sigmoid 1/(1+exp(-z)). numpy's exp and
+    DuckDB's exp both resolve to the host C libm, so the doubles agree
+    bit-for-bit engine-to-engine (same pinning argument as the
+    perplexity/entropy kernels); Spark's JVM-side exp (java.lang.Math)
+    would NOT — which is why model scoring keeps its nonlinearity in the
+    kernel while the linear part stays in Catalyst."""
+
+    @pandas_udf("double")
+    def kernel(z: pd.Series) -> pd.Series:
+        return pd.Series(1.0 / (1.0 + np.exp(-z.to_numpy(dtype="float64"))))
+
+    return kernel(_c(col))

@@ -478,6 +478,7 @@ ROUND5_ADDED: list[str] = [
     "olap_unpivot_metrics",
     "events_nullsafe_match",
     "events_variant_extract",
+    "text_quality_model_score",
 ]
 
 # Round-4 window — externally hash-verified in CORRECTNESS_r04.json (47

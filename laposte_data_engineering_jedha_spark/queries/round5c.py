@@ -773,3 +773,61 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double").alias("total_value"),
         )
     )
+
+
+# pinned logistic weights: exact multiples of 1/8 in [-6/8, 6/8]
+from ..functions.texts import BPE_TOKEN_RE as texts_BPE
+
+_CLF_W = [((i * 7) % 13 - 6) / 8.0 for i in range(4)]
+
+_CLF_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) / 1000 AS f1,
+         CAST(len(regexp_extract_all(text, '{{BPE}}')) AS BIGINT) / 100.0 AS f2,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           / 100.0 AS f3
+  FROM documents),
+z AS (SELECT doc_id,
+             CAST({_CLF_W[0]!r} AS DOUBLE)
+               + CAST({_CLF_W[1]!r} AS DOUBLE) * f1
+               + CAST({_CLF_W[2]!r} AS DOUBLE) * f2
+               + CAST({_CLF_W[3]!r} AS DOUBLE) * f3 AS z
+      FROM f)
+SELECT doc_id, round((1 / (1 + exp(-z))) * 1000000) / 1000000 AS score,
+       (1 / (1 + exp(-z))) >= CAST(0.5 AS DOUBLE) AS keep
+FROM z"""
+
+
+_CLF_SQL = _CLF_SQL.replace("{BPE}", texts_BPE)
+
+
+@query("text_quality_model_score", _CLF_SQL)
+def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring inference pass — the fastText-style learned quality
+    filter's RUNTIME shape (training is offline; serving is what runs
+    over 100 TB): a pinned logistic model over cheap integer-derived
+    features, linear part in Catalyst (weights are constant-folded
+    literals — the 'broadcast the model' pattern at its smallest), the
+    sigmoid in an Arrow kernel because numpy's exp == DuckDB's exp
+    (both host libm) while Spark's JVM exp is not bit-identical
+    (functions/texts.py pd_sigmoid). Zero shuffle: pure map-side
+    scoring, exactly how a learned filter deploys."""
+    from ..functions import texts
+
+    docs = table(spark, sf_dir, "documents")
+    f1 = F.col("n_chars").cast("double") / 1000
+    f2 = texts.bpe_token_count("text").cast("long") / F.lit(100.0)
+    f3 = F.size(texts.tokens("text")).cast("long") / F.lit(100.0)
+    z = (
+        F.lit(_CLF_W[0])
+        + F.lit(_CLF_W[1]) * f1
+        + F.lit(_CLF_W[2]) * f2
+        + F.lit(_CLF_W[3]) * f3
+    )
+    s = texts.pd_sigmoid(z)
+    return docs.select(
+        "doc_id",
+        (F.round(s * 1000000) / 1000000).alias("score"),
+        (s >= 0.5).alias("keep"),
+    )
