@@ -39,3 +39,35 @@ def test_result_invariant_under_shuffle_partitions(name, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1] == results[2]
+
+
+def test_rng_sample_is_partition_sensitive_hash_sample_is_not(spark, sf_dir):
+    """Negative control for the sampling design choice: Bernoulli
+    `df.sample(seed=...)` draws from a per-partition RNG stream, so the
+    SELECTED SET changes when the partition layout changes — which is
+    why every registered sampler here keys on md5(id) instead
+    (corpus_hash_sample & friends): content-addressed selection is
+    layout-independent and replayable across clusters."""
+    from laposte_data_engineering_jedha_spark.functions import texts
+    import pyspark.sql.functions as F
+
+    docs = q.queries()["corpus_hash_sample"]  # noqa: F841 (registered twin)
+    base = __import__(
+        "laposte_data_engineering_jedha_spark.queries", fromlist=["table"]
+    ).table(spark, sf_dir, "documents").select("doc_id")
+
+    def rng_ids(parts):
+        return {
+            r["doc_id"]
+            for r in base.repartition(parts).sample(0.3, seed=7).collect()
+        }
+
+    def hash_ids(parts):
+        bucket = texts.md5int32(F.col("doc_id").cast("string")) % 100
+        return {
+            r["doc_id"]
+            for r in base.repartition(parts).where(bucket < 30).collect()
+        }
+
+    assert rng_ids(3) != rng_ids(17)  # layout-dependent: different sets
+    assert hash_ids(3) == hash_ids(17)  # content-addressed: identical sets
