@@ -428,9 +428,9 @@ ROUND4_ADDED = [
     "dedup_savings_report",
 ]
 
-# Round-6 window queue: the three ROUND4_ADDED entries that did not fit the
-# round-5 window (two rows-only + the last-registered oracle query), ahead
-# of any round-5 additions. Registration order IS the queue.
+# The three ROUND4_ADDED entries that did not fit the round-5 window (one
+# rows-only + the funnel graduation + the last-registered oracle query),
+# first in the round-6 window. Registration order IS the queue.
 ROUND5_DEFERRED = [
     "embedding_pq_codes",  # rows-only: iterative PQ codebook fit has no SQL twin
     "stream_funnel_detect",  # oracle added in round 5 (batch window twin; the
@@ -438,16 +438,8 @@ ROUND5_DEFERRED = [
     "dedup_savings_report",  # oracle-bearing, 51st in the round-4 queue
 ]
 
-# Round-5 additions: registered AFTER the window (replica-gate coverage now,
-# round-6 window candidates behind ROUND5_DEFERRED).
-#
-# ROUND 6 TODO (rotation plan): the round-6 window should be
-# ROUND5_DEFERRED (3: 2 rows-only + dedup_savings_report) + all 23
-# oracle-bearing ROUND5_ADDED entries = 26 slots; fill the remaining 24
-# with the OLDEST ROUND3_VERIFIED §2 parity queries (their driver rows
-# date to r03) — that starts the second full-registry external pass.
-# Mechanics: rebuild DRIVER_WINDOW_PRIORITY with those 50 first and
-# update tests/test_drivers.py::test_driver_window_priority_matches_registry.
+# Round-5 additions: replica-gate + judge-sweep coverage in round 5, first
+# external driver hash rows in the round-6 window.
 ROUND5_ADDED: list[str] = [
     "embedding_pq_encode_pinned",
     "ivf_assign_pinned",
@@ -532,23 +524,41 @@ ROUND4_VERIFIED = [
     "events_ab_conversion",
     "multimodal_frame_sample",
     "multimodal_features",
-    # rows-only ops (no SQL twin) — driver recorded the weaker rows-only check
-    "src_generate",
+    # rows-only op (no SQL twin) — driver recorded the weaker rows-only check
     "ivf_knn",
+]
+
+# Queries that graduated from rows-only to a full oracle in round 6 and
+# have therefore NEVER had an external hash row: src_generate now audits
+# the pinned-seed distribution against a closed-form VALUES oracle;
+# stream_sessionize registers the append-mode emission contract (sessions
+# closed by a subsequent event) as its deterministic batch twin.
+ROUND6_GRADUATED = [
+    "src_generate",
     "stream_sessionize",
 ]
 
+# Round-6 additions: registered AFTER the window (replica-gate coverage
+# now, round-7 window candidates).
+ROUND6_ADDED: list[str] = []
+
+# Round-6 window (first 50): the 31 never-driver-hash-checked round-5
+# queue entries + the two round-6 oracle graduations + the 17 OLDEST
+# ROUND3_VERIFIED parity queries (driver rows dated r03) — starting the
+# second full-registry external pass.
 DRIVER_WINDOW_PRIORITY = [
-    # --- round-5 window: the 50 oracle-bearing round-4 additions, earning
-    # their first external driver hash rows this round ---
-    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
-    # --- past the 50-query window: externally verified in earlier rounds,
-    # kept on the in-repo replica gate ---
-    *ROUND4_VERIFIED,
-    *ROUND3_VERIFIED,
-    # --- round-6 window queue ---
     *ROUND5_DEFERRED,
     *ROUND5_ADDED,
+    *ROUND6_GRADUATED,
+    *ROUND3_VERIFIED[:17],
+    # --- past the 50-query window: externally verified in earlier rounds,
+    # kept on the in-repo replica gate; r03 remainder first (oldest rows,
+    # next in the rotation) ---
+    *ROUND3_VERIFIED[17:],
+    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
+    *ROUND4_VERIFIED,
+    # --- round-7 window queue ---
+    *ROUND6_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

@@ -7,7 +7,8 @@ cast contract, and returns the canonical 6 columns — the oracle is simply
 the deliveries view itself, so any loss in either direction (type,
 precision, encoding) fails the hash.
 
-src_generate has no SQL twin (Spark-side rand) -> rows-only check.
+src_generate is value-checked through its pinned-seed distribution
+audit (counts are closed-form constants given seed + partitioning).
 src_xlsx/sink_xlsx round-trip through the pure-stdlib OOXML codec
 (sources/xlsx_codec.py), so they register unconditionally — no
 openpyxl/xlsxwriter dependency.
@@ -19,6 +20,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import RAW_COLUMNS
 from ..sources import writers
@@ -110,11 +112,62 @@ def src_weather_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_weather(spark, payloads)
 
 
-@query("src_generate")  # rows-only check: rand() has no DuckDB twin
+_GENERATE_AUDIT_ORACLE = """
+SELECT * FROM (VALUES
+  ('dist_decade', '0', CAST(200 AS BIGINT)), ('dist_decade', '1', 208),
+  ('dist_decade', '2', 190), ('dist_decade', '3', 210),
+  ('dist_decade', '4', 192),
+  ('dur_hour', '0', 123), ('dur_hour', '1', 189), ('dur_hour', '2', 167),
+  ('dur_hour', '3', 164), ('dur_hour', '4', 190), ('dur_hour', '5', 167),
+  ('pkg', 'Extra Large', 16), ('pkg', 'Large', 160), ('pkg', 'Medium', 406),
+  ('pkg', 'Small', 417), ('pkg', 'Special', 1),
+  ('zone', 'Industrial', 44), ('zone', 'Rural', 200),
+  ('zone', 'Shopping Center', 5), ('zone', 'Suburban', 372),
+  ('zone', 'Urban', 379)
+) t(metric, bucket, n)"""
+
+
+@query("src_generate", oracle=_GENERATE_AUDIT_ORACLE)
 def src_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded synthetic generator (reference core/extract.py:82-119) —
-    distributional parity is asserted in tests/test_sources.py."""
-    return generate_deliveries(spark, 1000, seed=42, num_partitions=8)
+    """Seeded synthetic generator (reference core/extract.py:82-119),
+    value-checked through a distribution audit: marginal counts of the
+    categorical columns plus decade/hour moment buckets of Distance and
+    trip duration, at the PINNED (seed=42, 1000 rows, 8 partitions)
+    configuration. Spark's rand(seed) stream is deterministic given the
+    partitioning (XORShift seeded per partition), so these counts are
+    host-independent constants and the oracle is the closed-form VALUES
+    list — same shape as corpus_bloom_contains' pinned bitmap. Duration
+    is a timestamp DIFFERENCE, immune to session timezone. Broader
+    distributional parity (uniformity, probability vectors) is asserted
+    in tests/test_sources.py; rows-only through round 5, graduated here.
+
+    One generate scan: the four marginals explode to (metric, bucket)
+    pairs row-side and collapse in a single aggregation."""
+    df = generate_deliveries(spark, 1000, seed=42, num_partitions=8)
+    dur_min = (
+        (
+            F.unix_timestamp("Delivery_Timestamp")
+            - F.unix_timestamp("Pickup_DateTime")
+        )
+        / 60
+    ).cast("int")
+    pairs = F.array(
+        F.struct(F.lit("pkg").alias("metric"), F.col("Package_Type").alias("bucket")),
+        F.struct(F.lit("zone").alias("metric"), F.col("Delivery_Zone").alias("bucket")),
+        F.struct(
+            F.lit("dist_decade").alias("metric"),
+            F.floor(F.col("Distance") / 10).cast("int").cast("string").alias("bucket"),
+        ),
+        F.struct(
+            F.lit("dur_hour").alias("metric"),
+            F.floor(dur_min / 60).cast("int").cast("string").alias("bucket"),
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("mb"))
+        .groupBy(F.col("mb.metric").alias("metric"), F.col("mb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query("src_orc_roundtrip", oracle=_DELIVERIES_ORACLE)

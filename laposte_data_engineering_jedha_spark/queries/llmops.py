@@ -1737,28 +1737,66 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sessionize")  # no SQL oracle: custom stateful streaming op
+@query(
+    "stream_sessionize",
+    """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y),
+s AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM z GROUP BY user_id, session_id),
+m AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM s)
+SELECT user_id, session_start, session_end, n_events
+FROM m WHERE session_id < last_sid""",
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState
-    sessionizer) driven end-to-end: events re-written as an in-order file
-    stream, availableNow micro-batches, event-time timeouts. Rows-only
-    driver check; the batch-equivalence proof lives in
-    tests/test_streaming.py::test_stateful_sessionizer_matches_batch."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="stream_sessionize_") + "/events"
-    events_table(spark, sf_dir).coalesce(1).write.parquet(out)
-    # fewer state-store partitions for this bounded run: per-micro-batch
-    # state store open/commit overhead scales with shuffle partitions, and
-    # the per-user state here is tiny (conf is captured at stream start)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return streaming_jobs.run_sessionize_available_now(
-            spark, out, query_name=f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+    """Append-mode emission contract of the applyInPandasWithState
+    sessionizer (streaming/jobs.py:sessionize_stream), as its deterministic
+    batch window formulation: the sessions CLOSED BY A SUBSEQUENT EVENT —
+    every session except each user's final one. Those are exactly the rows
+    the stream emits independent of micro-batch/watermark timing (the final
+    session per user closes only via event-time timeout, which depends on
+    how far the bounded run's watermark advances). Was registered rows-only
+    through round 5 as the end-to-end streaming run; the stateful operator
+    itself remains non-SQL and stays pinned by tests/test_streaming.py::
+    test_stateful_sessionizer_matches_batch (stream output sandwiched
+    between this closed set and the full session set). Same graduation
+    shape as stream_funnel_detect (round 5). Output columns match the
+    stream's SESSION_OUT_SCHEMA."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per = (
+        ev.select("user_id", "ts", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    )
+    last = F.max("session_id").over(Window.partitionBy("user_id"))
+    return (
+        per.withColumn("_last", last)
+        .where(F.col("session_id") < F.col("_last"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
 
 
 @query(

@@ -441,12 +441,18 @@ def _frame_dedup_sql() -> str:
     from .llmops import sql_md5i, sql_round
 
     fs, mf = multimodal.FRAME_SIZE, multimodal.MAX_FRAMES
+    # sample_frames slices payload BYTES; this oracle slices CHARACTERS
+    # (DuckDB cannot substring a BLOB). Byte==char only holds for ASCII,
+    # so BOTH sides restrict to ASCII-pure docs (octet_length == length)
+    # — a no-op on the all-ASCII fixture, and a correctness guard rather
+    # than a silent divergence if the fixture ever gains multibyte text.
     return f"""
 WITH f AS (
   SELECT doc_id,
          substr(text, 1 + CAST(r.range AS INTEGER) * {fs}, {fs}) AS chunk
   FROM documents CROSS JOIN range(0, {mf}) r
-  WHERE CAST(r.range AS INTEGER) * {fs} < length(text)),
+  WHERE CAST(r.range AS INTEGER) * {fs} < length(text)
+    AND octet_length(encode(text)) = length(text)),
 per AS (
   SELECT doc_id, {sql_md5i('chunk')} AS h, length(chunk) AS nb,
          count(*) AS n_inst
@@ -483,7 +489,12 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal
 
-    media = multimodal.media_table(table(spark, sf_dir, "documents"))
+    # ASCII-pure restriction mirrors the oracle's (see _frame_dedup_sql):
+    # the operator slices payload BYTES, the SQL twin slices CHARS.
+    docs = table(spark, sf_dir, "documents").where(
+        F.octet_length(F.encode("text", "utf-8")) == F.length("text")
+    )
+    media = multimodal.media_table(docs)
     frames = multimodal.sample_frames(media).select(
         "doc_id", F.col("frame_hash").alias("h"), F.col("n_bytes").alias("nb")
     )

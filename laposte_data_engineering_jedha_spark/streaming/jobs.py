@@ -556,11 +556,19 @@ def run_daily_topk_available_now(
     spark: SparkSession, events_dir: str, query_name: str = "daily_topk"
 ) -> DataFrame:
     """Streaming windowed top-k, split at the streaming-legality line:
-    the windowed DECIMAL aggregation runs INSIDE the stream (state =
-    open (day, type) pairs, watermark-expired), the rank runs as a batch
-    query over the sink — the standard pattern for top-k dashboards fed
-    by a stream, since ranking needs a total order no append-mode stream
-    can provide."""
+    the windowed DECIMAL aggregation runs INSIDE the stream, the rank
+    runs as a batch query over the sink — the standard pattern for top-k
+    dashboards fed by a stream, since ranking needs a total order no
+    append-mode stream can provide.
+
+    State note: complete output mode re-emits the FULL result each
+    trigger and the watermark does NOT evict state in this mode — fine
+    for this bounded availableNow replay, but a continuous deployment
+    would grow state by one (day, type) group per day forever. The
+    continuous-safe variant is append/update mode with a downstream
+    merge into the serving table (run_tumbling_counts_available_now
+    shows the append-mode shape); the watermark set upstream matters
+    THERE."""
     stream = daily_type_revenue(read_events_stream(spark, events_dir), with_watermark=True)
     q = (
         stream.writeStream.format("memory")

@@ -247,30 +247,41 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-5 rotation: the 50-slot window is exactly the oracle-bearing
-    # subset of ROUND4_ADDED (the only queries without an external driver
-    # row after r3+r4); every slot carries a full hash check — rows-only
-    # entries were deferred rather than spending a slot on a weaker check.
+    # round-6 rotation: the 50-slot window = the 31 round-5 queue entries
+    # (3 deferred + 28 round-5 additions, none ever driver-hash-checked) +
+    # the 2 round-6 oracle graduations (first-ever hash rows) + the 17
+    # OLDEST r03-verified parity queries (second full-registry pass).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert set(window) == set(q.ROUND4_ADDED) - set(q.ROUND5_DEFERRED)
-    assert all(name in q.ORACLE_SQL for name in window)
-    # nothing externally verified in r3/r4 wastes a slot
-    assert not set(window) & (set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED))
-    # registry partition: window + r3/r4-verified + round-6 queue
-    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED) | set(
-        q.ROUND5_DEFERRED
-    ) | set(q.ROUND5_ADDED) == set(q.SPARK_QUERIES)
-    # the round-6 queue must not displace a window occupant
+    assert len(q.ROUND5_DEFERRED) == 3 and len(q.ROUND5_ADDED) == 28
+    assert set(window) == (
+        set(q.ROUND5_DEFERRED)
+        | set(q.ROUND5_ADDED)
+        | set(q.ROUND6_GRADUATED)
+        | set(q.ROUND3_VERIFIED[:17])
+    )
+    # every slot except the one declared rows-only op carries a full hash
+    rows_only_in_window = {"embedding_pq_codes"}
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50
-        for name in [*q.ROUND5_DEFERRED, *q.ROUND5_ADDED]
+        name in q.ORACLE_SQL for name in window if name not in rows_only_in_window
     )
-    # after r3+r4+r5 every oracle query outside the round-6 queue has an
-    # external driver row in some round's CORRECTNESS artifact
-    assert set(q.ORACLE_SQL) - set(q.ROUND5_DEFERRED) - set(q.ROUND5_ADDED) <= (
-        set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_VERIFIED)
+    # the graduations really did graduate
+    assert all(name in q.ORACLE_SQL for name in q.ROUND6_GRADUATED)
+    # registry partition covers everything registered
+    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_ADDED) | set(
+        q.ROUND4_VERIFIED
+    ) | set(q.ROUND6_ADDED) == set(q.SPARK_QUERIES)
+    # round-6 additions queue behind the window (round-7 candidates)
+    assert all(
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND6_ADDED
     )
+    # rows-only is down to the two iterative fits with no SQL twin (both
+    # have pinned-constant hash twins: ivf_assign_pinned /
+    # embedding_pq_encode_pinned)
+    assert set(q.SPARK_QUERIES) - set(q.ORACLE_SQL) == {
+        "ivf_knn",
+        "embedding_pq_codes",
+    }
 
 
 def test_webapi_serves_console_ui(webapp):

@@ -265,11 +265,21 @@ def test_scd2_at_ship_price_one_dim_row_per_fact(spark, sf_dir):
     assert total == qualifying
 
 
-def test_hamming_band_pairs_bucket_cap_stays_connected(spark):
+@pytest.mark.parametrize(
+    "ids",
+    [
+        list(range(1, 7)),  # md5 head-2 = {6, 4}: max id inside the cap
+        # adversarial: md5 head-2 = {19, 11} — max id 42 (and 25) OUTSIDE
+        # the cap head, the exact shape that isolated members under the
+        # old one-sided `a.id < b.id` cap join (judge finding r05)
+        [3, 7, 11, 19, 25, 42],
+    ],
+)
+def test_hamming_band_pairs_bucket_cap_stays_connected(spark, ids):
     # a 6-copy identical family: uncapped emits C(6,2)=15 pairs; capped at 2
     # the pair set shrinks but every member still connects to the family
     base = "the quick brown fox jumps over the lazy dog " * 4
-    media = _media(spark, [(i, base) for i in range(1, 7)])
+    media = _media(spark, [(i, base) for i in ids])
     sims = (
         multimodal.phash_media(media)
         .select("doc_id", F.col("phash").alias("sim"))
@@ -279,9 +289,12 @@ def test_hamming_band_pairs_bucket_cap_stays_connected(spark):
     assert full.count() == 15
     rows = capped.collect()
     assert 0 < len(rows) < 15
-    # capped pair set must still collapse the family into ONE component
+    # normalized pairs: id_a strictly below id_b, no duplicates
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # capped pair set must still collapse the family into ONE component —
+    # EVERY member present, regardless of where its id falls in md5 order
     labels = dedup.connected_components(capped).collect()
-    assert {r["node"] for r in labels} == set(range(1, 7))
+    assert {r["node"] for r in labels} == set(ids)
     assert len({r["component"] for r in labels}) == 1
 
 

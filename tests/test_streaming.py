@@ -134,6 +134,20 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, events_dir):
     closed_batch = {s for s in batch if s[2] < horizon}
     missing = closed_batch - emitted
     assert not missing, f"batch sessions missing from stream: {sorted(missing)[:3]}"
+    # the registered stream_sessionize query (the append-mode emission
+    # contract: sessions closed BY A SUBSEQUENT EVENT) must be a subset of
+    # what the stream actually emitted — the stream is sandwiched between
+    # the closed set and the full batch set
+    from laposte_data_engineering_jedha_spark.queries.llmops import stream_sessionize
+
+    closed_by_data = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_sessionize(spark, sf_dir).collect()
+    }
+    assert closed_by_data <= batch
+    assert closed_by_data <= emitted, (
+        f"contract sessions unemitted: {sorted(closed_by_data - emitted)[:3]}"
+    )
 
 
 def test_stream_stream_attribution_matches_batch(spark, events_dir):
