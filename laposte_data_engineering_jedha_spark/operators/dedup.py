@@ -159,6 +159,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature -> banded bucket join for
     candidates, exact Jaccard on candidates only.
@@ -168,7 +169,18 @@ def minhash_lsh_pairs(
     estimator itself). Docs with no shingles (< n tokens) are excluded
     before banding — their empty-set signatures would otherwise all
     collide into one catastrophic bucket.
-    """
+
+    `persist_sigs` (default on) persists the (id, hashes, sig) relation —
+    the same fix as similarity.knn_graph's persisted banded projection:
+    the signature relation is referenced THREE times (band explode + both
+    verify sides), and because PythonUDF subtrees never canonicalize
+    equal (SCALE.md finding 11) each reference would otherwise re-run the
+    tokenize->shingle->minhash kernels AND the whole upstream input plan
+    — ruinous when the input is itself a filter chain, as in
+    corpus_clean_pipeline. The persisted projection is narrow (no text);
+    the handle is exposed on the result as `_lsh_sigs` so composing
+    callers can unpersist after materializing, and LRU eviction bounds
+    the cost if they never do."""
     hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
     sigs = (
         df.select(F.col(id_col), hashes.alias("hashes"))
@@ -178,11 +190,10 @@ def minhash_lsh_pairs(
         .select(id_col, "hashes", texts.pd_minhash_signature("hashes").alias("sig"))
         # Exchange barrier: pins the distribution and stops
         # project-collapse from re-deriving the md5 pipeline per reference.
-        # (Not a ReusedExchange across aliases — PythonUDF subtrees never
-        # canonicalize equal, SCALE.md finding 11; each referencing side
-        # re-shuffles the narrow signature projection.)
         .repartition(id_col)
     )
+    if persist_sigs:
+        sigs = sigs.persist()
     # Band join carries ONLY (id, band, key): shuffling the shingle-hash
     # arrays through the 4x band explode would quadruple the heavy shuffle
     # for no reason — signatures/hashes are re-attached by id afterwards.
@@ -214,15 +225,14 @@ def minhash_lsh_pairs(
     jac = n_inter / (F.size("h_a") + F.size("h_b") - n_inter)
     # signature agreement fraction = the MinHash Jaccard estimator
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x - y), lambda d: d == 0))
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            (F.round(agree / F.lit(texts.MINHASH_PERMS) * 10000) / 10000).alias("est_jaccard"),
-            (F.round(jac * 10000) / 10000).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = cand.select(
+        "id_a",
+        "id_b",
+        (F.round(agree / F.lit(texts.MINHASH_PERMS) * 10000) / 10000).alias("est_jaccard"),
+        (F.round(jac * 10000) / 10000).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    out._lsh_sigs = sigs
+    return out
 
 
 def minhash_lsh_pairs_cross(
@@ -445,10 +455,14 @@ def passage_dup_stats(
         # [0, -1] in Spark, which would emit two phantom md5('') passages
         # the SQL oracle's empty range never produces. texts.tokens never
         # returns an empty array today, but the guard pins the semantics.
+        # slice(seq, 1, n) (empty when n = 0) instead of a CASE branch —
+        # a conditional around the transform drops the projection out of
+        # codegen (measured +35% on the corpus scan); the slice guard is
+        # within noise of the unguarded form.
         F.expr(
-            f"case when size(t) = 0 then array() else "
-            f"transform(sequence(0, cast(ceil(size(t) / {p}) as int) - 1), "
-            f"i -> md5(array_join(slice(t, i * {p} + 1, {p}), ' '))) end"
+            f"transform(slice(sequence(0, greatest(cast(ceil(size(t) / {p}) as int) - 1, 0)), "
+            f"1, cast(ceil(size(t) / {p}) as int)), "
+            f"i -> md5(array_join(slice(t, i * {p} + 1, {p}), ' ')))"
         ).alias("ps"),
     )
     # (key, doc, instance-count): distinct per (key, doc), so the window
@@ -498,6 +512,7 @@ def embedding_dup_pairs_lsh(
     dim: int = 64,
     bands: int = 8,
     band_planes: int = 4,
+    persist_src: bool = False,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH — the
     100 TB path (no driver collect anywhere in the plan).
@@ -527,12 +542,17 @@ def embedding_dup_pairs_lsh(
         # exchange barrier on _id. NOTE: ReusedExchange does NOT fire here —
         # plans containing Python UDFs never canonicalize equal in Spark
         # 4.x, so each referencing alias re-runs the narrow (id, vec, norm)
-        # pipeline + shuffle. That is acceptable (the shuffled projection is
-        # slim and kernels are Arrow-batched); when kernel compute dominates
-        # at scale, persist(MEMORY_AND_DISK) on this projection is the
-        # escalation that makes compute-once hard (SCALE.md finding 11).
+        # pipeline + shuffle. That is acceptable when `df` is a raw table
+        # scan (the shuffled projection is slim and kernels Arrow-batched);
+        # `persist_src` is the escalation for composed inputs — src is
+        # referenced FOUR times (both band sides + both verify sides), so
+        # when `df` is itself a join/filter chain (corpus_clean_pipeline_sem
+        # feeds the survivor set) the upstream would re-execute 4x. Handle
+        # exposed as `_emb_src` for caller unpersist (SCALE.md finding 11).
         .repartition("_id")
     )
+    if persist_src:
+        src = src.persist()
     banded = src.select(
         "_id",
         F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
@@ -553,12 +573,14 @@ def embedding_dup_pairs_lsh(
     va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    out._emb_src = src
+    return out
 
 
 def _minhash_sigs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -540,7 +540,11 @@ ROUND6_GRADUATED = [
 
 # Round-6 additions: registered AFTER the window (replica-gate coverage
 # now, round-7 window candidates).
-ROUND6_ADDED: list[str] = []
+ROUND6_ADDED: list[str] = [
+    "corpus_passage_scrub",
+    "events_rfm_segments",
+    "events_interval_overlap",
+]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
 # queue entries + the two round-6 oracle graduations + the 17 OLDEST
@@ -580,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -17,7 +17,7 @@ lowest centroid id via lexicographic struct min on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
@@ -247,13 +247,16 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = enriched.where(
         (F.col("quality") >= 0.75) & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "quality")
-    keep = (
-        base.select("doc_id", F.md5(F.trim(F.lower("text"))).alias("k"))
-        .groupBy("k")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup as ONE window pass (keep rank 1 == keep min id per md5
+    # key) — same round-6 stage-count fix as corpus_clean_pipeline; the
+    # minhash stage persists its signature relation (persist_sigs default)
+    # so this prefix executes twice total, not 4x.
+    w = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
+    kept = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = base.join(keep, "doc_id")
     near = (
         dedup.minhash_lsh_pairs(kept.select("doc_id", "text"), threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
@@ -271,7 +274,13 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept2.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
     semdrop = (
-        dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, bands=_EMB_BANDS)
+        # persist_src: the LSH operator references its (id, vec, norm)
+        # projection 4x; the upstream here is the survivors join, so
+        # without the persist that join (and the kept2 cache read) would
+        # re-execute per reference.
+        dedup.embedding_dup_pairs_lsh(
+            emb, threshold=0.4, bands=_EMB_BANDS, persist_src=True
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

@@ -1,0 +1,315 @@
+"""Round-6 session additions — three operator families a reference user
+reaches for next, each with a full DuckDB oracle twin:
+
+- corpus_passage_scrub: the APPLICATION of dedup_passage's measurement —
+  rebuild each document with its cross-doc duplicated 8-token passages
+  removed (the C4/CCNet span-scrub itself, not just its statistics).
+- events_rfm_segments: RFM (recency / frequency / monetary) quartile
+  segmentation per user — value-threshold based, NOT ntile, because a
+  rank-based quartile needs a single global sort while exact quartile
+  THRESHOLDS are one tiny aggregate broadcast back over the users.
+- events_interval_overlap: interval-overlap self-join over user sessions
+  via time-grid bucketing — the join shape Spark lacks natively (range
+  cross joins go quadratic); bucketing by hour cell bounds candidates to
+  per-cell pairs, the overlap predicate verifies on candidates only.
+
+Float/ordering discipline follows queries/__init__.py's registry header:
+integer-exact arithmetic until one final double division (RFM metrics are
+day counts / event counts / cents, so the quantile_cont interpolation at
+dyadic fractions is bit-exact in BOTH engines), aliases matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texts
+from . import events_table, query, table
+from .llmops import sql_toks
+
+_P = 8  # tokens per passage — matches dedup_passage
+
+_SCRUB_SQL = f"""
+WITH toks AS (SELECT doc_id, {sql_toks('text')} AS t FROM documents),
+pl AS (SELECT doc_id,
+              [array_to_string(t[i * {_P} + 1 : i * {_P} + {_P}], ' ')
+               for i in range(0, CAST(ceil(len(t) / {_P}) AS INT))] AS ps
+       FROM toks),
+p AS (SELECT doc_id, CAST(r.range AS BIGINT) AS pos,
+             ps[CAST(r.range AS INT) + 1] AS passage
+      FROM pl CROSS JOIN range(0, 4096) r
+      WHERE CAST(r.range AS INT) < len(ps)),
+dupkeys AS (SELECT md5(passage) AS k FROM p
+            GROUP BY md5(passage) HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, pos, passage FROM p
+         WHERE md5(passage) NOT IN (SELECT k FROM dupkeys)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(passage, ' ' ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id)
+SELECT pl.doc_id,
+       CAST(len(ps) AS BIGINT) AS n_passages,
+       CAST(len(ps) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(clean, '')) AS clean_md5
+FROM pl LEFT JOIN agg ON pl.doc_id = agg.doc_id"""
+
+
+@query("corpus_passage_scrub", _SCRUB_SQL)
+def corpus_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style passage scrub — the rehydration step downstream of
+    dedup_passage's measurement: cut each doc into consecutive 8-token
+    passages, drop every passage whose md5 occurs in >= 2 distinct docs,
+    and rebuild the document from the kept passages in order. Output is
+    (doc_id, n_passages, n_removed, clean_md5) — the md5 of the scrubbed
+    text keeps the verified value narrow while still pinning the full
+    reconstruction byte-for-byte.
+
+    Scale shape mirrors dedup_passage: ONE tokenize+hash corpus scan
+    feeding a posexplode; the cross-doc frequency is an aggregate over
+    the collapsed (key, doc) relation joined back as a left-anti (at
+    100 TB the dup-key side is the small side — boilerplate keys are few
+    relative to passage instances); the rebuild is a per-doc sort of an
+    already-partitioned collect_list, never a global sort. Zero-token
+    docs are guarded (sequence(0,-1) would fabricate phantom passages —
+    same guard as passage_dup_stats)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", texts.tokens("text").alias("t"))
+    pl = toks.select(
+        "doc_id",
+        # slice-guarded index list (empty when the doc has zero tokens) —
+        # same codegen-friendly guard as passage_dup_stats
+        F.expr(
+            f"transform(slice(sequence(0, greatest(cast(ceil(size(t) / {_P}) as int) - 1, 0)), "
+            f"1, cast(ceil(size(t) / {_P}) as int)), "
+            f"i -> array_join(slice(t, i * {_P} + 1, {_P}), ' '))"
+        ).alias("ps"),
+    )
+    p = pl.select("doc_id", F.posexplode("ps").alias("pos", "passage"))
+    dupkeys = (
+        p.groupBy(F.md5("passage").alias("k"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("k")
+    )
+    kept = p.withColumn("k", F.md5("passage")).join(dupkeys, "k", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return (
+        pl.select("doc_id", F.size("ps").cast("long").alias("n_passages"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            (F.col("n_passages") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+per AS (
+  SELECT user_id,
+         datediff('day', max(CAST(ts AS DATE)), (SELECT d1 FROM anchor)) AS rec,
+         count(*) AS freq,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END),
+                       0) AS BIGINT) AS mon
+  FROM events GROUP BY user_id),
+q AS (SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+             quantile_cont(rec, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2,
+             quantile_cont(mon, 0.75) AS m3
+      FROM per)
+SELECT user_id, rec, freq, mon,
+       CAST(1 + CASE WHEN rec > r1 THEN 1 ELSE 0 END
+              + CASE WHEN rec > r2 THEN 1 ELSE 0 END
+              + CASE WHEN rec > r3 THEN 1 ELSE 0 END AS BIGINT) AS r_q,
+       CAST(1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+              + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+              + CASE WHEN freq > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_q,
+       CAST(1 + CASE WHEN mon > m1 THEN 1 ELSE 0 END
+              + CASE WHEN mon > m2 THEN 1 ELSE 0 END
+              + CASE WHEN mon > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_q
+FROM per CROSS JOIN q"""
+
+
+@query("events_rfm_segments", _RFM_SQL)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation per user: recency (days since the user's
+    last event, anchored at the corpus max date), frequency (event
+    count), monetary (purchase spend in integer CENTS). Quartile labels
+    come from exact value THRESHOLDS (percentile 0.25/0.5/0.75 of each
+    metric), not ntile — rank-based quartiles need one global sort (a
+    single-partition window, the canonical scale anti-pattern), while
+    thresholds are ONE tiny aggregate broadcast back over the per-user
+    relation, so the plan is two narrow shuffles at any corpus size.
+
+    Exactness: all three metrics are integers, and percentile
+    interpolation at dyadic fractions (g in {0.25, 0.5, 0.75}) is exact
+    binary FP on integer neighbors, so Spark's percentile and DuckDB's
+    quantile_cont agree bit-for-bit — no rounding convention needed."""
+    ev = events_table(spark, sf_dir)
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    per = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("mon"),
+    )
+    per = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("d1", "last_d").alias("rec"),
+        "freq",
+        "mon",
+    )
+    qs = per.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("rec", "freq", "mon")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def band(c: str):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c[0]}1")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}2")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}3")).cast("int")
+        ).cast("long")
+
+    return per.crossJoin(F.broadcast(qs)).select(
+        "user_id",
+        "rec",
+        "freq",
+        "mon",
+        band("rec").alias("r_q"),
+        band("freq").alias("f_q"),
+        band("mon").alias("m_q"),
+    )
+
+
+_OVERLAP_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y),
+s AS (SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end
+      FROM z GROUP BY user_id, session_id),
+ov AS (
+  SELECT a.user_id, a.session_id, count(*) AS n_concurrent
+  FROM s a JOIN s b
+    ON a.user_id <> b.user_id
+   AND a.session_start <= b.session_end
+   AND b.session_start <= a.session_end
+  GROUP BY a.user_id, a.session_id)
+SELECT s.user_id, session_start, session_end,
+       CAST(COALESCE(n_concurrent, 0) AS BIGINT) AS n_concurrent
+FROM s LEFT JOIN ov USING (user_id, session_id)"""
+
+
+@query("events_interval_overlap", _OVERLAP_SQL)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: for every user session (30-min-gap
+    sessionization), how many OTHER users' sessions overlap it in time
+    (closed-interval overlap: a.start <= b.end AND b.start <= a.end) —
+    the concurrency measure behind capacity planning and co-presence
+    features.
+
+    Spark has no native interval join; a plain range-predicate self-join
+    plans as a nested-loop over the full cross product. The scale shape
+    here is TIME-GRID BUCKETING: each session explodes to the hour cells
+    it spans (sessions are gap-bounded, so almost always 1-2 cells), the
+    equi-join on the cell bounds candidates to per-cell pairs, the exact
+    overlap predicate verifies candidates, and pairs found in several
+    shared cells are deduplicated before counting. Hot cells (peak hour)
+    are the skew surface — AQE skew-join splitting handles them, and the
+    cell width is the knob (the oracle is cell-free, so re-bucketing
+    cannot change results)."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    s = (
+        ev.select("user_id", "ts", sess_id.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    hour = 3_600_000_000  # microseconds
+    cells = s.select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("a_us"),
+        F.unix_micros("session_end").alias("b_us"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("session_start") / hour),
+                F.floor(F.unix_micros("session_end") / hour),
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.a_us") <= F.col("b.b_us"))
+            & (F.col("b.a_us") <= F.col("a.b_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.session_id").alias("session_id"),
+            F.col("b.user_id").alias("ou"),
+            F.col("b.session_id").alias("os"),
+        )
+        .dropDuplicates(["user_id", "session_id", "ou", "os"])
+    )
+    ov = pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        s.join(ov, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )

@@ -857,10 +857,94 @@ def round5b_scale(spark) -> None:
     )
 
 
+def round5c_scale(spark) -> None:
+    """Round-5 batch-3 operators at 100x-shape scale (VERDICT r05 item 5):
+
+    - SCD2 fact-to-history join @10M facts / 8M dim versions: the
+      warehouse fact pricing join as a key-partitioned sort-merge join
+      with the [valid_from, valid_to) containment as a cheap residual —
+      proving it never degenerates into a range cross join when both
+      sides are large (2M keys x 4 versions; each fact matches exactly
+      one version by interval disjointness).
+    - dedup_incremental @5M-doc corpus / 200k-doc batch: the O(batch)
+      banded screen at 5x the SCALE.md 1M-corpus row (both inline and
+      persisted-index variants via incr_scale).
+    """
+    from laposte_data_engineering_jedha_spark.operators import merge
+
+    n_keys, n_facts = 2_000_000, 10_000_000
+    base_day = F.lit("2024-01-01").cast("date")
+    vers = (
+        spark.range(n_keys)
+        .select(F.col("id").alias("k"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("version"))
+        .select(
+            "k",
+            "version",
+            (F.lit(100.0) + F.col("version") * 5).alias("price"),
+            # versions 30 days apart per key, offset by a per-key phase
+            F.date_add(base_day, (F.pmod(F.col("k"), F.lit(30)) + F.col("version") * 30).cast("int")).alias("valid_from"),
+        )
+    )
+    dim = merge.scd2_history(vers, ["k"]).drop("is_current")
+    facts = spark.range(n_facts).select(
+        F.col("id").alias("fact_id"),
+        F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+        F.date_add(base_day, F.pmod(F.xxhash64("id", F.lit(7)), F.lit(150)).cast("int")).alias("ship"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["k"] == dim["k"])
+        & (facts["ship"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ship"] < dim["valid_to"])),
+    )
+    timed("scd2 interval join @10M facts/8M versions", joined)
+    incr_scale(spark, n_base=5_000_000, n_batch=200_000, n_dups=10_000)
+
+
+def e2e100m_scale(spark) -> None:
+    """The reference's benchmark scenario at 10x its own ceiling: 100M
+    generated deliveries through the FULL E->T->L pipeline into
+    all_but_xlsx (csv/json/parquet/sqlite). Above SINGLE_FILE_MAX_ROWS
+    the auto single-file mode must switch csv/json/parquet to parallel
+    multi-part directories (plans/load.py:29) — this run proves the
+    switchover at scale: no coalesce(1) bottleneck, no OOM. SQLite stays
+    a single file by nature (driver streams Arrow batches); its wall time
+    is the expected serial tail, reported separately via stage prints."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.plans.pipeline import Pipeline
+    from laposte_data_engineering_jedha_spark.sources.weather import FakeWeatherClient
+
+    out = tempfile.mkdtemp(prefix="e2e100m_")
+    try:
+        config = {
+            "source": {"type": "generate", "rows": 100_000_000, "seed": 7},
+            "output": {"path": out, "format": "all_but_xlsx"},
+        }
+        t0 = time.perf_counter()
+        Pipeline(config, spark, weather_client=FakeWeatherClient()).run()
+        wall = time.perf_counter() - t0
+        multi = {
+            f: os.path.isdir(os.path.join(out, f"deliveries.{f}"))
+            for f in ("csv", "json", "parquet")
+        }
+        print(
+            f"e2e 100M rows -> all_but_xlsx: {wall:7.1f}s  "
+            f"multi-part dirs: {multi}  "
+            f"sqlite file: {os.path.isfile(os.path.join(out, 'deliveries.db'))}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 SECTIONS = {
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
+    "round5c": round5c_scale,
+    "e2e100m": e2e100m_scale,
     "events5": events_round5_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,

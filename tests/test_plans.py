@@ -257,3 +257,55 @@ def test_knn_graph_bucket_smj_no_cartesian(spark, sf_dir):
 def test_bloom_probe_is_broadcast(plans):
     p = plans("corpus_bloom_contains")
     assert "BroadcastHashJoin" in p  # the <=32-row bitmap ships broadcast
+
+
+def test_pq_adc_scan_is_single_codes_pass_with_windowed_topk(plans):
+    """PQ/ADC search (pq_adc_topk_pinned): the corpus must be read ONCE
+    (as 2-byte codes), the tiny query side must broadcast into the
+    distance kernel, and top-k must run as WindowGroupLimit (rank pushed
+    into the shuffle), never a global sort or a shuffled join — the plan
+    that makes a 100 TB codes scan the only heavy term."""
+    p = plans("pq_adc_topk_pinned")
+    # one scalar query fan-out for the ADC scan + (depending on the AQE
+    # snapshot) one for the exact re-rank — both broadcast-of-tiny; what
+    # must never appear is a shuffled or cartesian corpus join
+    assert 1 <= p.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p  # per-query top-k without global sort
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_decontaminate_sem_eval_side_broadcasts(plans):
+    """Semantic decontamination: the held-out eval side is contractually
+    tiny, so the (band, key) bucket join must be a BroadcastHashJoin with
+    the eval side built — a sort-merge bucket join here would shuffle the
+    full training corpus per band; so would a cartesian fallback."""
+    p = plans("corpus_decontaminate_sem")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the verify stage re-attaches vectors by id — also broadcast (eval
+    # and candidate sides are both small relative to the corpus)
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_sem_chain_shares_cached_prefix(plans):
+    """corpus_clean_pipeline_sem (round-6 prefix-sharing fix): the
+    survivor set (kept2) and the minhash signature relation must be
+    InMemoryRelations — each referencing branch reads the cache instead
+    of re-running the quality+lang+exact prefix (PythonUDF subtrees never
+    canonicalize equal, so without the caches the prefix would execute
+    4x). The embedding LSH src is the third cached projection."""
+    p = plans("corpus_clean_pipeline_sem")
+    assert p.count("InMemoryRelation") >= 3  # kept2 + sigs + emb src
+    assert "CartesianProduct" not in p
+
+
+def test_clean_pipeline_exact_dedup_is_single_window_pass(plans):
+    """corpus_clean_pipeline: exact dedup must be the one-exchange window
+    formulation (WindowGroupLimit rank-1 per md5 key), not a groupBy-min
+    plus join-back (two exchanges + a join); the minhash signature
+    relation is cached for its three references."""
+    p = plans("corpus_clean_pipeline")
+    assert "WindowGroupLimit" in p
+    assert p.count("InMemoryRelation") >= 1  # minhash sigs
+    assert "CartesianProduct" not in p
