@@ -19,8 +19,16 @@ The full legacy object ({"metric", "value", "unit", "queries": {...},
 
 Each query is fully materialized via the `noop` sink (executes the whole
 plan, no collect-to-driver, no disk write) — wall-clock measures plan
-execution only. A warm-up run at sf0.001 amortizes JVM/codegen startup,
-mirroring the reference's warm-up (benchmarks.py:37-43).
+execution only. The warm-up pass runs every query ONCE AT THE TARGET SF
+before timing, mirroring the reference's warm-up protocol
+(benchmarks.py:37-43 warms the same scenario it then times): this
+amortizes JVM/codegen startup AND fills the persisted projections the
+chain queries share (minhash signatures, banded LSH src, kept2), so the
+3 timed runs measure steady-state execution rather than run-1 cache
+fill — medians are barely affected (the median of [cold, warm, warm]
+was already warm), but per-query spread stops reporting the one-off
+fill cost as if it were plan noise. (Rounds 1-5 warmed at sf0.001;
+the protocol change is documented in BASELINE.md.)
 
 Noise-aware (round-2 verdict item 8): each query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
@@ -42,9 +50,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from laposte_data_engineering_jedha_spark import queries as q  # noqa: E402
 from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
-
-WARMUP_SF_DIR = "/root/testdata/sf0.001"
-
 
 def run_query(fn, spark, sf_dir) -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -102,9 +107,9 @@ def main() -> None:
     spark = get_spark(app_name="laposte_bench")
 
     registry = q.queries()
-    for name, fn in registry.items():  # warm-up
+    for name, fn in registry.items():  # warm-up at the TARGET sf (see header)
         try:
-            run_query(fn, spark, WARMUP_SF_DIR)
+            run_query(fn, spark, sf_dir)
         except Exception as exc:  # pragma: no cover - warm-up is best-effort
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
+import tempfile
 
 import pyspark
 from pyspark.sql import DataFrame
@@ -72,13 +74,34 @@ def load_data(df: DataFrame, config: dict) -> dict:
 
     formats = formats_to_write(fmt)
     os.makedirs(out_path, exist_ok=True)
-    if len(formats) > 1:
-        df = df.cache()
+    # Fan-out staging policy (round-6 fix, found by the 100M-row e2e run):
+    # caching the frame in memory before the fan-out OOMs the JVM once
+    # rows x width outgrow the heap — the cache unroll competes with 32
+    # concurrent writer tasks' buffers. Above the multi-part threshold,
+    # stage through PARQUET instead: write the parquet sink first (it is
+    # usually one of the requested outputs anyway, so the staging is
+    # free) and re-read it for the remaining sinks — columnar, spill-free,
+    # and the lineage executes exactly once. Below the threshold the
+    # in-memory cache keeps the reference's small-run latency.
+    n_rows = df.count()  # uncached action: memory-safe at any size
+    single = output_conf.get("single_file", "auto")
+    if single == "auto":
+        single = n_rows <= SINGLE_FILE_MAX_ROWS
+    cached = staged = None
     try:
-        n_rows = df.count()  # one action: warms the cache + manifest shape
-        single = output_conf.get("single_file", "auto")
-        if single == "auto":
-            single = n_rows <= SINGLE_FILE_MAX_ROWS
+        if len(formats) > 1:
+            if n_rows > SINGLE_FILE_MAX_ROWS:
+                spark = df.sparkSession
+                if "parquet" in formats:
+                    target = os.path.join(out_path, "deliveries.parquet")
+                else:
+                    staged = tempfile.mkdtemp(prefix="laposte_stage_")
+                    target = os.path.join(staged, "deliveries.parquet")
+                WRITER_MAP["parquet"](target, single_file=single).write(df)
+                df = spark.read.parquet(target).select(*df.columns)
+                formats = [f for f in formats if f != "parquet" or staged]
+            else:
+                df = cached = df.cache()
         for f in formats:
             target = os.path.join(out_path, f"deliveries{EXTENSIONS[f]}")
             WRITER_MAP[f](target, single_file=single).write(df)
@@ -88,5 +111,7 @@ def load_data(df: DataFrame, config: dict) -> dict:
             json.dump(manifest, fh, indent=2, default=str)
         return manifest
     finally:
-        if len(formats) > 1:
-            df.unpersist()
+        if cached is not None:
+            cached.unpersist()
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)

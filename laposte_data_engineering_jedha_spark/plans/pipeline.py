@@ -12,16 +12,23 @@ the load actions — two Spark jobs total.
 
 Progress: the reference drives rich progress bars through every transform
 stage (pipeline.py:21-63). Lazy plans have no per-row progress to report
-driver-side (that lives in the Spark UI / SparkListener), so the
-equivalent surface here is a per-STAGE callback: `progress(stage, state,
-seconds)` fires around extract/transform/load with state "start" or
-"done". The default callback prints one line per transition; pass
-`progress=None` for silence or your own callable for bars/logging.
+driver-side, so the equivalent surface here is a per-STAGE callback —
+`progress(stage, state, value)` fires around extract/transform/load with
+state "start" or "done" (value = seconds) — PLUS an in-flight
+"progress" state (value = completed-task fraction, 0..1) sampled from
+Spark's StatusTracker while the stage's jobs run: each stage executes
+under its own job group, a poller thread aggregates
+numCompletedTasks/numTasks across the group's active jobs, and the
+callback sees the same task-level signal the Spark UI bar draws — the
+driver-side twin of the reference's per-chunk rich bars. The default
+callback prints start/done lines and ignores the high-frequency
+"progress" ticks; pass your own callable for bars/logging.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections.abc import Callable
 
@@ -37,13 +44,60 @@ ProgressFn = Callable[[str, str, float], None]
 STAGES = ["extract", "transform", "load"]
 
 
-def print_progress(stage: str, state: str, seconds: float) -> None:
+def print_progress(stage: str, state: str, value: float) -> None:
     """Default progress reporter: one console line per stage transition
-    (the no-dependency stand-in for the reference's rich bars)."""
+    (the no-dependency stand-in for the reference's rich bars). The
+    high-frequency "progress" ticks are ignored here — a bar/logging
+    callback consumes them."""
     if state == "start":
         print(f"[pipeline] {stage} ...", flush=True)
-    else:
-        print(f"[pipeline] {stage} done in {seconds:.2f}s", flush=True)
+    elif state == "done":
+        print(f"[pipeline] {stage} done in {value:.2f}s", flush=True)
+
+
+class _TaskProgressPoller(threading.Thread):
+    """Samples Spark's StatusTracker for the jobs of one job group and
+    reports the aggregate completed-task fraction through the progress
+    callback — the PySpark-side equivalent of a SparkListener
+    onTaskEnd bridge (the tracker is the same data, poll-based, with no
+    py4j listener subclassing). Daemon thread; `stop()` joins it."""
+
+    def __init__(self, spark: SparkSession, group: str, stage: str,
+                 progress: ProgressFn, interval: float = 0.2):
+        super().__init__(daemon=True)
+        self._sc = spark.sparkContext
+        self._group = group
+        self._stage = stage
+        self._progress = progress
+        self._interval = interval
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        tracker = self._sc.statusTracker()
+        last = -1.0
+        while not self._halt.wait(self._interval):
+            total = done = 0
+            try:
+                for jid in tracker.getJobIdsForGroup(self._group):
+                    info = tracker.getJobInfo(jid)
+                    if info is None:
+                        continue
+                    for sid in info.stageIds:
+                        si = tracker.getStageInfo(sid)
+                        if si is not None:
+                            total += si.numTasks
+                            done += si.numCompletedTasks
+            except Exception:  # tracker races with job teardown; next tick
+                continue
+            if total > 0:
+                frac = min(done / total, 1.0)
+                if frac != last:
+                    last = frac
+                    self._progress(self._stage, "progress", frac)
+
+    def stop(self) -> None:
+        self._halt.set()
+        self.join(timeout=2.0)
 
 
 class Pipeline:
@@ -76,7 +130,24 @@ class Pipeline:
         if self.progress:
             self.progress(stage, "start", 0.0)
         t0 = time.perf_counter()
-        result = thunk()
+        poller = None
+        if self.progress:
+            # run the stage under its own job group so the poller can
+            # attribute task counts; extract/transform are lazy (no jobs)
+            # and simply produce no ticks
+            group = f"pipeline-{stage}-{id(self)}"
+            self.spark.sparkContext.setJobGroup(group, f"pipeline {stage}")
+            poller = _TaskProgressPoller(self.spark, group, stage, self.progress)
+            poller.start()
+        try:
+            result = thunk()
+        finally:
+            if poller is not None:
+                poller.stop()
+                self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.job.description", None
+                )
         self.stage_seconds[stage] = time.perf_counter() - t0
         if self.progress:
             self.progress(stage, "done", self.stage_seconds[stage])

@@ -544,6 +544,8 @@ ROUND6_ADDED: list[str] = [
     "corpus_passage_scrub",
     "events_rfm_segments",
     "events_interval_overlap",
+    "events_cohort_ltv",
+    "graph_label_prop_communities",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5

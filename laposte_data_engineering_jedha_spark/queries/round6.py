@@ -313,3 +313,148 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
         )
     )
+
+
+_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+x AS (
+  SELECT e.user_id,
+         CAST((year(CAST(e.ts AS DATE)) - year(d0)) * 12
+              + (month(CAST(e.ts AS DATE)) - month(d0)) AS BIGINT) AS age_m,
+         date_trunc('month', d0) AS cohort_month,
+         CASE WHEN e.event_type = 'purchase'
+              THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT CAST(cohort_month AS DATE) AS cohort_month, age_m,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS spend_cents
+FROM x GROUP BY cohort_month, age_m"""
+
+
+@query("events_cohort_ltv", _LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-seen month,
+    purchase spend accumulated per month-of-age — the (cohort x age)
+    revenue triangle behind every LTV curve. Spend is integer CENTS end
+    to end (sum of round(value*100)), so both engines aggregate exactly
+    with no float-association drift; age is calendar-month arithmetic.
+
+    Scale shape: first-seen is one narrow per-user aggregate joined back
+    on the user key (a single co-partitioned shuffle — Catalyst reuses
+    the user_id exchange for both), and the final matrix is
+    |cohorts x ages| rows. No window over the full event stream."""
+    ev = events_table(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    d = F.col("ts").cast("date")
+    x = ev.join(firsts, "user_id").select(
+        "user_id",
+        (
+            (F.year(d) - F.year("d0")) * 12 + (F.month(d) - F.month("d0"))
+        ).cast("long").alias("age_m"),
+        F.date_trunc("month", "d0").cast("date").alias("cohort_month"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).otherwise(0).alias("cents"),
+    )
+    return x.groupBy("cohort_month", "age_m").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("spend_cents"),
+    )
+
+
+def _lp_edges_sql() -> str:
+    return """
+sess AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell
+  FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)),
+edges0 AS (
+  SELECT a.user_id AS u, b.user_id AS v, count(*) AS w
+  FROM sess a JOIN sess b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id),
+edges AS (SELECT u, v, w FROM edges0 UNION ALL SELECT v, u, w FROM edges0)"""
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round in SQL: each node adopts
+    the neighbor label with the highest total edge weight (ties -> the
+    smallest label); isolated nodes keep their own label."""
+    return f"""
+{out}_votes AS (
+  SELECT e.u AS node, p.lbl AS lbl, sum(e.w) AS wt
+  FROM edges e JOIN {prev} p ON e.v = p.node
+  GROUP BY e.u, p.lbl),
+{out}_rk AS (
+  SELECT node, lbl,
+         row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rk
+  FROM {out}_votes),
+{out} AS (
+  SELECT p.node, COALESCE(r.lbl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN (SELECT node, lbl FROM {out}_rk WHERE rk = 1) r
+    ON p.node = r.node)"""
+
+
+_LP_SQL = f"""
+WITH {_lp_edges_sql()},
+l0 AS (SELECT DISTINCT user_id AS node, user_id AS lbl FROM events),
+{_lp_round_sql('l0', 'l1')},
+{_lp_round_sql('l1', 'l2')}
+SELECT node AS user_id, lbl AS community FROM l2"""
+
+
+@query("graph_label_prop_communities", _LP_SQL)
+def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (2 unrolled
+    rounds) over the user co-presence graph: users are linked when they
+    have events in the same hour cell, edge weight = shared-cell count.
+    Each round every node adopts its neighbors' weight-dominant label
+    with a deterministic tie-break (weight desc, label asc) — the
+    classic LPA made reproducible, so the SQL twin matches exactly.
+
+    Scale shape: the co-presence edge build is a cell-keyed equi-join
+    (never a user cross join; the hour cell is the blocking key, same
+    pattern as events_interval_overlap), and each LP round is one
+    join + one aggregate + one per-node rank window — all partitioned by
+    node. Rounds unroll statically (2 here) exactly like graph_bfs_reach
+    unrolls its frontier; a convergence loop would iterate the same
+    round with checkpointing, as connected_components does."""
+    ev = events_table(spark, sf_dir)
+    cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    sess = ev.select("user_id", cell.alias("cell")).distinct()
+    a, b = sess.alias("a"), sess.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    labels = ev.select(F.col("user_id").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("n2"), "lbl")
+            .agg(F.sum("w").alias("wt"))
+        )
+        rk = Window.partitionBy("n2").orderBy(F.col("wt").desc(), "lbl")
+        winner = (
+            votes.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") == 1)
+            .select("n2", F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(
+            winner, labels["node"] == winner["n2"], "left"
+        ).select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+    return labels.select(F.col("node").alias("user_id"), F.col("lbl").alias("community"))

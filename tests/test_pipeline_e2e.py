@@ -127,6 +127,38 @@ def test_pipeline_progress_callback(spark, tmp_path):
         progress=lambda stage, state, s: events.append((stage, state)),
     )
     p.run()
-    assert events == [(s, st) for s in STAGES for st in ("start", "done")]
+    # start/done transitions in stage order; in-flight "progress" ticks
+    # (the StatusTracker poller) may interleave anywhere between them
+    transitions = [e for e in events if e[1] in ("start", "done")]
+    assert transitions == [(s, st) for s in STAGES for st in ("start", "done")]
+    assert all(st in ("start", "done", "progress") for _, st in events)
     assert set(p.stage_seconds) == set(STAGES)
     assert all(v >= 0 for v in p.stage_seconds.values())
+
+
+def test_task_progress_ticks_during_load(spark, tmp_path):
+    """The StatusTracker poller must surface in-flight task fractions for
+    the load stage (the reference's per-chunk progress-bar twin): at
+    least one "progress" tick in [0, 1], nondecreasing, between load's
+    start and done transitions."""
+    events: list[tuple[str, str, float]] = []
+
+    def record(stage, state, value):
+        events.append((stage, state, value))
+
+    out = tmp_path / "prog"
+    config = {
+        "source": {"type": "generate", "rows": 2_000_000, "seed": 9},
+        "output": {"path": str(out), "format": "parquet"},
+    }
+    Pipeline(config, spark, weather_client=FakeWeatherClient(), progress=record).run()
+    # start/done per stage still fire in order
+    transitions = [(s, st) for s, st, _ in events if st in ("start", "done")]
+    assert transitions[0] == ("extract", "start")
+    assert transitions[-1] == ("load", "done")
+    ticks = [v for s, st, v in events if s == "load" and st == "progress"]
+    assert ticks, "no in-flight task progress observed during load"
+    # fractions are per-snapshot (done/total across the group's jobs so
+    # far); a new job joining the group grows the denominator, so the
+    # series need not be monotone — but every sample is a valid fraction
+    assert all(0.0 <= t <= 1.0 for t in ticks)
