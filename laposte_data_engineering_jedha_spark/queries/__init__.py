@@ -546,6 +546,9 @@ ROUND6_ADDED: list[str] = [
     "events_interval_overlap",
     "events_cohort_ltv",
     "graph_label_prop_communities",
+    "events_session_revenue",
+    "text_bpe_pair_freqs",
+    "stream_rate_alert",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5

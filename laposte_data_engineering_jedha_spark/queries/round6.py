@@ -1,5 +1,5 @@
-"""Round-6 session additions — three operator families a reference user
-reaches for next, each with a full DuckDB oracle twin:
+"""Round-6 session additions — operator families a reference user reaches
+for next, each with a full DuckDB oracle twin:
 
 - corpus_passage_scrub: the APPLICATION of dedup_passage's measurement —
   rebuild each document with its cross-doc duplicated 8-token passages
@@ -12,6 +12,16 @@ reaches for next, each with a full DuckDB oracle twin:
   via time-grid bucketing — the join shape Spark lacks natively (range
   cross joins go quadratic); bucketing by hour cell bounds candidates to
   per-cell pairs, the overlap predicate verifies on candidates only.
+- events_cohort_ltv: cohort x month-of-age revenue triangle, integer
+  cents end to end.
+- graph_label_prop_communities: 2-round synchronous label propagation
+  with deterministic tie-breaks over the hour-cell co-presence graph.
+- events_session_revenue: purchase spend at session grain (the shared
+  30-min-gap session definition).
+- text_bpe_pair_freqs: the BPE-initialization adjacent-character-pair
+  frequency table, top-20 with deterministic tie-break.
+- stream_rate_alert: batch twin of the third custom stateful streaming
+  operator (trailing-hour RANGE-window threshold crossing).
 
 Float/ordering discipline follows queries/__init__.py's registry header:
 integer-exact arithmetic until one final double division (RFM metrics are
@@ -458,3 +468,137 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             winner, labels["node"] == winner["n2"], "left"
         ).select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
     return labels.select(F.col("node").alias("user_id"), F.col("lbl").alias("community"))
+
+
+_SESSION_REV_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+y AS (
+  SELECT *, CASE WHEN pts IS NULL
+                      OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM x),
+z AS (
+  SELECT user_id, ts, event_type, value,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT) END),
+                     0) AS BIGINT) AS revenue_cents
+FROM z GROUP BY user_id, session_id"""
+
+
+@query("events_session_revenue", _SESSION_REV_SQL)
+def events_session_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution at session grain: 30-min-gap sessionization
+    (the shared session definition of events_sessionize /
+    stream_sessionize) with purchase spend accumulated per session in
+    integer CENTS — the session-value table conversion funnels and
+    basket analyses join against. One shuffle on user_id serves the
+    session window AND the final aggregate (same exchange reuse as
+    events_sessionize); revenue stays integral until the consumer
+    divides."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "ts", "event_type", "value", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_BPE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+pairs AS (
+  SELECT substr(tok, CAST(r.range AS INT) + 1, 2) AS pair
+  FROM toks CROSS JOIN range(0, 63) r
+  WHERE CAST(r.range AS INT) < length(tok) - 1),
+counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n
+FROM counted ORDER BY n DESC, pair LIMIT 20"""
+
+
+@query("text_bpe_pair_freqs", _BPE_SQL)
+def text_bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-initialization statistic: corpus-wide frequency of adjacent
+    CHARACTER pairs inside whitespace tokens, top-20 with a
+    deterministic (count desc, pair asc) tie-break — the first merge
+    table a byte-pair tokenizer induction would compute; iterating it
+    (merge top pair, re-count) is the full BPE trainer, so this query is
+    the oracle-checkable single step of that loop.
+
+    Scale shape: the pair explode is map-side (sequence over token
+    length), the count is one partial-aggregated shuffle on the 2-char
+    key (tiny key space), and the top-20 is TakeOrderedAndProject over
+    the aggregated relation — no global sort of the pair stream. Token
+    length is clamped at 64 chars on BOTH sides (longer tokens are URL/
+    hash junk a tokenizer trainer drops anyway), which also bounds the
+    per-row explode."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(texts.tokens("text")).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(sequence(0, greatest(length(tok) - 2, 0)), "
+                "1, greatest(least(length(tok) - 1, 63), 0)), "
+                "i -> substring(tok, i + 1, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+_RATE_ALERT_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+           AS n
+  FROM events)
+SELECT user_id, us AS alert_us, CAST(max(n) AS BIGINT) AS n_in_hour
+FROM c WHERE n = 3 GROUP BY user_id, us"""
+
+
+@query("stream_rate_alert", _RATE_ALERT_SQL)
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate alerting (third custom stateful streaming
+    operator, streaming/jobs.py:rate_alert_stream): alert when a user's
+    trailing-hour event count reaches exactly K=3 — registered as its
+    deterministic batch twin (RANGE-window count == K, one row per
+    distinct (user, ts)), same graduation shape as stream_funnel_detect
+    and stream_sessionize. RANGE peer semantics (timestamp ties enter
+    the window together) make the contract identical across the batch
+    window, this SQL twin, and the stream's group-by-timestamp fold;
+    the stateful operator stays pinned by tests/test_streaming.py::
+    test_rate_alert_stream_matches_batch."""
+    from ..streaming import jobs as streaming_jobs
+
+    return streaming_jobs.batch_rate_alerts(events_table(spark, sf_dir))

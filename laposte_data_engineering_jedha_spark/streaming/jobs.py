@@ -579,3 +579,124 @@ def run_daily_topk_available_now(
     )
     q.awaitTermination()
     return rank_daily_topk(spark.table(query_name))
+
+
+RATE_ALERT_K = 3  # events within the trailing hour that trip the alert
+_RATE_WINDOW_US = 3_600_000_000
+
+RATE_ALERT_OUT_SCHEMA = "user_id long, alert_us long, n_in_hour long"
+_RATE_STATE_SCHEMA = "recent array<long>"  # event micros inside the window
+
+
+def rate_alert_stream(events: DataFrame) -> DataFrame:
+    """Sliding-window rate alerting — the third custom stateful operator
+    (abuse/anomaly detection shape): emit (user, t, count) whenever a
+    user's event count in the trailing hour (ts in (t-1h, t]) reaches
+    EXACTLY RATE_ALERT_K — the upward threshold crossing, one row per
+    distinct timestamp.
+
+    Peer semantics match SQL's RANGE window: events sharing one
+    timestamp enter the window TOGETHER, so a tie jumping the count from
+    K-1 past K emits nothing — identical to the batch twin's
+    count-over-RANGE == K predicate on both engines, which is what makes
+    the contract deterministic under micro-batch ordering.
+
+    State per user = the event timestamps inside the trailing hour
+    (bounded by the user's max in-window rate, pruned every fold);
+    event-time timeout clears users idle past the window — state is a
+    watermark-horizon working set, the property that lets this run
+    forever. applyInPandasWithState because no built-in streaming
+    operator gives per-event sliding counts: window() buckets are fixed
+    grid, not trailing."""
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                rows = rows.sort_values(["ts", "event_id"])
+                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+                (recent,) = state.get if state.exists else ([],)
+                recent = list(recent)
+                # group arriving events by timestamp: peers enter together
+                i = 0
+                while i < len(ts_us):
+                    t = int(ts_us[i])
+                    j = i
+                    while j < len(ts_us) and int(ts_us[j]) == t:
+                        j += 1
+                    recent.extend([t] * (j - i))
+                    lo = t - _RATE_WINDOW_US  # (t-1h, t]
+                    recent = [x for x in recent if x > lo]
+                    if len(recent) == RATE_ALERT_K:
+                        out.append((user_id, t, len(recent)))
+                    i = j
+                state.update((recent,))
+                horizon_ms = (max(recent) + _RATE_WINDOW_US) // 1000 if recent else 0
+                state.setTimeoutTimestamp(
+                    max(horizon_ms, state.getCurrentWatermarkMs() + 1000)
+                )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "alert_us": [r[1] for r in out],
+                    "n_in_hour": [r[2] for r in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=RATE_ALERT_OUT_SCHEMA,
+            stateStructType=_RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_rate_alerts(events: DataFrame) -> DataFrame:
+    """Batch twin of rate_alert_stream: RANGE-window trailing-hour counts,
+    alert where the count equals RATE_ALERT_K exactly, one row per
+    distinct (user, ts) — same peer semantics as the stream's
+    group-by-timestamp fold."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(_RATE_WINDOW_US - 1), 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("alert_us"),
+            F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        )
+        .where(F.col("n_in_hour") == RATE_ALERT_K)
+        .groupBy("user_id", "alert_us")
+        .agg(F.max("n_in_hour").cast("long").alias("n_in_hour"))
+    )
+
+
+def run_rate_alert_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_rate_alerts"
+) -> DataFrame:
+    """Drive the rate alerter over the directory stream with availableNow
+    into a memory sink; returns emitted alerts."""
+    stream = rate_alert_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -162,3 +162,31 @@ def test_task_progress_ticks_during_load(spark, tmp_path):
     # far); a new job joining the group grows the denominator, so the
     # series need not be monotone — but every sample is a valid fraction
     assert all(0.0 <= t <= 1.0 for t in ticks)
+
+
+def test_fanout_stages_through_parquet_above_threshold(spark, tmp_path, monkeypatch):
+    """Above SINGLE_FILE_MAX_ROWS the multi-format fan-out must NOT cache
+    the frame (the 100M-row OOM found in the round-6 scale run): it
+    writes the parquet sink first and re-reads it for the other sinks.
+    Exercised cheaply by lowering the threshold: all four all_but_xlsx
+    outputs exist, parquet is a multi-part directory, and every sink
+    carries the full row count."""
+    from laposte_data_engineering_jedha_spark.plans import load as load_mod
+
+    monkeypatch.setattr(load_mod, "SINGLE_FILE_MAX_ROWS", 1000)
+    out = tmp_path / "staged"
+    config = {
+        "source": {"type": "generate", "rows": 5000, "seed": 11},
+        "output": {"path": str(out), "format": "all_but_xlsx"},
+    }
+    Pipeline(config, spark, weather_client=FakeWeatherClient()).run()
+    assert (out / "deliveries.parquet").is_dir()  # multi-part staging target
+    assert (out / "deliveries.csv").is_dir()
+    assert (out / "deliveries.json").is_dir()
+    back = spark.read.parquet(str(out / "deliveries.parquet"))
+    assert back.count() == 5000
+    assert spark.read.json(str(out / "deliveries.json")).count() == 5000
+    with sqlite3.connect(out / "deliveries.db") as conn:
+        assert conn.execute("SELECT count(*) FROM deliveries").fetchone()[0] == 5000
+    manifest = json.loads((out / "results_manifest.json").read_text())
+    assert manifest["shape"]["rows"] == 5000

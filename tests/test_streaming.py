@@ -446,3 +446,19 @@ def test_daily_topk_streaming_matches_batch(spark, events_dir):
     stream = jobs.run_daily_topk_available_now(spark, events_dir)
     assert canon(stream) == canon(batch)
     assert len(canon(stream)) > 0
+
+
+def test_rate_alert_stream_matches_batch(spark, sf_dir, events_dir):
+    """The sliding-window rate alerter must emit exactly the batch
+    RANGE-window alerts under in-order file replay (every event arrives
+    inside the watermark horizon, so no crossing is missed or invented)."""
+    from laposte_data_engineering_jedha_spark.queries.round6 import stream_rate_alert
+
+    batch = {
+        (r["user_id"], r["alert_us"], r["n_in_hour"])
+        for r in stream_rate_alert(spark, sf_dir).collect()
+    }
+    streamed = jobs.run_rate_alert_available_now(spark, events_dir).collect()
+    emitted = {(r["user_id"], r["alert_us"], r["n_in_hour"]) for r in streamed}
+    assert emitted == batch
+    assert len(batch) > 0
