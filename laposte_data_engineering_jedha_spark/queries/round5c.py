@@ -652,10 +652,15 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    # lazily checkpoint the symmetric edge relation: each of the 3 hop
+    # rounds references it, and the minhash band-join + verify chain
+    # would otherwise re-execute per hop (the signature relation itself
+    # is persisted inside minhash_lsh_pairs, but not the join above it)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     seeds = docs.where(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("node"), F.lit(0).alias("hops")

@@ -15,7 +15,8 @@ for next, each with a full DuckDB oracle twin:
 - events_cohort_ltv: cohort x month-of-age revenue triangle, integer
   cents end to end.
 - graph_label_prop_communities: 2-round synchronous label propagation
-  with deterministic tie-breaks over the hour-cell co-presence graph.
+  with deterministic tie-breaks over the (event-type, hour-cell)
+  co-presence graph.
 - events_session_revenue: purchase spend at session grain (the shared
   30-min-gap session definition).
 - text_bpe_pair_freqs: the BPE-initialization adjacent-character-pair
@@ -379,11 +380,15 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lp_edges_sql() -> str:
     return """
 sess AS (
-  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell
-  FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)),
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell
+  FROM events
+  GROUP BY user_id, event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)),
 edges0 AS (
   SELECT a.user_id AS u, b.user_id AS v, count(*) AS w
-  FROM sess a JOIN sess b ON a.cell = b.cell AND a.user_id < b.user_id
+  FROM sess a JOIN sess b
+    ON a.cell = b.cell AND a.event_type = b.event_type
+   AND a.user_id < b.user_id
   GROUP BY a.user_id, b.user_id),
 edges AS (SELECT u, v, w FROM edges0 UNION ALL SELECT v, u, w FROM edges0)"""
 
@@ -433,12 +438,13 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     round with checkpointing, as connected_components does."""
     ev = events_table(spark, sf_dir)
     cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
-    sess = ev.select("user_id", cell.alias("cell")).distinct()
+    sess = ev.select("user_id", "event_type", cell.alias("cell")).distinct()
     a, b = sess.alias("a"), sess.alias("b")
     e0 = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
         .groupBy(
@@ -446,9 +452,13 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # persist the symmetric edge relation: each LP round references it,
+    # and without the persist round 2's lineage re-runs the cell
+    # self-join through round 1's plan (same iterative-lineage fix as
+    # connected_components' per-round localCheckpoint)
     edges = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
+    ).localCheckpoint(eager=False)
     labels = ev.select(F.col("user_id").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -458,12 +468,13 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("n2"), "lbl")
             .agg(F.sum("w").alias("wt"))
         )
-        rk = Window.partitionBy("n2").orderBy(F.col("wt").desc(), "lbl")
-        winner = (
-            votes.withColumn("rk", F.row_number().over(rk))
-            .where(F.col("rk") == 1)
-            .select("n2", F.col("lbl").alias("new_lbl"))
-        )
+        # deterministic argmax via struct-max (weight desc, label asc —
+        # the negated label makes lexicographic struct order pick the
+        # smallest label on weight ties): one aggregate instead of the
+        # aggregate + sort + rank-window a row_number formulation costs
+        winner = votes.groupBy("n2").agg(
+            F.max(F.struct(F.col("wt"), (-F.col("lbl")).alias("nl"))).alias("m")
+        ).select("n2", (-F.col("m.nl")).alias("new_lbl"))
         labels = labels.join(
             winner, labels["node"] == winner["n2"], "left"
         ).select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
