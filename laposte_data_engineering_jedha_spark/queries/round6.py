@@ -421,37 +421,70 @@ SELECT node AS user_id, lbl AS community FROM l2"""
 
 
 @query("graph_label_prop_communities", _LP_SQL)
-def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_prop_communities(
+    spark: SparkSession, sf_dir: str, max_cell_members: int | None = None
+) -> DataFrame:
     """Community detection via synchronous label propagation (2 unrolled
-    rounds) over the user co-presence graph: users are linked when they
-    have events in the same hour cell, edge weight = shared-cell count.
-    Each round every node adopts its neighbors' weight-dominant label
-    with a deterministic tie-break (weight desc, label asc) — the
-    classic LPA made reproducible, so the SQL twin matches exactly.
+    rounds) over the co-presence graph: users are linked when they have
+    events of the SAME TYPE in the same hour cell, edge weight = number
+    of shared (type, cell) pairs. Each round every node adopts its
+    neighbors' weight-dominant label with a deterministic tie-break
+    (weight desc, label asc) — the classic LPA made reproducible, so the
+    SQL twin matches exactly.
 
-    Scale shape: the co-presence edge build is a cell-keyed equi-join
-    (never a user cross join; the hour cell is the blocking key, same
-    pattern as events_interval_overlap), and each LP round is one
-    join + one aggregate + one per-node rank window — all partitioned by
-    node. Rounds unroll statically (2 here) exactly like graph_bfs_reach
-    unrolls its frontier; a convergence loop would iterate the same
-    round with checkpointing, as connected_components does."""
+    Scale shape: the co-presence edge build is a (type, cell)-keyed
+    equi-join (never a user cross join — the compound blocking key keeps
+    buckets ~|types|x smaller than hour-only blocking), and each LP
+    round is one join + one aggregate + one per-node struct-max argmax,
+    all partitioned by node. Rounds unroll statically (2 here) exactly
+    like graph_bfs_reach unrolls its frontier.
+
+    `max_cell_members` is the hot-cell knob (default None = exact, what
+    the oracle checks; the fixture's cells are small): a peak hour on a
+    large site puts 10^5+ users in one cell and the pair set goes
+    quadratic — measured OOM at a 150k-user synthetic peak (SCALE.md).
+    With a cap, every bucket member STAR-JOINS the md5-head
+    representatives only (the connectivity-preserving capped join shape
+    shared with hamming_band_pairs since the round-5 fix), bounding
+    pairs per bucket at members x cap while every member keeps edges
+    into the community core."""
     ev = events_table(spark, sf_dir)
     cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     sess = ev.select("user_id", "event_type", cell.alias("cell")).distinct()
-    a, b = sess.alias("a"), sess.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    b_side = sess
+    if max_cell_members is not None:
+        cap_w = Window.partitionBy("event_type", "cell").orderBy(
+            F.md5(F.col("user_id").cast("string")), F.col("user_id")
         )
-        .groupBy(
+        b_side = (
+            sess.withColumn("_r", F.row_number().over(cap_w))
+            .where(F.col("_r") <= max_cell_members)
+            .drop("_r")
+        )
+    a, b = sess.alias("a"), b_side.alias("b")
+    join_cond = (F.col("a.cell") == F.col("b.cell")) & (
+        F.col("a.event_type") == F.col("b.event_type")
+    )
+    if max_cell_members is None:
+        raw = a.join(b, join_cond & (F.col("a.user_id") < F.col("b.user_id"))).select(
             F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
         )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    else:
+        # star-to-representatives with normalized pairs, deduped per
+        # bucket so w still counts SHARED BUCKETS (a rep-rep pair would
+        # otherwise appear once per join direction)
+        raw = (
+            a.join(b, join_cond & (F.col("a.user_id") != F.col("b.user_id")))
+            .select(
+                F.least(F.col("a.user_id"), F.col("b.user_id")).alias("u"),
+                F.greatest(F.col("a.user_id"), F.col("b.user_id")).alias("v"),
+                F.col("a.event_type").alias("t"),
+                F.col("a.cell").alias("c"),
+            )
+            .dropDuplicates(["u", "v", "t", "c"])
+            .select("u", "v")
+        )
+    e0 = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
     # persist the symmetric edge relation: each LP round references it,
     # and without the persist round 2's lineage re-runs the cell
     # self-join through round 1's plan (same iterative-lineage fix as

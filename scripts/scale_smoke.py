@@ -939,12 +939,105 @@ def e2e100m_scale(spark) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def round6_scale(spark) -> None:
+    """Round-6 operators at 100x-shape scale: the blown-up events table
+    (events x100 with shifted users ~ 10M events / 150k users) drives the
+    interval-overlap join, label propagation, and session revenue; the
+    1M-doc corpus drives the passage scrub."""
+    from laposte_data_engineering_jedha_spark.queries import round6
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    big = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+        # shift each replica by 1 minute so sessions/windows differ
+        F.timestamp_add("MINUTE", F.col("rep").cast("int"), F.col("ts")).alias("ts"),
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = f"/tmp/round6_events_{os.getpid()}"
+    big.write.mode("overwrite").parquet(tmp)
+    try:
+        # drive the registered queries against the blown-up table by
+        # pointing events_table at the temp parquet via a shim sf_dir
+        shim_dir = tmp + "_dir"
+        os.makedirs(shim_dir, exist_ok=True)
+        if not os.path.exists(f"{shim_dir}/events.parquet"):
+            os.symlink(tmp, f"{shim_dir}/events.parquet")
+        timed(
+            "events_interval_overlap @10M events",
+            round6.events_interval_overlap(spark, shim_dir),
+        )
+        # label prop: the UNCAPPED edge build is quadratic in hot-cell
+        # membership by construction (this synthetic 100x peak puts every
+        # replica's users in the same hour cells -> measured OOM); run the
+        # capped star-to-representatives variant at 20x (2M events,
+        # ~2.6k-member peak cells) — the max_cell_members knob is the
+        # documented hot-cell escape hatch, exact results stay the
+        # oracle-checked default on realistic bucket sizes.
+        sub = spark.read.parquet(tmp).where(F.col("event_id") < 200_000_000 + 10_000_000 * 20)
+        tmp20 = tmp + "_20"
+        sub.write.mode("overwrite").parquet(tmp20)
+        shim20 = tmp20 + "_dir"
+        os.makedirs(shim20, exist_ok=True)
+        if not os.path.exists(f"{shim20}/events.parquet"):
+            os.symlink(tmp20, f"{shim20}/events.parquet")
+        timed(
+            "label_prop (cap 8) @2M events",
+            round6.graph_label_prop_communities(spark, shim20, max_cell_members=8),
+        )
+        timed(
+            "events_session_revenue @10M events",
+            round6.events_session_revenue(spark, shim_dir),
+        )
+        docs1m = blown_up_docs(spark, 200)
+        toks = docs1m.select("doc_id", texts.tokens("text").alias("t"))
+        pl = toks.select(
+            "doc_id",
+            F.expr(
+                "transform(slice(sequence(0, greatest(cast(ceil(size(t) / 8) as int) - 1, 0)), "
+                "1, cast(ceil(size(t) / 8) as int)), "
+                "i -> array_join(slice(t, i * 8 + 1, 8), ' '))"
+            ).alias("ps"),
+        )
+        p = pl.select("doc_id", F.posexplode("ps").alias("pos", "passage"))
+        dupkeys = (
+            p.groupBy(F.md5("passage").alias("k"))
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("k")
+        )
+        kept = p.withColumn("k", F.md5("passage")).join(dupkeys, "k", "left_anti")
+        scrub = kept.groupBy("doc_id").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                        lambda s: s["passage"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5")
+        )
+        timed("corpus_passage_scrub @1M docs", scrub)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "_dir", ignore_errors=True)
+        shutil.rmtree(tmp + "_20", ignore_errors=True)
+        shutil.rmtree(tmp + "_20_dir", ignore_errors=True)
+
+
 SECTIONS = {
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
     "round5c": round5c_scale,
     "e2e100m": e2e100m_scale,
+    "round6": round6_scale,
     "events5": events_round5_scale,
     "curation": curation_scale,
     "graphchunk": graph_chunk_scale,
