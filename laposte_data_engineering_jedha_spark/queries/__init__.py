@@ -549,6 +549,9 @@ ROUND6_ADDED: list[str] = [
     "events_session_revenue",
     "text_bpe_pair_freqs",
     "stream_rate_alert",
+    "events_time_to_convert",
+    "embedding_drift_monitor",
+    "dq_documents_checks",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5

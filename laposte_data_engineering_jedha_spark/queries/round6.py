@@ -23,6 +23,12 @@ for next, each with a full DuckDB oracle twin:
   frequency table, top-20 with deterministic tie-break.
 - stream_rate_alert: batch twin of the third custom stateful streaming
   operator (trailing-hour RANGE-window threshold crossing).
+- events_time_to_convert: first-view-to-first-purchase latency
+  percentiles, integer-microsecond exact.
+- embedding_drift_monitor: per-label half-vs-half centroid cosine — the
+  embedding-distribution stability report.
+- dq_documents_checks: text-side DQ gate (empty text, out-of-set lang,
+  n_chars metadata drift, duplicate ids).
 
 Float/ordering discipline follows queries/__init__.py's registry header:
 integer-exact arithmetic until one final double division (RFM metrics are
@@ -35,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import texts
+from ..functions import texts, vectors
 from . import events_table, query, table
 from .llmops import sql_toks
 
@@ -646,3 +652,185 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs as streaming_jobs
 
     return streaming_jobs.batch_rate_alerts(events_table(spark, sf_dir))
+
+
+_TTC_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM b),
+g AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2
+      FROM c GROUP BY user_id),
+d AS (SELECT epoch_us(t2) - epoch_us(t1) AS delta_us FROM g
+      WHERE t2 IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(delta_us, 0.25) AS p25_us,
+       quantile_cont(delta_us, 0.5) AS p50_us,
+       quantile_cont(delta_us, 0.75) AS p75_us
+FROM d"""
+
+
+@query("events_time_to_convert", _TTC_SQL)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, first view to first
+    purchase AFTER it (the funnel-stage definition shared with
+    events_funnel / stream_funnel_detect), summarized as the
+    p25/p50/p75 of the latency in integer MICROSECONDS — dyadic
+    percentile interpolation on integers is bit-exact across engines
+    (same argument as events_rfm_segments). One user_id-partitioned
+    window pass, one tiny global aggregate — no per-event join."""
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    df = ev.withColumn("t1", F.min(F.when(typ == "view", t)).over(w))
+    df = df.withColumn(
+        "t2", F.min(F.when((typ == "purchase") & (t > F.col("t1")), t)).over(w)
+    )
+    g = (
+        df.groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"))
+        .where(F.col("t2").isNotNull())
+        .select((F.unix_micros("t2") - F.unix_micros("t1")).alias("delta_us"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("delta_us", F.lit(0.25)).alias("p25_us"),
+        F.percentile("delta_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("delta_us", F.lit(0.75)).alias("p75_us"),
+    )
+
+
+_EMB_DIM = 64
+
+_DRIFT_SQL = f"""
+WITH terms AS (
+  SELECT vec_id % 2 AS half, label, i - 1 AS pos,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i) dims
+  WHERE i <= len(embedding)),
+cent AS (
+  SELECT half, label, pos,
+         CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+  FROM terms GROUP BY 1, 2, 3),
+vecs AS (
+  SELECT half, label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1, 2),
+counts AS (
+  SELECT vec_id % 2 AS half, label, count(*) AS n
+  FROM embeddings GROUP BY 1, 2),
+j AS (
+  SELECT a.label, ca.n AS n_a, cb.n AS n_b, a.cv AS va, b.cv AS vb
+  FROM vecs a JOIN vecs b ON a.label = b.label AND a.half = 0 AND b.half = 1
+  JOIN counts ca ON ca.label = a.label AND ca.half = 0
+  JOIN counts cb ON cb.label = a.label AND cb.half = 1)
+SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {{drift}} AS drift_cos
+FROM j""".format(
+    drift="round(("
+    + "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [va[i] * vb[i] for i in range(1, 65)]), (a, b) -> a + b)"
+    + " / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x for x in va]), (a, b) -> a + b))"
+    + " * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x for x in vb]), (a, b) -> a + b)))"
+    + ") * 10000) / 10000"
+)
+
+
+@query("embedding_drift_monitor", _DRIFT_SQL)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the corpus splits into two
+    deterministic halves (vec_id parity — in production: yesterday vs
+    today's batch), per-dimension DECIMAL-exact centroids are computed
+    for each half, and the report is the cosine between the two
+    centroids — cosine ~1 means the embedding distribution is stable,
+    drops flag upstream model/data drift. The centroid means are the
+    same decimal-sum/count construction as embedding_domain_centroids
+    (order-free exact), the cosine a strict left-to-right fold on both
+    engines, rounded to 4 decimals.
+
+    Scale shape: one narrow (half, label, pos, value) explode ->
+    partial-aggregated centroid shuffle (|halves x labels x dims| groups
+    — tiny at any corpus size), then per-label scalar math. The raw
+    vectors never shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    terms = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select("half", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent = terms.groupBy("half", "label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    vecs = cent.groupBy("half", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    counts = emb.groupBy((F.col("vec_id") % 2).alias("half"), "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = vecs.where(F.col("half") == 0).select("label", F.col("cv").alias("va"))
+    b = vecs.where(F.col("half") == 1).select("label", F.col("cv").alias("vb"))
+    ca = counts.where(F.col("half") == 0).select("label", F.col("n").alias("n_a"))
+    cb = counts.where(F.col("half") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        a.join(b, "label")
+        .join(ca, "label")
+        .join(cb, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.round(vectors.cosine("va", "vb") * 10000) / 10000).alias("drift_cos"),
+        )
+    )
+
+
+_DQ_DOCS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       CAST(sum(CASE WHEN lang IS NULL
+                          OR lang NOT IN ('en','fr','de','es','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+       CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_mismatch,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids
+FROM documents"""
+
+
+@query("dq_documents_checks", _DQ_DOCS_SQL)
+def dq_documents_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate for the documents corpus (the text-side sibling
+    of dq_orders_checks / dq_lineitem_checks): empty/null text, language
+    outside the declared set, stored n_chars disagreeing with the actual
+    text length (the metadata-drift check every ingestion pipeline needs),
+    duplicate doc_ids. One single-pass aggregate — conditional sums
+    partial-aggregate map-side, the distinct-count is the only shuffle
+    term."""
+    d = table(spark, sf_dir, "documents")
+    one = F.lit(1)
+    return d.agg(
+        F.count(one).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_empty_text"),
+        F.sum(
+            F.when(
+                F.col("lang").isNull()
+                | ~F.col("lang").isin("en", "fr", "de", "es", "zh"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_bad_lang"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).cast("long").alias("n_len_mismatch"),
+        (F.count(one) - F.count_distinct("doc_id")).cast("long").alias("n_dup_ids"),
+    )
