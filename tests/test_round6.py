@@ -97,3 +97,45 @@ def test_interval_overlap_matches_bruteforce(spark, sf_dir):
             if v != u and s0 <= t1 and t0 <= s1
         )
         assert got[(u, s0)] == expect, (u, s0)
+
+
+def test_time_to_convert_percentiles_ordered(spark, sf_dir):
+    r = round6.events_time_to_convert(spark, sf_dir).first()
+    assert r["n_converted"] > 0
+    assert 0 <= r["p25_us"] <= r["p50_us"] <= r["p75_us"]
+
+
+def test_drift_monitor_bounds_and_counts(spark, sf_dir):
+    out = round6.embedding_drift_monitor(spark, sf_dir).collect()
+    assert len(out) > 0
+    emb = table(spark, sf_dir, "embeddings")
+    totals = {r["label"]: r["n"] for r in emb.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    for r in out:
+        # NOTE: on the random fixture centroids are near zero, so the
+        # half-vs-half cosine is noise anywhere in [-1, 1] — the bound
+        # and the partition property are the testable invariants (a
+        # planted-drift fixture would need structured vectors)
+        assert -1.0 <= r["drift_cos"] <= 1.0
+        # halves partition the label's vectors
+        assert r["n_a"] + r["n_b"] == totals[r["label"]]
+
+
+def test_dq_documents_clean_fixture(spark, sf_dir):
+    r = round6.dq_documents_checks(spark, sf_dir).first()
+    assert r["n_rows"] > 0
+    assert r["n_empty_text"] == 0
+    assert r["n_bad_lang"] == 0
+    assert r["n_len_mismatch"] == 0
+    assert r["n_dup_ids"] == 0
+
+
+def test_label_prop_capped_variant_labels_every_user(spark, sf_dir):
+    """The hot-cell cap (star-to-representatives) must still label every
+    user — no bucket member may vanish from the output, whatever its
+    md5 rank (the same connectivity property pinned for
+    hamming_band_pairs' cap)."""
+    exact = round6.graph_label_prop_communities(spark, sf_dir)
+    capped = round6.graph_label_prop_communities(spark, sf_dir, max_cell_members=4)
+    n_users = exact.count()
+    assert capped.count() == n_users
+    assert capped.where(F.col("community").isNull()).count() == 0
