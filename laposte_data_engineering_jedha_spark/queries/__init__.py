@@ -552,6 +552,12 @@ ROUND6_ADDED: list[str] = [
     "events_time_to_convert",
     "embedding_drift_monitor",
     "dq_documents_checks",
+    # round-6 session batch 2 (queries/round6b.py)
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "dq_schema_profile",
+    "events_ewma_daily",
+    "corpus_negative_pairs",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -592,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
