@@ -564,6 +564,8 @@ ROUND6_ADDED: list[str] = [
     "dq_k_anonymity",
     "events_anomaly_mad",
     "events_attribution_position",
+    # round-6 session batch 4 (queries/round6d.py)
+    "embedding_kmedoid_step",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -604,7 +606,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
