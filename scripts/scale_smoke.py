@@ -1031,7 +1031,87 @@ def round6_scale(spark) -> None:
         shutil.rmtree(tmp + "_20_dir", ignore_errors=True)
 
 
+def round6b_scale(spark) -> None:
+    """Round-6 batch 2-4 operators at 20-200x fixtures, exercised through
+    the REAL registered query functions by staging blown-up tables into a
+    temp sf_dir (so the measured plan is the registered plan):
+
+    - events_heavy_hitters at ~21M events / 30k distinct users with a
+      planted hot key (~5%% of traffic): the MG budget (128) is far below
+      the distinct count, so per-partition evictions are constant-memory
+      real; result asserted equal to the plain groupBy/HAVING.
+    - events_kmv_distinct at 21M events / 30k distinct: the salted
+      two-level window path.
+    - events_pattern_match / events_attribution_position at 10M events.
+    - embedding_kmedoid_step at 400k vectors.
+    """
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round6b,
+        round6c,
+        round6d,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round6b_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        big = ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        hot = ev.crossJoin(spark.range(10).select(F.col("id").alias("_h"))).select(
+            (F.col("event_id") + F.col("_h") * 1_000_000_000 + 500_000_000).alias(
+                "event_id"
+            ),
+            "ts",
+            F.lit(424_242).cast("long").alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        big.unionByName(hot).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+        timed("heavy_hitters (MG 2-pass) @21M events",
+              round6b.events_heavy_hitters(spark, tmp))
+        got = {
+            (r["user_id"], r["n_events"])
+            for r in round6b.events_heavy_hitters(spark, tmp).collect()
+        }
+        plain = events_table(spark, tmp).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        n_total = events_table(spark, tmp).count()
+        want = {
+            (r["user_id"], r["n_events"])
+            for r in plain.where(F.col("n_events") * 120 > n_total).collect()
+        }
+        assert got == want, (got, want)
+        print(f"  MG result == plain GROUP BY/HAVING: {sorted(got)}")
+        timed("kmv_distinct @21M events / 30k users",
+              round6b.events_kmv_distinct(spark, tmp))
+        timed("pattern_match @21M events",
+              round6c.events_pattern_match(spark, tmp))
+        timed("attribution_position @21M events",
+              round6c.events_attribution_position(spark, tmp))
+
+        vecs = blown_up_vecs(spark, 80)
+        vecs.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        timed("kmedoid_step @400k vectors",
+              round6d.embedding_kmedoid_step(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
+    "round6b": round6b_scale,
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
