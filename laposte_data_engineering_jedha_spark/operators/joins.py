@@ -32,14 +32,26 @@ def asof_join(
     by: str,
     value_cols: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
-    `right.on <= left.on` within the same `by` key (nulls when none).
+    `right.on <= left.on` within the same `by` key (nulls when none) —
+    or, with direction="forward", the EARLIEST right row with
+    `right.on >= left.on` (pandas merge_asof's direction semantics).
 
     value_cols: right columns to carry (default: all but `on`/`by`).
     tolerance_s: optional max staleness in seconds — older matches null out
-    (matches pandas merge_asof(tolerance=...)).
+    (matches pandas merge_asof(tolerance=...)); for forward joins it bounds
+    how far AHEAD the match may be.
+
+    Both directions are the union-sort-carry shape: one shuffle on the
+    `by` key, no range join, no per-row subquery — the formulation that
+    survives when both sides are 100 TB fact streams.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward":
+        return _asof_forward(left, right, on, by, value_cols, tolerance_s)
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
 
     lhs = left.withColumn("_side", F.lit(1))
@@ -72,6 +84,59 @@ def asof_join(
 
     fresh = (
         F.unix_micros(F.col(on)) - F.unix_micros(F.col("_c_ts"))
+        <= F.lit(tolerance_s).cast("long") * 1_000_000
+        if tolerance_s is not None
+        else F.lit(True)
+    )
+    final_cols = [c for c in left.columns] + [
+        F.when(fresh, F.col(f"_c_{c}")).otherwise(F.lit(None)).alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    return out.select(*final_cols)
+
+
+def _asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Forward as-of: earliest right row with `right.on >= left.on` per
+    `by` key. Mirror of the backward carry: right rows sort AFTER left
+    rows at equal timestamps (_side 2 > 1) so an exact-timestamp right row
+    IS visible forward; `first(ignorenulls)` over [current, +inf) carries
+    the next right value back; duplicate right (key, ts) rows resolve to
+    the SMALLEST value tuple (the forward mirror of backward's greatest),
+    keeping the winner partition-order-independent."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        by, on, *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+    ).withColumn("_side", F.lit(2))
+    for c in left.columns:
+        if c not in (on, by) and c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"_r_{c}", F.lit(None))
+    merged = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), F.col("_side"), *[F.col(f"_r_{c}") for c in value_cols])
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+        for c in value_cols
+    ]
+    carried_ts = F.min(F.when(F.col("_side") == 2, F.col(on))).over(w).alias("_c_ts")
+    out = merged.select("*", *carried, carried_ts).where(F.col("_side") == 1)
+
+    fresh = (
+        F.unix_micros(F.col("_c_ts")) - F.unix_micros(F.col(on))
         <= F.lit(tolerance_s).cast("long") * 1_000_000
         if tolerance_s is not None
         else F.lit(True)

@@ -524,6 +524,90 @@ def run_funnel_detect_available_now(
     return spark.table(query_name)
 
 
+CEP_OUT_SCHEMA = "user_id long, view_us long, purchase_us long"
+_CEP_STATE_SCHEMA = "started_us long"  # 0 = idle (no live view)
+
+
+def pattern_completions_stream(events: DataFrame) -> DataFrame:
+    """CEP regex automaton per user for the pattern view (click)* purchase
+    — the FOURTH custom stateful operator, and the streaming twin of the
+    declarative batch query events_cep_completions (equivalence asserted
+    in tests/test_round6e.py).
+
+    Automaton over the user's (ts, event_id)-ordered stream:
+      view      -> (re)arm with this view's timestamp (a second view
+                   restarts the attempt — 'view' is not 'click');
+      click     -> keeps an armed attempt alive, ignored otherwise;
+      purchase  -> if armed, EMIT (view_us, purchase_us) and disarm;
+      anything else -> disarm.
+    State is ONE long per user (the armed view's micros, 0 = idle) — a
+    true automaton, no event buffering; emissions can happen repeatedly
+    per user (each completion needs a fresh view). Same TTL note as the
+    funnel: unbounded by design here; production adds an event-time TTL."""
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        started = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        out_views: list[int] = []
+        out_purch: list[int] = []
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+            types = rows["event_type"].to_numpy()
+            for t, typ in zip(ts_us, types):
+                t = int(t)
+                if typ == "view":
+                    started = t
+                elif typ == "click":
+                    pass
+                elif typ == "purchase":
+                    if started != 0:
+                        out_views.append(started)
+                        out_purch.append(t)
+                    started = 0
+                else:
+                    started = 0
+            state.update((started,))
+        if out_views:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_views),
+                    "view_us": out_views,
+                    "purchase_us": out_purch,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=CEP_OUT_SCHEMA,
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_pattern_completions_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_cep"
+) -> DataFrame:
+    """Drive the CEP automaton over the directory stream with availableNow
+    into a memory sink; returns the completion rows."""
+    stream = pattern_completions_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def daily_type_revenue(events: DataFrame, with_watermark: bool = False) -> DataFrame:
     """Per-(day window, event_type) DECIMAL-exact revenue — the
     aggregation half of windowed top-k, built once for batch and
