@@ -309,3 +309,23 @@ def test_clean_pipeline_exact_dedup_is_single_window_pass(plans):
     assert "WindowGroupLimit" in p
     assert p.count("InMemoryRelation") >= 1  # minhash sigs
     assert "CartesianProduct" not in p
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """Blanket scale guardrail: NO registered (non-streaming) query may
+    compile to a CartesianProduct — every cross join in the registry is a
+    broadcast of a contractually-tiny side (scalar totals, k-row centroid
+    tables), which AQE/planner must render as BroadcastNestedLoopJoin.
+    A CartesianProduct appearing anywhere means a scalar side silently
+    grew or lost its broadcast and would be a full N x M shuffle at
+    100 TB. Streaming queries are excluded (calling them runs the
+    availableNow job; their sink-side plans are covered by
+    tests/test_streaming.py)."""
+    offenders = []
+    for name, fn in q.queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []

@@ -35,6 +35,12 @@ SQL_PORTABLE = [
     "events_windowed_topk",
     "stream_windowed_topk",
     "olap_unpivot_metrics",
+    # round-6 session additions that are also ANSI-portable
+    "events_heavy_hitters",
+    "dq_k_anonymity",
+    "corpus_length_gini",
+    "events_audience_overlap",
+    "events_forecast_seasonal_naive",
 ]
 
 @pytest.fixture(scope="module")
