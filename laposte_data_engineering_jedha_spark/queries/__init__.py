@@ -576,6 +576,9 @@ ROUND6_ADDED: list[str] = [
     "events_forecast_seasonal_naive",
     "corpus_length_gini",
     "text_readability",
+    # round-6 session batch 8 (queries/round6h.py)
+    "dedup_minhash_calibration",
+    "events_ab_health",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -616,7 +619,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
