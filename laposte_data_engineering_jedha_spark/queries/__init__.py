@@ -579,6 +579,8 @@ ROUND6_ADDED: list[str] = [
     # round-6 session batch 8 (queries/round6h.py)
     "dedup_minhash_calibration",
     "events_ab_health",
+    # round-6 session batch 9 (queries/io.py)
+    "src_partitioned_roundtrip",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5

@@ -177,3 +177,36 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's format set — a lake standardized on ORC/Hive switches
     WRITER_MAP['orc'] in and nothing else changes)."""
     return _roundtrip(spark, sf_dir, "orc", ".orc")
+
+
+@query(
+    "src_partitioned_roundtrip",
+    """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events WHERE event_type = 'purchase'""",
+)
+def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned source: events written
+    `partitionBy(event_type)`, read back filtered to one partition. The
+    value-hash proves the layout round-trip is lossless (partition column
+    rehydrated from directory names, timestamps micro-exact); the plan
+    pin in tests/test_plans.py proves the filter became a PartitionFilter
+    (the scan never touches the other 4/5 of the data) — the layout
+    pattern that turns a 100 TB full scan into a 20 TB one before a
+    single row is read."""
+    from . import events_table
+
+    ev = events_table(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="laposte_rt_part_")
+    path = os.path.join(tmp, "events_by_type.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").cast("string").alias("event_type"),
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )

@@ -1110,8 +1110,65 @@ def round6b_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round6c_scale(spark) -> None:
+    """Round-6 batch 5-9 operators at 20-200x fixtures through the real
+    registered query functions (staged temp sf_dir, disjoint user spaces
+    per copy): forward as-of, CEP completions, audience overlap,
+    seasonal-naive forecast, table checksums, minhash calibration."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round6e,
+        round6f,
+        round6g,
+        round6h,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round6c_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        big = ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        big.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+        timed("asof_next_error (forward) @21M events",
+              round6e.events_asof_next_error(spark, tmp))
+        timed("cep_completions @21M events",
+              round6e.events_cep_completions(spark, tmp))
+        timed("audience_overlap @21M events",
+              round6f.events_audience_overlap(spark, tmp))
+        timed("forecast_seasonal_naive @21M events",
+              round6g.events_forecast_seasonal_naive(spark, tmp))
+
+        docs = blown_up_docs(spark, 200)
+        docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("web").alias("source"), F.length("text").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("length_gini @1M docs", round6g.corpus_length_gini(spark, tmp))
+        docs100k = blown_up_docs(spark, 20)
+        docs100k.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("web").alias("source"), F.length("text").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("minhash_calibration @100k docs",
+              round6h.dedup_minhash_calibration(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "round6b": round6b_scale,
+    "round6c": round6c_scale,
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,

@@ -329,3 +329,14 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
+    """src_partitioned_roundtrip's read side must carry the event_type
+    predicate as a PartitionFilter on the scan (directory pruning), not a
+    post-scan Filter — the entire point of the partitioned layout."""
+    from laposte_data_engineering_jedha_spark.queries import io as qio
+
+    df = qio.src_partitioned_roundtrip(spark, sf_dir)
+    plan = plan_text(df)
+    assert re.search(r"PartitionFilters: \[.*event_type.*purchase", plan), plan[:2000]
