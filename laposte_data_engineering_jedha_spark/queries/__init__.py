@@ -587,6 +587,13 @@ ROUND6_ADDED: list[str] = [
 # queue entries + the two round-6 oracle graduations + the 17 OLDEST
 # ROUND3_VERIFIED parity queries (driver rows dated r03) — starting the
 # second full-registry external pass.
+#
+# ROUND-7 ROTATION (stage at round-7 start): window = all 32
+# oracle-bearing ROUND6_ADDED entries + ROUND3_VERIFIED[17:35] (the 18
+# next-oldest r03 rows, continuing the second full-registry pass) = 50.
+# Move ROUND6_ADDED ahead of ROUND3_VERIFIED[17:35] in
+# DRIVER_WINDOW_PRIORITY and update
+# tests/test_drivers.py::test_driver_window_priority_matches_registry.
 DRIVER_WINDOW_PRIORITY = [
     *ROUND5_DEFERRED,
     *ROUND5_ADDED,
