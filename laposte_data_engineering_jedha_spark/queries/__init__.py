@@ -581,6 +581,8 @@ ROUND6_ADDED: list[str] = [
     "events_ab_health",
     # round-6 session batch 9 (queries/io.py)
     "src_partitioned_roundtrip",
+    # round-6 session batch 10 (queries/round6i.py)
+    "embedding_power_iteration",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -628,7 +630,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
