@@ -1162,6 +1162,13 @@ def round6c_scale(spark) -> None:
         ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
         timed("minhash_calibration @100k docs",
               round6h.dedup_minhash_calibration(spark, tmp))
+
+        from laposte_data_engineering_jedha_spark.queries import round6i
+
+        vecs = blown_up_vecs(spark, 80)
+        vecs.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        timed("power_iteration @400k vectors",
+              round6i.embedding_power_iteration(spark, tmp))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
