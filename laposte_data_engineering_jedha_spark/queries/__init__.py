@@ -583,6 +583,11 @@ ROUND6_ADDED: list[str] = [
     "src_partitioned_roundtrip",
     # round-6 session batch 10 (queries/round6i.py)
     "embedding_power_iteration",
+    # round-6 session batch 11 (queries/round6j.py)
+    "olap_cumulative_revenue_share",
+    "olap_supplier_hhi",
+    "events_lag_features",
+    "events_markov_absorb2",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -630,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
