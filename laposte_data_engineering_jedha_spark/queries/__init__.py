@@ -588,6 +588,10 @@ ROUND6_ADDED: list[str] = [
     "olap_supplier_hhi",
     "events_lag_features",
     "events_markov_absorb2",
+    # round-6 session batch 12 (queries/round6k.py)
+    "olap_abc_classification",
+    "events_sankey_edges",
+    "corpus_length_vs_norm_corr",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -635,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
