@@ -592,6 +592,10 @@ ROUND6_ADDED: list[str] = [
     "olap_abc_classification",
     "events_sankey_edges",
     "corpus_length_vs_norm_corr",
+    # round-6 session batch 13 (queries/round6l.py)
+    "olap_ship_cycle_percentiles",
+    "events_new_vs_returning",
+    "dq_referential_orphans",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -599,10 +603,11 @@ ROUND6_ADDED: list[str] = [
 # ROUND3_VERIFIED parity queries (driver rows dated r03) — starting the
 # second full-registry external pass.
 #
-# ROUND-7 ROTATION (stage at round-7 start): window = all 32
-# oracle-bearing ROUND6_ADDED entries + ROUND3_VERIFIED[17:35] (the 18
-# next-oldest r03 rows, continuing the second full-registry pass) = 50.
-# Move ROUND6_ADDED ahead of ROUND3_VERIFIED[17:35] in
+# ROUND-7 ROTATION (stage at round-7 start): window = the FIRST 50 of
+# ROUND6_ADDED (RECOUNT — the list kept growing through round-6 session
+# batches; if it exceeds 50, the overflow heads the round-8 queue; if
+# under, fill with the next-oldest ROUND3_VERIFIED[17:] rows to 50).
+# Move the window slice ahead of ROUND3_VERIFIED[17:] in
 # DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry.
 DRIVER_WINDOW_PRIORITY = [
@@ -639,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
