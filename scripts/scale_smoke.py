@@ -1173,9 +1173,84 @@ def round6c_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round6d_scale(spark) -> None:
+    """Round-6 batch 11-14 at 10-200x fixtures through the registered
+    query functions: events features/journeys at 21M events, lineitem
+    economics (HHI, ABC, cumulative share, SLA percentiles, basket
+    rules) at ~6M lines (10x, disjoint order/part key spaces)."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round6j,
+        round6k,
+        round6l,
+        round6m,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round6d_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        big = ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        big.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        # count() alone would let ColumnPruning drop the window exprs —
+        # aggregate a produced column so the windows actually execute
+        timed(
+            "lag_features @21M events",
+            round6j.events_lag_features(spark, tmp).agg(
+                F.sum("roll5_cents").alias("_chk")
+            ),
+        )
+        timed("markov_absorb2 @21M events", round6j.events_markov_absorb2(spark, tmp))
+        timed("sankey_edges @21M events", round6k.events_sankey_edges(spark, tmp))
+        timed("new_vs_returning @21M events",
+              round6l.events_new_vs_returning(spark, tmp))
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        lcopies = spark.range(10).select(F.col("id").alias("_c"))
+        li_rest = [c for c in li.columns if c != "l_orderkey"]
+        bigli = li.crossJoin(lcopies).select(
+            (F.col("l_orderkey") + F.col("_c") * 100_000_000).alias("l_orderkey"),
+            *li_rest,
+        )
+        bigli.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        for t in ["orders", "supplier", "nation", "part"]:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        # orders also 10x so the lineitem->orders join keys resolve
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        rest = [c for c in o.columns if c != "o_orderkey"]
+        o.crossJoin(lcopies).select(
+            (F.col("o_orderkey") + F.col("_c") * 100_000_000).alias("o_orderkey"),
+            *rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+        timed("supplier_hhi @6M lines", round6j.olap_supplier_hhi(spark, tmp))
+        timed("cumulative_share @6M lines",
+              round6j.olap_cumulative_revenue_share(spark, tmp))
+        timed("abc_classification @6M lines",
+              round6k.olap_abc_classification(spark, tmp))
+        timed("ship_cycle_percentiles @6M lines",
+              round6l.olap_ship_cycle_percentiles(spark, tmp))
+        timed("basket_affinity @6M lines", round6m.olap_basket_affinity(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "round6b": round6b_scale,
     "round6c": round6c_scale,
+    "round6d": round6d_scale,
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
