@@ -603,6 +603,9 @@ ROUND6_ADDED: list[str] = [
     "olap_discount_quantity_corr",
     # round-6 session batch 16 (queries/round6o.py)
     "corpus_source_tv_distance",
+    # round-6 session batch 17 (queries/round6p.py)
+    "events_session_bounce_rate",
+    "embedding_knn_label_accuracy",
 ]
 
 # Round-6 window (first 50): the 31 never-driver-hash-checked round-5
@@ -651,7 +654,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
