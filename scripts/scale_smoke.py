@@ -1247,10 +1247,61 @@ def round6d_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round6e_scale(spark) -> None:
+    """Round-6 batch 15-17 at 200x fixtures through the registered query
+    functions (matches the SCALE.md 'batch 15-17' rows): TV distance +
+    cross-source passage matrix at 1M docs, bounce rate at 21M events,
+    and the gemm-kernel 1-NN probe at 400k vectors."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round6n,
+        round6o,
+        round6p,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round6e_")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(200).select(F.col("id").alias("rep"))
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("tv_distance @1M docs", round6o.corpus_source_tv_distance(spark, tmp))
+        timed("cross_source_dupes @1M docs (worst case)",
+              round6n.corpus_cross_source_dupes(spark, tmp))
+
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        timed("bounce_rate @21M events",
+              round6p.events_session_bounce_rate(spark, tmp))
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        timed("knn_label_accuracy (gemm) @400k vectors",
+              round6p.embedding_knn_label_accuracy(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "round6b": round6b_scale,
     "round6c": round6c_scale,
     "round6d": round6d_scale,
+    "round6e": round6e_scale,
     "chain": chain_scale,
     "incr": incr_scale,
     "round5b": round5b_scale,
