@@ -524,8 +524,8 @@ ROUND4_VERIFIED = [
     "events_ab_conversion",
     "multimodal_frame_sample",
     "multimodal_features",
-    # rows-only op (no SQL twin) — driver recorded the weaker rows-only check
-    "ivf_knn",
+    # ivf_knn sat here through round 6 (rows-only r04 row); it graduated to
+    # a full oracle in round 7 and moved to ROUND7_GRADUATED.
 ]
 
 # Queries that graduated from rows-only to a full oracle in round 6 and
@@ -608,31 +608,44 @@ ROUND6_ADDED: list[str] = [
     "embedding_knn_label_accuracy",
 ]
 
-# Round-6 window (first 50): the 31 never-driver-hash-checked round-5
-# queue entries + the two round-6 oracle graduations + the 17 OLDEST
-# ROUND3_VERIFIED parity queries (driver rows dated r03) — starting the
-# second full-registry external pass.
+# `ivf_knn` graduated from rows-only to a full oracle in round 7: the
+# registered query (queries/round7.py) runs the complete pinned-codebook
+# retrieval path — assign, probe, cosine re-rank, top-k — with a DuckDB
+# twin, so it has NEVER had an external hash row and takes the 50th
+# round-7 window slot (precedent: ROUND6_GRADUATED). It is listed here,
+# not in ROUND4_VERIFIED (its r04 row was the weaker rows-only check).
+ROUND7_GRADUATED = [
+    "ivf_knn",
+]
+
+# Round-7 additions: registered AFTER the window (replica-gate coverage
+# now, round-8 window candidates).
+ROUND7_ADDED: list[str] = []
+
+# Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
+# until now) + the ivf_knn oracle graduation (first-ever hash row).
 #
-# ROUND-7 ROTATION (stage at round-7 start): window = the FIRST 50 of
-# ROUND6_ADDED (RECOUNT — the list kept growing through round-6 session
-# batches; if it exceeds 50, the overflow heads the round-8 queue; if
-# under, fill with the next-oldest ROUND3_VERIFIED[17:] rows to 50).
-# Move the window slice ahead of ROUND3_VERIFIED[17:] in
+# ROUND-8 ROTATION (stage at round-8 start): window = ROUND7_ADDED
+# (RECOUNT at round close) + next-oldest externally-verified rows to fill
+# 50, oldest first: ROUND3_VERIFIED[17:] (r03 rows), then ROUND4_ADDED /
+# ROUND4_VERIFIED (r04 rows). Move the window slice to the head of
 # DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry.
 DRIVER_WINDOW_PRIORITY = [
+    *ROUND6_ADDED,
+    *ROUND7_GRADUATED,
+    # --- past the 50-query window: externally verified in earlier rounds,
+    # kept on the in-repo replica gate; r03 remainder first (oldest rows,
+    # next in the rotation after ROUND7_ADDED) ---
+    *ROUND3_VERIFIED[17:],
+    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
+    *ROUND4_VERIFIED,
     *ROUND5_DEFERRED,
     *ROUND5_ADDED,
     *ROUND6_GRADUATED,
     *ROUND3_VERIFIED[:17],
-    # --- past the 50-query window: externally verified in earlier rounds,
-    # kept on the in-repo replica gate; r03 remainder first (oldest rows,
-    # next in the rotation) ---
-    *ROUND3_VERIFIED[17:],
-    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
-    *ROUND4_VERIFIED,
-    # --- round-7 window queue ---
-    *ROUND6_ADDED,
+    # --- round-8 window queue ---
+    *ROUND7_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}
@@ -654,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

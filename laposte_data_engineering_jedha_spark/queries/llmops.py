@@ -1323,16 +1323,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_knn")  # no SQL twin: k-means fit is iterative, not SQL-expressible
-# (the assignment math has one: queries/round5.py:ivf_assign_pinned)
-def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: k-means coarse quantizer (fit on a capped
-    seeded sample), n_probe nearest centroid lists per query, exact cosine
-    re-rank inside the probed lists (operators/similarity.py:ivf_knn).
-    Rows-only driver check; recall against brute force is asserted in
-    tests/test_llmops.py."""
-    emb = table(spark, sf_dir, "embeddings")
-    return similarity.ivf_knn(emb, emb.where(F.col("vec_id") < 8), k=5)
+# `ivf_knn` graduated to a full DuckDB hash row in round 7: the registered
+# query (queries/round7.py) runs the complete retrieval path against the
+# pinned codebook. The fitted-quantizer operator
+# (operators/similarity.py:ivf_knn) stays recall-tested in
+# tests/test_llmops.py.
 
 
 # ============================== events analytics =============================

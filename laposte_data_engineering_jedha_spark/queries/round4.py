@@ -632,6 +632,9 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_PQ_M = 4
+
+
 @query("embedding_pq_codes")  # no SQL twin: k-means codebook fit is iterative
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the embedding corpus: 4 subspaces
@@ -641,9 +644,23 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encode math itself earns a full hash row via the pinned-codebook
     twin queries/round5.py:embedding_pq_encode_pinned. Reconstruction-error
     sanity (true codebook beats a mismatched one, error halves from m=2
-    to m=8) is asserted in tests/test_llmops.py."""
+    to m=8) is asserted in tests/test_llmops.py.
+
+    The operator returns `codes array<int>`; the REGISTERED projection
+    unpacks one IntegerType column per subspace — external drivers
+    canonicalize even rows-only output in pandas, and a list-typed column
+    is unsortable/unhashable there (the one red row in CORRECTNESS_r06).
+    Registered queries return atomic columns only, enforced registry-wide
+    by tests/test_plans.py::test_registry_returns_atomic_columns_only."""
     from ..operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    books = similarity.pq_fit_codebooks(emb, m=4, k=16, dim=_EMB_DIM)
-    return similarity.pq_encode(emb, books)
+    books = similarity.pq_fit_codebooks(emb, m=_PQ_M, k=16, dim=_EMB_DIM)
+    enc = similarity.pq_encode(emb, books)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("codes", j + 1).alias(f"code{j}")
+            for j in range(_PQ_M)
+        ],
+    )

@@ -247,41 +247,33 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-6 rotation: the 50-slot window = the 31 round-5 queue entries
-    # (3 deferred + 28 round-5 additions, none ever driver-hash-checked) +
-    # the 2 round-6 oracle graduations (first-ever hash rows) + the 17
-    # OLDEST r03-verified parity queries (second full-registry pass).
+    # round-7 rotation: the 50-slot window = the 49 round-6 additions
+    # (replica-gate-only until now) + the ivf_knn oracle graduation
+    # (first-ever hash row — its r04 row was the weaker rows-only check).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND5_DEFERRED) == 3 and len(q.ROUND5_ADDED) == 28
-    assert set(window) == (
-        set(q.ROUND5_DEFERRED)
-        | set(q.ROUND5_ADDED)
-        | set(q.ROUND6_GRADUATED)
-        | set(q.ROUND3_VERIFIED[:17])
-    )
-    # every slot except the one declared rows-only op carries a full hash
-    rows_only_in_window = {"embedding_pq_codes"}
-    assert all(
-        name in q.ORACLE_SQL for name in window if name not in rows_only_in_window
-    )
+    assert len(q.ROUND6_ADDED) == 49 and len(q.ROUND7_GRADUATED) == 1
+    assert set(window) == set(q.ROUND6_ADDED) | set(q.ROUND7_GRADUATED)
+    # every window slot carries a full hash (the whole round-7 window is
+    # oracle-bearing — no rows-only entries this round)
+    assert all(name in q.ORACLE_SQL for name in window)
     # the graduations really did graduate
     assert all(name in q.ORACLE_SQL for name in q.ROUND6_GRADUATED)
+    assert all(name in q.ORACLE_SQL for name in q.ROUND7_GRADUATED)
     # registry partition covers everything registered
     assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_ADDED) | set(
         q.ROUND4_VERIFIED
-    ) | set(q.ROUND6_ADDED) == set(q.SPARK_QUERIES)
-    # round-6 additions queue behind the window (round-7 candidates)
+    ) | set(q.ROUND5_ADDED) | set(q.ROUND6_GRADUATED) | set(
+        q.ROUND7_ADDED
+    ) == set(q.SPARK_QUERIES)
+    # round-7 additions queue behind the window (round-8 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND6_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND7_ADDED
     )
-    # rows-only is down to the two iterative fits with no SQL twin (both
-    # have pinned-constant hash twins: ivf_assign_pinned /
+    # rows-only is down to the ONE iterative fit with no SQL twin (its
+    # encode math has a pinned-constant hash twin:
     # embedding_pq_encode_pinned)
-    assert set(q.SPARK_QUERIES) - set(q.ORACLE_SQL) == {
-        "ivf_knn",
-        "embedding_pq_codes",
-    }
+    assert set(q.SPARK_QUERIES) - set(q.ORACLE_SQL) == {"embedding_pq_codes"}
 
 
 def test_webapi_serves_console_ui(webapp):

@@ -311,23 +311,69 @@ def test_clean_pipeline_exact_dedup_is_single_window_pass(plans):
     assert "CartesianProduct" not in p
 
 
-def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_dfs(spark, sf_dir):
+    """Every registered non-streaming query built ONCE (construction is the
+    expensive part for the eager-fit queries) and shared by the blanket
+    registry guardrails below. Streaming queries are excluded (calling them
+    runs the availableNow job; their sink-side plans are covered by
+    tests/test_streaming.py and their output schemas by the atomic-columns
+    test's explicit stream pass)."""
+    return {
+        name: fn(spark, sf_dir)
+        for name, fn in q.queries().items()
+        if not name.startswith("stream_")
+    }
+
+
+def test_no_registered_query_plans_a_cartesian_product(registry_dfs):
     """Blanket scale guardrail: NO registered (non-streaming) query may
     compile to a CartesianProduct — every cross join in the registry is a
     broadcast of a contractually-tiny side (scalar totals, k-row centroid
     tables), which AQE/planner must render as BroadcastNestedLoopJoin.
     A CartesianProduct appearing anywhere means a scalar side silently
     grew or lost its broadcast and would be a full N x M shuffle at
-    100 TB. Streaming queries are excluded (calling them runs the
-    availableNow job; their sink-side plans are covered by
-    tests/test_streaming.py)."""
+    100 TB."""
     offenders = []
-    for name, fn in q.queries().items():
-        if name.startswith("stream_"):
-            continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for name, df in registry_dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)
+    assert offenders == []
+
+
+def test_registry_returns_atomic_columns_only(registry_dfs):
+    """Blanket driver-contract guardrail: every registered query must
+    return ATOMIC top-level columns — no array/map/struct. External
+    drivers canonicalize results (including rows-only output) through a
+    pandas sort/hash, and a list-typed column is unhashable there: the one
+    red row in CORRECTNESS_r06 was `embedding_pq_codes` returning
+    `codes array<int>` ("unhashable type: 'list'"). Operators may return
+    nested types; REGISTERED projections must unpack or concat_ws them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, df in registry_dfs.items():
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert offenders == []
+
+
+def test_stream_registry_returns_atomic_columns_only(spark, sf_dir):
+    """Same driver-contract guardrail for the streaming queries (built
+    separately — constructing them runs the availableNow micro-batch
+    job, so they are kept out of the shared registry_dfs fixture)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in q.queries().items():
+        if not name.startswith("stream_"):
+            continue
+        df = fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert offenders == []
 
 
