@@ -19,22 +19,35 @@ The full legacy object ({"metric", "value", "unit", "queries": {...},
 
 Each query is fully materialized via the `noop` sink (executes the whole
 plan, no collect-to-driver, no disk write) — wall-clock measures plan
-execution only. The warm-up pass runs every query ONCE AT THE TARGET SF
-before timing, mirroring the reference's warm-up protocol
+execution only. Each query is warmed ONCE AT THE TARGET SF immediately
+before its timed runs, mirroring the reference's warm-up protocol
 (benchmarks.py:37-43 warms the same scenario it then times): this
-amortizes JVM/codegen startup AND fills the persisted projections the
-chain queries share (minhash signatures, banded LSH src, kept2), so the
-3 timed runs measure steady-state execution rather than run-1 cache
-fill — medians are barely affected (the median of [cold, warm, warm]
-was already warm), but per-query spread stops reporting the one-off
-fill cost as if it were plan noise. (Rounds 1-5 warmed at sf0.001;
-the protocol change is documented in BASELINE.md.)
+amortizes JVM/codegen startup AND fills the query's own persisted
+projections (minhash signatures, banded LSH src, kept2), so the 3 timed
+runs measure steady-state execution rather than run-1 cache fill. After a
+query's timed runs, `operators.caches.release_all()` unpersists every
+relation its operators registered — each query is measured self-contained
+(warm -> time -> release), which removes the round-6-documented
+cache-order sensitivity (dedup-family timings swung 0.14 s <-> 3 s with
+warm-up order) AND the unbounded persisted-RDD accumulation across a
+230-query session (ADVICE r6). (Rounds 1-5 warmed at sf0.001; round 6
+warmed the whole registry before timing any of it; protocol changes are
+documented in BASELINE.md.)
 
 Noise-aware (round-2 verdict item 8): each query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
 MEDIAN, with per-query (max - min) spread under "spread" and the run count
 under "n_runs" — a single-run environment wobble (round 2's uniform ×1.19)
 can no longer masquerade as a plan regression.
+
+Cross-round comparability (round-6 verdict item 6): the headline carries
+`r01_intersection_sec` / `r01_intersection_ratio` (this run's total over
+the 67 queries recorded in BENCH_r01.json vs that round's 49.4 s) and
+`prev_intersection_sec` / `prev_intersection_ratio` (vs the previous
+round's committed BENCH_DETAIL snapshot) — the gate numbers the judge
+previously had to recompute by hand. Raw ratios; divide by the
+calib_shuffle_sec ratio between hosts before reading them as plan changes
+(BASELINE.md).
 """
 
 from __future__ import annotations
@@ -49,10 +62,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from laposte_data_engineering_jedha_spark import queries as q  # noqa: E402
+from laposte_data_engineering_jedha_spark.operators import caches  # noqa: E402
 from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# bump once per round after the driver records BENCH_r{N}: the snapshot the
+# prev_intersection_* fields compare against
+_PREV_DETAIL = "BENCH_DETAIL_r06.json"
+
 
 def run_query(fn, spark, sf_dir) -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def _reference_queries(path: str) -> dict[str, float]:
+    """Per-query seconds from a committed bench artifact: either a driver
+    record (BENCH_r01.json, map under parsed.queries) or a BENCH_DETAIL
+    snapshot (map under queries). Missing/unparseable -> {} (the
+    intersection fields are then omitted, never wrong)."""
+    try:
+        with open(os.path.join(_HERE, path)) as fh:
+            doc = json.load(fh)
+        doc = doc.get("parsed") or doc
+        return {k: float(v) for k, v in (doc.get("queries") or {}).items()}
+    except Exception:
+        return {}
+
+
+def intersection_metrics(times: dict[str, float]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for label, path in [("r01", "BENCH_r01.json"), ("prev", _PREV_DETAIL)]:
+        ref = _reference_queries(path)
+        common = [name for name in ref if name in times]
+        if not common:
+            continue
+        ours = round(sum(times[name] for name in common), 3)
+        theirs = round(sum(ref[name] for name in common), 3)
+        out[f"{label}_intersection_sec"] = ours
+        out[f"{label}_intersection_ratio"] = round(ours / theirs, 3)
+        out[f"{label}_intersection_n"] = len(common)
+    return out
 
 
 def machine_calibration(spark) -> dict[str, float]:
@@ -107,16 +156,16 @@ def main() -> None:
     spark = get_spark(app_name="laposte_bench")
 
     registry = q.queries()
-    for name, fn in registry.items():  # warm-up at the TARGET sf (see header)
-        try:
-            run_query(fn, spark, sf_dir)
-        except Exception as exc:  # pragma: no cover - warm-up is best-effort
-            print(f"warmup {name} failed: {exc}", file=sys.stderr)
-
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in registry.items():
+        # warm-up at the TARGET sf, immediately before this query's timed
+        # runs (see header: self-contained warm -> time -> release)
+        try:
+            run_query(fn, spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - warm-up is best-effort
+            print(f"warmup {name} failed: {exc}", file=sys.stderr)
         samples: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -127,6 +176,7 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"
                 print(f"bench {name} FAILED: {errors[name]}", file=sys.stderr)
                 break
+        caches.release_all()  # operator-persisted relations die with the query
         if samples:
             times[name] = round(statistics.median(samples), 3)
             spread[name] = round(max(samples) - min(samples), 3)
@@ -144,6 +194,7 @@ def main() -> None:
         "n_queries": len(times),
         "n_errors": len(errors),
         **machine_calibration(spark),
+        **intersection_metrics(times),
     }
     detail = {**headline, "queries": times, "spread": spread}
     if errors:

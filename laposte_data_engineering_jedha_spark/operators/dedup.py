@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import texts, vectors
 from ..functions.vectors import _ltr_dot
+from . import caches
 
 
 def _ltr_sq(m):
@@ -177,10 +178,11 @@ def minhash_lsh_pairs(
     equal (SCALE.md finding 11) each reference would otherwise re-run the
     tokenize->shingle->minhash kernels AND the whole upstream input plan
     — ruinous when the input is itself a filter chain, as in
-    corpus_clean_pipeline. The persisted projection is narrow (no text);
-    the handle is exposed on the result as `_lsh_sigs` so composing
-    callers can unpersist after materializing, and LRU eviction bounds
-    the cost if they never do."""
+    corpus_clean_pipeline. The persisted projection is narrow (no text)
+    and registered with operators/caches.py, so batch runners release it
+    via `caches.release_all()` after materializing (ADVICE r6 — a
+    monkey-patched handle was lost on any downstream transform); LRU
+    eviction bounds the cost for runners that never do."""
     hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
     sigs = (
         df.select(F.col(id_col), hashes.alias("hashes"))
@@ -193,7 +195,7 @@ def minhash_lsh_pairs(
         .repartition(id_col)
     )
     if persist_sigs:
-        sigs = sigs.persist()
+        sigs = caches.track(sigs.persist())
     # Band join carries ONLY (id, band, key): shuffling the shingle-hash
     # arrays through the 4x band explode would quadruple the heavy shuffle
     # for no reason — signatures/hashes are re-attached by id afterwards.
@@ -231,7 +233,6 @@ def minhash_lsh_pairs(
         (F.round(agree / F.lit(texts.MINHASH_PERMS) * 10000) / 10000).alias("est_jaccard"),
         (F.round(jac * 10000) / 10000).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
-    out._lsh_sigs = sigs
     return out
 
 
@@ -548,11 +549,12 @@ def embedding_dup_pairs_lsh(
         # referenced FOUR times (both band sides + both verify sides), so
         # when `df` is itself a join/filter chain (corpus_clean_pipeline_sem
         # feeds the survivor set) the upstream would re-execute 4x. Handle
-        # exposed as `_emb_src` for caller unpersist (SCALE.md finding 11).
+        # registered with operators/caches.py for batch-runner release
+        # (SCALE.md finding 11).
         .repartition("_id")
     )
     if persist_src:
-        src = src.persist()
+        src = caches.track(src.persist())
     banded = src.select(
         "_id",
         F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
@@ -579,7 +581,6 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
-    out._emb_src = src
     return out
 
 

@@ -196,7 +196,9 @@ def knn_graph(
     if persist_src:
         from pyspark import StorageLevel
 
-        src = src.persist(StorageLevel.MEMORY_AND_DISK)
+        from . import caches
+
+        src = caches.track(src.persist(StorageLevel.MEMORY_AND_DISK))
     a = src.select(
         "band",
         "key",

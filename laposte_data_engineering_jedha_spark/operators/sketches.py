@@ -67,10 +67,19 @@ def heavy_hitters(df: DataFrame, key: str, k: int, budget: int = 128) -> DataFra
 
     Requires budget >= k so the MG guarantee (catches freq > n/(budget+1))
     covers the reporting threshold n/k. The candidate set is tiny
-    (partitions x budget rows), so the recount join broadcasts it."""
+    (partitions x budget rows), so the recount join broadcasts it.
+
+    NULL keys are excluded from BOTH the candidate stream and the total n:
+    pandas value_counts drops NaN and the recount equi-join drops NULLs, so
+    counting NULL rows in n would inflate the threshold while making a
+    NULL heavy-hitter group unreportable — the exactness claim vs a plain
+    GROUP BY/HAVING oracle holds over the non-NULL key domain, and the
+    oracle must carry the same `key IS NOT NULL` filter explicitly."""
     if budget < k:
         raise ValueError(f"budget {budget} must be >= k {k} for exactness")
-    keyed = df.select(F.col(key).cast("string").alias(key))
+    keyed = df.select(F.col(key).cast("string").alias(key)).where(
+        F.col(key).isNotNull()
+    )
     cands = mg_candidates(keyed, key, budget=budget).select(key).distinct()
     total = keyed.select(F.count(F.lit(1)).alias("_n"))
     return (

@@ -74,44 +74,43 @@ def load_data(df: DataFrame, config: dict) -> dict:
 
     formats = formats_to_write(fmt)
     os.makedirs(out_path, exist_ok=True)
-    # Fan-out staging policy (round-6 fix, found by the 100M-row e2e run):
-    # caching the frame in memory before the fan-out OOMs the JVM once
-    # rows x width outgrow the heap — the cache unroll competes with 32
-    # concurrent writer tasks' buffers. Above the multi-part threshold,
-    # stage through PARQUET instead: write the parquet sink first (it is
-    # usually one of the requested outputs anyway, so the staging is
-    # free) and re-read it for the remaining sinks — columnar, spill-free,
-    # and the lineage executes exactly once. Below the threshold the
-    # in-memory cache keeps the reference's small-run latency.
-    n_rows = df.count()  # uncached action: memory-safe at any size
-    single = output_conf.get("single_file", "auto")
-    if single == "auto":
-        single = n_rows <= SINGLE_FILE_MAX_ROWS
-    cached = staged = None
+    # Staging policy (round-6 OOM fix + round-6 ADVICE double-pass fix):
+    # the lineage executes EXACTLY ONCE — a multi-part parquet staging
+    # write. Everything downstream (row count for the manifest and the
+    # single-file auto decision, every requested sink) reads the staged
+    # columnar copy. Why not cache+count (pre-round-6) or count-then-write
+    # (round 6)? The in-memory cache unroll OOMs the JVM at 100M rows
+    # (cache unroll competes with 32 concurrent writer tasks' buffers, 10x
+    # e2e run), and a separate uncached count() action executes the whole
+    # lineage a second time. The staged count is a zero-column parquet
+    # scan (footer-speed); when a multi-part parquet OUTPUT is requested,
+    # the staged directory is MOVED into place instead of re-written.
+    spark = df.sparkSession
+    staged = tempfile.mkdtemp(prefix="laposte_stage_")
     try:
-        if len(formats) > 1:
-            if n_rows > SINGLE_FILE_MAX_ROWS:
-                spark = df.sparkSession
-                if "parquet" in formats:
-                    target = os.path.join(out_path, "deliveries.parquet")
-                else:
-                    staged = tempfile.mkdtemp(prefix="laposte_stage_")
-                    target = os.path.join(staged, "deliveries.parquet")
-                WRITER_MAP["parquet"](target, single_file=single).write(df)
-                df = spark.read.parquet(target).select(*df.columns)
-                formats = [f for f in formats if f != "parquet" or staged]
-            else:
-                df = cached = df.cache()
+        stage_target = os.path.join(staged, "deliveries.parquet")
+        WRITER_MAP["parquet"](stage_target, single_file=False).write(df)
+        staged_df = spark.read.parquet(stage_target).select(*df.columns)
+        n_rows = staged_df.count()  # zero-column scan over the stage
+        single = output_conf.get("single_file", "auto")
+        if single == "auto":
+            single = n_rows <= SINGLE_FILE_MAX_ROWS
         for f in formats:
             target = os.path.join(out_path, f"deliveries{EXTENSIONS[f]}")
-            WRITER_MAP[f](target, single_file=single).write(df)
-        manifest = generate_manifest(df, output_conf, n_rows=n_rows)
+            if f == "parquet" and not single:
+                # requested output == the staged layout: move, don't rewrite
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                elif os.path.exists(target):
+                    os.remove(target)
+                shutil.move(stage_target, target)
+                staged_df = spark.read.parquet(target).select(*df.columns)
+                continue
+            WRITER_MAP[f](target, single_file=single).write(staged_df)
+        manifest = generate_manifest(staged_df, output_conf, n_rows=n_rows)
         manifest_path = os.path.join(out_path, "results_manifest.json")
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=2, default=str)
         return manifest
     finally:
-        if cached is not None:
-            cached.unpersist()
-        if staged is not None:
-            shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
-from ..operators import dedup, similarity
+from ..operators import caches, dedup, similarity
 from . import query, table
 from .llmops import (
     _EMB_BANDS,
@@ -267,7 +267,7 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the whole quality+minhash pipeline above recomputes per
     # reference (measured 6.7 s -> ~4 s at sf0.1). The persisted projection
     # is the slim survivor set (id, quality) — ~1% of corpus bytes at scale.
-    kept2 = (
+    kept2 = caches.track(
         kept.join(near, "doc_id", "left_anti").select("doc_id", "quality").persist()
     )
     emb = table(spark, sf_dir, "embeddings").join(

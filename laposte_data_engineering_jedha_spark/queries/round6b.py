@@ -43,8 +43,10 @@ _HH_BUDGET = 128  # MG counters per partition; >= K keeps the result exact
     f"""
 SELECT user_id, count(*) AS n_events
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id
-HAVING count(*) * {_HH_K} > (SELECT count(*) FROM events)
+HAVING count(*) * {_HH_K}
+       > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
 """,
 )
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

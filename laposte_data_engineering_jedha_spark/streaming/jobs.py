@@ -543,7 +543,13 @@ def pattern_completions_stream(events: DataFrame) -> DataFrame:
     State is ONE long per user (the armed view's micros, 0 = idle) — a
     true automaton, no event buffering; emissions can happen repeatedly
     per user (each completion needs a fresh view). Same TTL note as the
-    funnel: unbounded by design here; production adds an event-time TTL."""
+    funnel: unbounded by design here; production adds an event-time TTL.
+    Same in-order-arrival contract as rate_alert_stream (see its
+    docstring): events are sorted per micro-batch only, so a
+    within-watermark event arriving a batch late is folded out of event
+    order — the batch-twin equivalence holds for event-time-ordered
+    feeds; exact late-data semantics would buffer events in state until
+    the watermark passes."""
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -684,6 +690,23 @@ def rate_alert_stream(events: DataFrame) -> DataFrame:
     K-1 past K emits nothing — identical to the batch twin's
     count-over-RANGE == K predicate on both engines, which is what makes
     the contract deterministic under micro-batch ordering.
+
+    IN-ORDER-ARRIVAL ASSUMPTION (ADVICE r6): the fold sorts only WITHIN
+    a micro-batch. A late-but-within-watermark event arriving in a LATER
+    micro-batch is folded after events with larger timestamps already in
+    state: its trailing-(t-1h, t] count then includes those
+    later-timestamped events, and in-window events may already have been
+    pruned by a larger t seen first. Stream/batch-twin equivalence
+    (pinned in tests/test_streaming.py) therefore holds for event-time-
+    ordered feeds — exactly what the availableNow single-batch twin test
+    provides — not for arbitrarily shuffled cross-batch arrival. Exact
+    late-data semantics would require buffering events in state until
+    the watermark passes t before folding them (the aggregation-operator
+    strategy), trading one watermark-delay of emission latency;
+    pattern_completions_stream shares the same per-batch-sort-only
+    contract. Within-watermark reordering is an alerting-accuracy nit
+    (counts near the threshold may differ transiently); it never grows
+    state or emits duplicate alert keys.
 
     State per user = the event timestamps inside the trailing hour
     (bounded by the user's max in-window rate, pruned every fold);

@@ -79,7 +79,12 @@ def canon_rows(pdf: pd.DataFrame) -> list[tuple]:
 
 @pytest.mark.parametrize("name", sorted(q.oracle_sql()))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    from laposte_data_engineering_jedha_spark.operators import caches
+
     spark_pdf = q.queries()[name](spark, sf_dir).toPandas()
+    # 229 oracles share one session: release operator-persisted relations
+    # per query so the replica gate doesn't accumulate cached RDDs
+    caches.release_all()
     oracle_pdf = duck.execute(q.oracle_sql()[name]).df()
 
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), "column names differ"

@@ -58,6 +58,21 @@ def test_heavy_hitters_budget_below_k_raises(spark, sf_dir):
         sketches.heavy_hitters(ev, "user_id", k=64, budget=32)
 
 
+def test_heavy_hitters_nulls_excluded_from_total(spark):
+    """NULL keys must not inflate the threshold: 4 'a' rows + 4 NULL rows,
+    k=2 — with NULLs wrongly counted in n, 'a' (4 of 8) fails 4*2 > 8; with
+    the NULL-free total (ADVICE r6 fix) 'a' (4 of 4) passes. A plain
+    GROUP BY/HAVING oracle over `key IS NOT NULL` agrees."""
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [(None,)] * 4, schema="user_id string"
+    )
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in sketches.heavy_hitters(df, "user_id", k=2, budget=8).collect()
+    }
+    assert got == {("a", 4)}
+
+
 def test_kmv_estimate_within_theory_bounds(spark, sf_dir):
     """KMV with k=16 has relative stddev ~ 1/sqrt(k-2) ~ 27%; assert the
     estimate lands within 4 sigma of exact (deterministic given the data,
