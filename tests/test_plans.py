@@ -311,6 +311,54 @@ def test_clean_pipeline_exact_dedup_is_single_window_pass(plans):
     assert "CartesianProduct" not in p
 
 
+def simple_plan(spark, sf_dir, name):
+    df = q.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_basket_affinity_broadcasts_dims_single_pair_smj(spark, sf_dir):
+    """olap_basket_affinity's scale contract: the part dim and the three
+    stats sides are BROADCAST (lineitem never shuffles for them) and the
+    ONLY shuffle join is the per-order pair self-join — whose fan-out is
+    bounded by the basket's own brand count, the one join that genuinely
+    cannot broadcast at 100 TB. The order-total crossJoin must stay a
+    broadcast nested loop of a 1-row side."""
+    p = simple_plan(spark, sf_dir, "olap_basket_affinity")
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") <= 1  # only the per-order pair stage
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # scalar order total
+    # lineitem scan pruned to exactly the two join/grain columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", p)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_orderkey",
+        "l_partkey",
+    }
+
+
+def test_cross_source_dupes_df_cap_in_plan(spark, sf_dir):
+    """corpus_cross_source_dupes' quadratic guard: the document-frequency
+    cap (2 <= nd <= 32) must appear as a Filter over the per-key distinct
+    count BEFORE the pair join — without it a boilerplate passage shared
+    by K docs fans out K^2 pairs (the hot-cell lesson). Also: no sort-merge
+    or cartesian anywhere (both pair sides arrive hash-partitioned on k)."""
+    p = simple_plan(spark, sf_dir, "corpus_cross_source_dupes")
+    assert re.search(r"Filter \(\(nd#\d+L? >= 2\) AND \(nd#\d+L? <= 32\)\)", p), p[:1500]
+    assert "CartesianProduct" not in p
+
+
+def test_knn_label_accuracy_single_scan_no_join(spark, sf_dir):
+    """embedding_knn_label_accuracy must stay ONE Arrow mapInPandas corpus
+    scan (probe matrix in the kernel closure) + a min-struct aggregate —
+    any Join/extra MapInPandas appearing means the 252 s -> 7.6 s gemm
+    rewrite regressed to a join- or HOF-shaped plan."""
+    p = simple_plan(spark, sf_dir, "embedding_knn_label_accuracy")
+    assert p.count("MapInPandas") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct"):
+        assert op not in p
+    assert "HashAggregate" in p
+
+
 @pytest.fixture(scope="module")
 def registry_dfs(spark, sf_dir):
     """Every registered non-streaming query built ONCE (construction is the
