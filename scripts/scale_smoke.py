@@ -1297,7 +1297,62 @@ def round6e_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round7_scale(spark) -> None:
+    """The four round-6 families VERDICT r6 item 7 flagged as lacking
+    SCALE.md rows, through the registered query functions: RFM segments +
+    cohort LTV at 21M events (200x), discount/quantity correlation and
+    the FK orphan report at ~6M lineitem / 150k orders (10x, key spaces
+    kept disjoint so the FK edges stay resolvable)."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round6,
+        round6l,
+        round6n,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round7_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        timed("rfm_segments @21M events", round6.events_rfm_segments(spark, tmp))
+        timed("cohort_ltv @21M events", round6.events_cohort_ltv(spark, tmp))
+
+        lcopies = spark.range(10).select(F.col("id").alias("_c"))
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li_rest = [c for c in li.columns if c != "l_orderkey"]
+        li.crossJoin(lcopies).select(
+            (F.col("l_orderkey") + F.col("_c") * 100_000_000).alias("l_orderkey"),
+            *li_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o_rest = [c for c in o.columns if c != "o_orderkey"]
+        o.crossJoin(lcopies).select(
+            (F.col("o_orderkey") + F.col("_c") * 100_000_000).alias("o_orderkey"),
+            *o_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        for t in ["customer", "nation", "supplier", "part"]:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        timed("discount_quantity_corr @6M lines",
+              round6n.olap_discount_quantity_corr(spark, tmp))
+        timed("referential_orphans @6M lines",
+              round6l.dq_referential_orphans(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
+    "round7": round7_scale,
     "round6b": round6b_scale,
     "round6c": round6c_scale,
     "round6d": round6d_scale,
