@@ -620,7 +620,13 @@ ROUND7_GRADUATED = [
 
 # Round-7 additions: registered AFTER the window (replica-gate coverage
 # now, round-8 window candidates).
-ROUND7_ADDED: list[str] = []
+ROUND7_ADDED: list[str] = [
+    # round-7 session batch 2 (queries/round7b.py)
+    "events_target_encoding",
+    "eval_value_auc",
+    "olap_numeric_corr_matrix",
+    "events_bot_detection",
+]
 
 # Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
 # until now) + the ivf_knn oracle graduation (first-ever hash row).
@@ -667,7 +673,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
