@@ -105,6 +105,121 @@ def test_corr_matrix_matches_two_pass(spark, sf_dir):
         assert r == pytest.approx(ref, abs=2e-6), (a, b)
 
 
+def test_part_name_links_distinct_grain_weights(spark, tmp_path):
+    """Three 'red bolt' rows and two 'hot bolt' rows produce ONE link row
+    (distinct-name grain) weighted 3*2=6; 'red widget' shares no block
+    noun with the bolts so it never becomes a candidate."""
+    from laposte_data_engineering_jedha_spark.queries import round7c
+
+    d = str(tmp_path / "mini")
+    rows = [
+        (1, "red bolt", "Brand#1", "SMALL", 1, 10.0),
+        (2, "red bolt", "Brand#1", "SMALL", 1, 10.0),
+        (3, "red bolt", "Brand#1", "SMALL", 1, 10.0),
+        (4, "hot bolt", "Brand#2", "SMALL", 1, 10.0),
+        (5, "hot bolt", "Brand#2", "SMALL", 1, 10.0),
+        (6, "red widget", "Brand#3", "SMALL", 1, 10.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    out = round7c.dq_part_name_links(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["name_a"], r["name_b"]) == ("hot bolt", "red bolt")
+    assert r["n_pairs"] == 6 and r["lev"] == 3 and r["block"] == "bolt"
+
+
+def test_uniqueness_report_finds_the_fixture_dup(spark, sf_dir):
+    """Single-column PKs in the fixture are unique; the synthetic
+    lineitem's (orderkey, linenumber) composite is NOT (the generator
+    reuses line numbers within an order) — the report must surface that
+    surplus rather than report a clean table, which is exactly the DQ
+    signal the query exists for."""
+    from laposte_data_engineering_jedha_spark.queries import round7c
+
+    out = {r["table_name"]: r for r in round7c.dq_uniqueness_report(spark, sf_dir).collect()}
+    assert set(out) == {
+        "orders", "customer", "part", "supplier", "events", "documents", "lineitem",
+    }
+    for t, r in out.items():
+        if t == "lineitem":
+            continue
+        assert r["n_dup_rows"] == 0 and r["n_rows"] == r["n_distinct_keys"], t
+    li = out["lineitem"]
+    assert li["n_dup_rows"] == li["n_rows"] - li["n_distinct_keys"] > 0
+
+
+def test_dau_wau_window_semantics(spark, tmp_path):
+    """User 1 active on day 1 only, user 2 on day 5: day-5 WAU=2 (day 1
+    is within the trailing 7), day-1 WAU=1 (windows look BACK only);
+    both days have DAU=1."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 5, 10), 2, "view", 0.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    from laposte_data_engineering_jedha_spark.queries import round7c
+
+    out = {str(r["day"]): r for r in round7c.events_dau_wau_ratio(spark, d).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau"] == 1
+    assert out["2024-01-05"]["dau"] == 1 and out["2024-01-05"]["wau"] == 2
+    assert out["2024-01-05"]["stickiness"] == 0.5
+
+
+def test_holt_linear_hand_computed(spark, tmp_path):
+    """Daily cents 100/200/300: level/trend follow the alpha=beta=1/2
+    recursion exactly (hand-computed: l2=150, b2=25, l3=237.5,
+    b3=56.25)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "view", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 3), 1, "view", 3.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    from laposte_data_engineering_jedha_spark.queries import round7d
+
+    out = {str(r["day"]): r for r in round7d.events_holt_linear(spark, d).collect()}
+    assert out["2024-01-01"]["level"] == 100.0 and out["2024-01-01"]["trend"] == 0.0
+    assert out["2024-01-02"]["level"] == 150.0 and out["2024-01-02"]["trend"] == 25.0
+    assert out["2024-01-03"]["level"] == 237.5 and out["2024-01-03"]["trend"] == 56.25
+    assert out["2024-01-03"]["forecast_next"] == 293.75
+
+
+def test_weekday_seasonality_mass_conservation(spark, sf_dir):
+    """Weekday event counts partition the corpus, and the day-weighted
+    mean of the seasonality indexes is 1 by construction."""
+    from laposte_data_engineering_jedha_spark.queries import round7d
+
+    rows = round7d.events_weekday_seasonality(spark, sf_dir).collect()
+    ev_total = sum(r["n_events"] for r in rows)
+    n_days = sum(r["n_days_wd"] for r in rows)
+    assert ev_total > 0 and 1 <= len(rows) <= 7
+    weighted = sum(
+        r["seasonality_index"] * r["n_days_wd"] * (ev_total / n_days) for r in rows
+    )
+    assert weighted == pytest.approx(ev_total, rel=1e-4)
+
+
+def test_error_burn_alert_integer_exact(spark, tmp_path):
+    """Day 1: 1 error of 2 events (rate 0.5); day 2: 0 of 2. Baseline
+    rate 0.25 -> day-1 burn 2.0 trips the >=2x alert via the integer
+    cross-product; day 2 burns 0."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), 1, "error", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "view", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 1), 1, "view", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 2), 1, "view", 0.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    from laposte_data_engineering_jedha_spark.queries import round7d
+
+    out = {str(r["day"]): r for r in round7d.events_error_burn_rate(spark, d).collect()}
+    assert out["2024-01-01"]["alert"] and out["2024-01-01"]["burn_rate"] == 2.0
+    assert not out["2024-01-02"]["alert"] and out["2024-01-02"]["burn_rate"] == 0.0
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
