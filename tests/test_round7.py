@@ -220,6 +220,91 @@ def test_error_burn_alert_integer_exact(spark, tmp_path):
     assert not out["2024-01-02"]["alert"] and out["2024-01-02"]["burn_rate"] == 0.0
 
 
+def _write_docs(spark, tmp_path, texts_):
+    d = str(tmp_path / "minidocs")
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts_)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_bpe_merge_step_greedy_overlap(spark, tmp_path):
+    """The self-overlapping case that separates greedy left-to-right BPE
+    from anything else: corpus of 'aaa' tokens, winning pair 'aa' —
+    each token merges to symbols [aa, a] (NOT [a, aa] and NOT a double
+    merge), so the recount sees exactly 'aa+a' pairs."""
+    from laposte_data_engineering_jedha_spark.queries import round7e
+
+    d = _write_docs(spark, tmp_path, ["aaa aaa", "aaa"])
+    out = round7e.text_bpe_merge_step(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["merged_pair"] == "aa" and r["sympair"] == "aa+a" and r["n"] == 3
+
+
+def test_ngram_coverage_curve_properties(spark, sf_dir):
+    """Coverage is monotone nondecreasing in K, bounded by 1, and
+    vocab_size never exceeds K."""
+    from laposte_data_engineering_jedha_spark.queries import round7e
+
+    rows = sorted(
+        round7e.corpus_ngram_coverage(spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [4, 8, 16]
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs) and covs[-1] <= 1.0
+    for r in rows:
+        assert r["vocab_size"] <= r["k"]
+        assert r["covered_tokens"] <= r["total_tokens"]
+
+
+def test_vocab_first_seen_monotone_and_complete(spark, sf_dir):
+    """Vocabulary growth is monotone in the prefix fraction and the 100%
+    checkpoint equals the corpus' true distinct-term count."""
+    from laposte_data_engineering_jedha_spark.queries import round7e, table
+    from laposte_data_engineering_jedha_spark.functions import texts as tx
+
+    rows = sorted(
+        round7e.corpus_vocab_first_seen(spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    docs = table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    true_vocab = (
+        docs.select(F.explode(tx.tokens("text")).alias("t")).distinct().count()
+    )
+    assert sizes[-1] == true_vocab
+
+
+def test_bucket_skew_mass_conservation(spark, sf_dir):
+    """Every band indexes every non-zero-norm vector exactly once, and
+    the hottest bucket is at most the whole band."""
+    from laposte_data_engineering_jedha_spark.queries import round7f
+
+    rows = round7f.embedding_bucket_skew(spark, sf_dir).collect()
+    assert len(rows) == 8
+    totals = {r["n_vectors"] for r in rows}
+    assert len(totals) == 1  # same vector mass in every band
+    for r in rows:
+        assert 1 <= r["max_bucket"] <= r["n_vectors"]
+        assert r["n_cand_pairs"] >= r["max_bucket"] * (r["max_bucket"] - 1) // 2
+
+
+def test_norm_profile_bounds(spark, sf_dir):
+    """min <= mean <= max per label, and zero-norm count is consistent
+    with the min."""
+    from laposte_data_engineering_jedha_spark.queries import round7f
+
+    rows = round7f.embedding_norm_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
+        if r["n_zero_norm"] > 0:
+            assert r["min_norm"] == 0.0
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
