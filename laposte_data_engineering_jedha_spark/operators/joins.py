@@ -186,3 +186,45 @@ def range_join(
         & (F.col(left_ts) < F.col(right_end))
     )
     return lb.join(rb, cond, how).drop("_bucket")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    id_cols: list[str],
+    value_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest'): per left
+    row, the CLOSER of the backward and forward matches by absolute time
+    distance, ties resolved to the backward match. Adds `asof_ts` (the
+    matched right timestamp) next to the `asof_{col}` payloads.
+
+    Built as the two union-sort-carry passes reconciled with an equi-join
+    on the left row identity (`id_cols` must uniquely identify left
+    rows): two key shuffles + one id join, still no range join and no
+    broadcast requirement — each pass is the same shape that survives
+    100 TB fact streams, and the reconcile join is keyed on the left's
+    own id."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+    rts = right.withColumn("_rts", F.col(on))
+    vcols = value_cols + ["_rts"]
+    b = asof_join(left, rts, on, by, vcols, tolerance_s, "backward")
+    f = asof_join(left, rts, on, by, vcols, tolerance_s, "forward")
+    fsel = f.select(
+        *id_cols, *[F.col(f"asof_{c}").alias(f"_f_{c}") for c in vcols]
+    )
+    j = b.join(fsel, id_cols)
+    bd = F.unix_micros(F.col(on)) - F.unix_micros(F.col("asof__rts"))
+    fd = F.unix_micros(F.col("_f__rts")) - F.unix_micros(F.col(on))
+    use_b = F.col("asof__rts").isNotNull() & (F.col("_f__rts").isNull() | (bd <= fd))
+    return j.select(
+        *left.columns,
+        *[
+            F.when(use_b, F.col(f"asof_{c}")).otherwise(F.col(f"_f_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.when(use_b, F.col("asof__rts")).otherwise(F.col("_f__rts")).alias("asof_ts"),
+    )

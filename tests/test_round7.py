@@ -305,6 +305,106 @@ def test_norm_profile_bounds(spark, sf_dir):
             assert r["min_norm"] == 0.0
 
 
+def test_open_order_backlog_delta_semantics(spark, tmp_path):
+    """Two orders placed day 1; order 1 fully ships day 2 (its later line
+    day 2 defines the close), order 2 never ships -> backlog 2 then 1."""
+    from laposte_data_engineering_jedha_spark.queries import round7g
+
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", 100.0, dt.datetime(2024, 1, 1), "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1, 1.0, 10.0, dt.datetime(2024, 1, 1, 12)),
+            (1, 2, 1.0, 10.0, dt.datetime(2024, 1, 2, 12)),
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {str(r["day"]): r["open_orders"] for r in round7g.olap_open_order_backlog(spark, d).collect()}
+    assert out["2024-01-01"] == 2 and out["2024-01-02"] == 1
+
+
+def test_transition_timing_planted(spark, tmp_path):
+    """view->click gaps of 10s and 30s: p50 interpolates to 20s, count 2."""
+    from laposte_data_engineering_jedha_spark.queries import round7g
+
+    rows = [
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(10), 1, "click", 0.0, "{}"),
+        (3, _ts(100), 2, "view", 0.0, "{}"),
+        (4, _ts(130), 2, "click", 0.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in round7g.events_transition_timing(spark, d).collect()
+    }
+    r = out[("view", "click")]
+    assert r["n"] == 2 and r["p50_gap_us"] == 20_000_000.0
+
+
+def test_asof_nearest_direction_and_ties(spark, tmp_path):
+    """Purchase at t=100: errors at t=90 (d=10) and t=105 (d=5) -> forward
+    wins; purchase at t=200 with errors at 190/210 (both d=10) -> tie
+    goes BACKWARD; purchase at t=500 with no error within 1h -> null."""
+    from laposte_data_engineering_jedha_spark.queries import round7h
+
+    rows = [
+        (1, _ts(100), 1, "purchase", 1.0, "{}"),
+        (2, _ts(90), 1, "error", 0.0, "{}"),
+        (3, _ts(105), 1, "error", 0.0, "{}"),
+        (4, _ts(200), 2, "purchase", 1.0, "{}"),
+        (5, _ts(190), 2, "error", 0.0, "{}"),
+        (6, _ts(210), 2, "error", 0.0, "{}"),
+        (7, _ts(50000), 3, "purchase", 1.0, "{}"),
+        (8, _ts(10), 3, "error", 0.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_id"]: r["nearest_err_us"] for r in round7h.events_asof_nearest_error(spark, d).collect()}
+    base = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    assert out[1] == base + 105_000_000
+    assert out[4] == base + 190_000_000
+    assert out[7] is None
+
+
+def test_threshold_sweep_mass_matches_candidates(spark, sf_dir):
+    """The histogram buckets partition the full verified-candidate set:
+    sum(n_pairs) equals the threshold-0 pair count, and every bucket is
+    within [0, 10]."""
+    from laposte_data_engineering_jedha_spark.operators import dedup as dd
+    from laposte_data_engineering_jedha_spark.queries import round7h, table
+
+    rows = round7h.dedup_threshold_sweep(spark, sf_dir).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    docs = table(spark, sf_dir, "documents")
+    direct = dd.minhash_lsh_pairs(docs, threshold=0.0).count()
+    assert total == direct
+    assert all(0 <= r["bucket"] <= 10 for r in rows)
+
+
+def test_snapshot_rowdiff_class_arithmetic(spark, sf_dir):
+    """Diff classes must match the synthetic snapshot rules computed
+    directly from the order keys."""
+    from laposte_data_engineering_jedha_spark.queries import round7h, table
+
+    keys = [r["o_orderkey"] for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    exp_added = sum(1 for k in keys if k % 10 == 0)
+    exp_removed = sum(1 for k in keys if k % 10 == 1)
+    both = [k for k in keys if k % 10 not in (0, 1)]
+    exp_changed = sum(1 for k in both if k % 7 == 0)
+    exp_unchanged = len(both) - exp_changed
+    out = {r["diff_class"]: r["n_rows"] for r in round7h.dq_snapshot_rowdiff(spark, sf_dir).collect()}
+    assert out.get("added", 0) == exp_added
+    assert out.get("removed", 0) == exp_removed
+    assert out.get("changed", 0) == exp_changed
+    assert out.get("unchanged", 0) == exp_unchanged
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
