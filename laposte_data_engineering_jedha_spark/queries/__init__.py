@@ -649,6 +649,10 @@ ROUND7_ADDED: list[str] = [
     "events_asof_nearest_error",
     "dedup_threshold_sweep",
     "dq_snapshot_rowdiff",
+    # round-7 session batch 9 (queries/round7i.py)
+    "dq_freshness_report",
+    "olap_nation_share_momentum",
+    "multimodal_chunk_windows",
 ]
 
 # Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
@@ -696,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

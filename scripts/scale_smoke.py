@@ -1351,8 +1351,123 @@ def round7_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round7b_scale(spark) -> None:
+    """Round-7 session additions at 10-200x fixtures through the
+    registered query functions: ML-feature/eval + time-series + ER/DQ at
+    21M events / 6M lineitem / 1M docs / 400k vectors. Measures every
+    new family (dedup_threshold_sweep runs at 100k docs like the minhash
+    calibration — its cost IS the dedup pass it tunes)."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round7b,
+        round7c,
+        round7d,
+        round7e,
+        round7f,
+        round7g,
+        round7h,
+        round7i,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round7b_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        timed("target_encoding @21M events",
+              round7b.events_target_encoding(spark, tmp)
+              .agg(F.sum("te_value").alias("_chk")))
+        timed("value_auc @21M events", round7b.eval_value_auc(spark, tmp))
+        timed("bot_detection @21M events", round7b.events_bot_detection(spark, tmp))
+        timed("dau_wau @21M events", round7c.events_dau_wau_ratio(spark, tmp))
+        timed("holt_linear @21M events", round7d.events_holt_linear(spark, tmp))
+        timed("weekday_seasonality @21M events",
+              round7d.events_weekday_seasonality(spark, tmp))
+        timed("error_burn_rate @21M events",
+              round7d.events_error_burn_rate(spark, tmp))
+        timed("transition_timing @21M events",
+              round7g.events_transition_timing(spark, tmp))
+        timed("asof_nearest @21M events",
+              round7h.events_asof_nearest_error(spark, tmp))
+
+        lcopies = spark.range(10).select(F.col("id").alias("_c"))
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li_rest = [c for c in li.columns if c != "l_orderkey"]
+        li.crossJoin(lcopies).select(
+            (F.col("l_orderkey") + F.col("_c") * 100_000_000).alias("l_orderkey"),
+            *li_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o_rest = [c for c in o.columns if c != "o_orderkey"]
+        o.crossJoin(lcopies).select(
+            (F.col("o_orderkey") + F.col("_c") * 100_000_000).alias("o_orderkey"),
+            *o_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        for t in ["customer", "nation", "supplier", "part", "documents",
+                  "embeddings"]:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        timed("corr_matrix @6M lines", round7b.olap_numeric_corr_matrix(spark, tmp))
+        timed("open_order_backlog @6M lines",
+              round7g.olap_open_order_backlog(spark, tmp))
+        timed("monthly_median @6M lines",
+              round7g.olap_monthly_median_order_value(spark, tmp))
+        timed("share_momentum @6M lines",
+              round7i.olap_nation_share_momentum(spark, tmp))
+        timed("uniqueness_report @6M lines (7 tables)",
+              round7c.dq_uniqueness_report(spark, tmp))
+        timed("snapshot_rowdiff @1.5M orders",
+              round7h.dq_snapshot_rowdiff(spark, tmp))
+        timed("freshness_report @27M rows", round7i.dq_freshness_report(spark, tmp))
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(200).select(F.col("id").alias("rep"))
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("bpe_merge_step @1M docs", round7e.text_bpe_merge_step(spark, tmp))
+        timed("ngram_coverage @1M docs", round7e.corpus_ngram_coverage(spark, tmp))
+        timed("vocab_first_seen @1M docs",
+              round7e.corpus_vocab_first_seen(spark, tmp))
+        timed("chunk_windows @1M docs",
+              round7i.multimodal_chunk_windows(spark, tmp)
+              .agg(F.sum("end_ms").alias("_chk")))
+        timed("part_name_links @20k parts (distinct-name grain)",
+              round7c.dq_part_name_links(spark, tmp))
+
+        docs.crossJoin(spark.range(20).select(F.col("id").alias("rep"))).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("threshold_sweep @100k docs", round7h.dedup_threshold_sweep(spark, tmp))
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        timed("bucket_skew @400k vectors", round7f.embedding_bucket_skew(spark, tmp))
+        timed("norm_profile @400k vectors",
+              round7f.embedding_norm_profile(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "round7": round7_scale,
+    "round7b": round7b_scale,
     "round6b": round6b_scale,
     "round6c": round6c_scale,
     "round6d": round6d_scale,

@@ -405,6 +405,48 @@ def test_snapshot_rowdiff_class_arithmetic(spark, sf_dir):
     assert out.get("unchanged", 0) == exp_unchanged
 
 
+def test_chunk_windows_clamp_and_overlap(spark, tmp_path):
+    """A 70 s audio doc (14,000 bytes at 5 ms/byte) plans chunks
+    [0,30], [25,55], [50,70] — stride 25 s, last window clamped."""
+    from laposte_data_engineering_jedha_spark.queries import round7i
+
+    d = _write_docs(spark, tmp_path, ["x", "y" * 14000, "z"])
+    # doc_id 1 is the audio row (doc_id % 3 == 1)
+    out = sorted(
+        (r["chunk_idx"], r["start_ms"], r["end_ms"])
+        for r in round7i.multimodal_chunk_windows(spark, d).collect()
+    )
+    assert out == [(0, 0, 30000), (1, 25000, 55000), (2, 50000, 70000)]
+
+
+def test_freshness_report_has_zero_lag_leader(spark, sf_dir):
+    """Exactly the freshest table reports zero staleness; every other lag
+    is positive and consistent with the reported max timestamps."""
+    from laposte_data_engineering_jedha_spark.queries import round7i
+
+    rows = round7i.dq_freshness_report(spark, sf_dir).collect()
+    assert len(rows) == 3
+    gmax = max(r["max_us"] for r in rows)
+    for r in rows:
+        assert r["staleness_us"] == gmax - r["max_us"] >= 0
+    assert sum(1 for r in rows if r["staleness_us"] == 0) >= 1
+
+
+def test_nation_share_sums_to_unity(spark, sf_dir):
+    """Per month, integer ppm shares sum to 1e6 minus at most the nation
+    count (floor division loses < 1 ppm per nation)."""
+    from collections import defaultdict
+
+    from laposte_data_engineering_jedha_spark.queries import round7i
+
+    rows = round7i.olap_nation_share_momentum(spark, sf_dir).collect()
+    by_month = defaultdict(list)
+    for r in rows:
+        by_month[r["month"]].append(r["share_ppm"])
+    for month, shares in by_month.items():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000, month
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
