@@ -653,6 +653,11 @@ ROUND7_ADDED: list[str] = [
     "dq_freshness_report",
     "olap_nation_share_momentum",
     "multimodal_chunk_windows",
+    # round-7 session batch 10 (queries/round7j.py)
+    "stream_tumbling_dau",
+    "olap_returns_rate_by_brand",
+    "olap_supplier_delay_variance",
+    "olap_order_value_log2_histogram",
 ]
 
 # Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
@@ -700,7 +705,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -807,3 +807,48 @@ def run_rate_alert_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def tumbling_distinct_users(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Exact hourly DAU as a CHAINED stateful pipeline — streaming
+    deduplication followed by a windowed aggregation in ONE query
+    (multiple event-time stateful operators, supported since Spark 3.5):
+    (window, user) pairs are deduplicated first (state = one row per
+    distinct pair inside the watermark horizon), then counted per
+    window. The two-operator chain is what makes DISTINCT counting
+    possible in append-mode streaming at all — a single windowed
+    count(DISTINCT) is not a supported streaming aggregate, and an
+    approx sketch changes the answer. Batch runs of the SAME plan are
+    the registered oracle query (stream_tumbling_dau).
+
+    Append-mode emission contract: a window row is emitted once the
+    watermark passes its END — windows still open when input is
+    exhausted (end > max event time - WATERMARK) are WITHHELD, never
+    emitted with a provisional count (pinned in tests/test_streaming.py:
+    stream == batch minus exactly those trailing windows)."""
+    e = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    bucketed = e.select(F.window("ts", "1 hour").alias("w"), "user_id")
+    deduped = bucketed.dropDuplicates(["w", "user_id"])
+    return deduped.groupBy("w").agg(F.count(F.lit(1)).alias("dau")).select(
+        F.unix_seconds(F.col("w.start")).alias("bucket_start"), "dau"
+    )
+
+
+def run_tumbling_dau_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "tumbling_dau"
+) -> DataFrame:
+    """Drive the dedup->window-agg chain with the availableNow trigger in
+    APPEND mode (windows emit once their watermark passes; availableNow's
+    final batch flushes the remainder) and return the sink table."""
+    stream = tumbling_distinct_users(
+        read_events_stream(spark, events_dir), with_watermark=True
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

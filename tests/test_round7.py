@@ -447,6 +447,48 @@ def test_nation_share_sums_to_unity(spark, sf_dir):
         assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000, month
 
 
+def test_delay_variance_matches_var_pop(spark, sf_dir):
+    """The integer-moments variance equals Spark's own var_pop to the
+    1e-6 rounding, for every supplier."""
+    from laposte_data_engineering_jedha_spark.queries import round7j, table
+
+    got = {
+        r["suppkey"]: (r["mean_delay_days"], r["var_delay_days"])
+        for r in round7j.olap_supplier_delay_variance(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ref = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.avg("d").alias("m"), F.var_pop("d").alias("v"))
+        .collect()
+    )
+    for r in ref:
+        m, v = got[r["l_suppkey"]]
+        assert m == pytest.approx(r["m"], abs=2e-6)
+        assert v == pytest.approx(r["v"], abs=2e-6)
+
+
+def test_log2_histogram_mass_and_bounds(spark, sf_dir):
+    """Histogram buckets partition the order set and each bucket's bound
+    is consistent: 2^(bucket-1) <= some value < 2^bucket."""
+    from laposte_data_engineering_jedha_spark.queries import round7j, table
+
+    rows = round7j.olap_order_value_log2_histogram(spark, sf_dir).collect()
+    n_orders = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        if r["bucket"] > 0:
+            assert r["lo_cents"] == 2 ** (r["bucket"] - 1)
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""

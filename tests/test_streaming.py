@@ -462,3 +462,30 @@ def test_rate_alert_stream_matches_batch(spark, sf_dir, events_dir):
     emitted = {(r["user_id"], r["alert_us"], r["n_in_hour"]) for r in streamed}
     assert emitted == batch
     assert len(batch) > 0
+
+
+def test_tumbling_dau_chain_matches_batch(spark, events_dir):
+    """The dedup -> windowed-count CHAIN (two stateful operators in one
+    streaming query) must equal the batch run of the same plan AND the
+    plain distinct count — except windows still OPEN under the final
+    watermark (end > max_ts - 10 min), which append mode correctly
+    WITHHOLDS rather than emitting a possibly-incomplete count: every
+    emitted row must be exactly final."""
+    from pyspark.sql import functions as F
+
+    canon = lambda df: sorted((r["bucket_start"], r["dau"]) for r in df.collect())  # noqa: E731
+    batch = canon(jobs.tumbling_distinct_users(spark.read.parquet(events_dir)))
+    stream = canon(jobs.run_tumbling_dau_available_now(spark, events_dir))
+    assert len(stream) > 0
+    max_us = spark.read.parquet(events_dir).agg(F.max(F.unix_micros("ts"))).first()[0]
+    watermark_s = max_us // 1_000_000 - 600
+    closed = [(b, d) for b, d in batch if b + 3600 <= watermark_s]
+    withheld = [(b, d) for b, d in batch if b + 3600 > watermark_s]
+    assert stream == closed
+    assert all(x in withheld for x in set(batch) - set(stream))
+    direct = canon(
+        spark.read.parquet(events_dir)
+        .groupBy(((F.unix_micros("ts") / 3_600_000_000).cast("long") * 3600).alias("bucket_start"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    assert batch == direct
