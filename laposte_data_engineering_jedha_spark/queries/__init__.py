@@ -658,6 +658,16 @@ ROUND7_ADDED: list[str] = [
     "olap_returns_rate_by_brand",
     "olap_supplier_delay_variance",
     "olap_order_value_log2_histogram",
+    # round-7 session batch 11 (queries/round7k.py)
+    "embedding_triplet_violation_rate",
+    "events_engagement_breadth",
+    "olap_reorder_interval",
+    "corpus_shingle_df_profile",
+    # round-7 session batch 12 (queries/round7l.py)
+    "dedup_transitivity_gap",
+    "dq_value_first_digit",
+    "olap_customer_concentration",
+    "events_weekday_hour_heatmap",
 ]
 
 # Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
@@ -705,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -1465,9 +1465,94 @@ def round7b_scale(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round7c_scale(spark) -> None:
+    """Round-7 batches 10-12 at 10-200x fixtures through the registered
+    query functions."""
+    import shutil
+    import tempfile
+
+    from laposte_data_engineering_jedha_spark.queries import (
+        events_table,
+        round7h,
+        round7j,
+        round7k,
+        round7l,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_round7c_")
+    try:
+        ev = events_table(spark, SF_DIR)
+        copies = spark.range(200).select(F.col("id").alias("_copy"))
+        ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("_copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_copy") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        timed("tumbling_dau chain @21M events", round7j.stream_tumbling_dau(spark, tmp))
+        timed("engagement_breadth @21M events",
+              round7k.events_engagement_breadth(spark, tmp))
+        timed("first_digit @21M events", round7l.dq_value_first_digit(spark, tmp))
+        timed("weekday_hour_heatmap @21M events",
+              round7l.events_weekday_hour_heatmap(spark, tmp))
+
+        lcopies = spark.range(10).select(F.col("id").alias("_c"))
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li_rest = [c for c in li.columns if c != "l_orderkey"]
+        li.crossJoin(lcopies).select(
+            (F.col("l_orderkey") + F.col("_c") * 100_000_000).alias("l_orderkey"),
+            *li_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o_rest = [c for c in o.columns if c != "o_orderkey"]
+        o.crossJoin(lcopies).select(
+            (F.col("o_orderkey") + F.col("_c") * 100_000_000).alias("o_orderkey"),
+            *o_rest,
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        for t in ["customer", "nation", "supplier", "part", "embeddings"]:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        timed("returns_rate @6M lines", round7j.olap_returns_rate_by_brand(spark, tmp))
+        timed("delay_variance @6M lines",
+              round7j.olap_supplier_delay_variance(spark, tmp))
+        timed("log2_histogram @6M lines",
+              round7j.olap_order_value_log2_histogram(spark, tmp))
+        timed("reorder_interval @1.5M orders", round7k.olap_reorder_interval(spark, tmp))
+        timed("customer_concentration @1.5M orders",
+              round7l.olap_customer_concentration(spark, tmp))
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(200).select(F.col("id").alias("rep"))
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("shingle_df_profile @1M docs",
+              round7k.corpus_shingle_df_profile(spark, tmp))
+        docs.crossJoin(spark.range(20).select(F.col("id").alias("rep"))).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed("transitivity_gap @100k docs", round7l.dedup_transitivity_gap(spark, tmp))
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        timed("triplet_violation_rate @400k vectors",
+              round7k.embedding_triplet_violation_rate(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SECTIONS = {
     "round7": round7_scale,
     "round7b": round7b_scale,
+    "round7c": round7c_scale,
     "round6b": round6b_scale,
     "round6c": round6c_scale,
     "round6d": round6d_scale,
