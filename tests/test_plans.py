@@ -359,6 +359,38 @@ def test_knn_label_accuracy_single_scan_no_join(spark, sf_dir):
     assert "HashAggregate" in p
 
 
+def test_target_encoding_stats_side_broadcasts(spark, sf_dir):
+    """The |event_types|-row LOO stats must broadcast back onto the event
+    stream — the fact table never shuffles for the encode join."""
+    p = simple_plan(spark, sf_dir, "events_target_encoding")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_asof_nearest_two_carries_one_id_join(spark, sf_dir):
+    """Nearest as-of = the two union-sort-carry windows reconciled on the
+    left id — NEVER a range/nested-loop join: exactly 2 Windows, the
+    reconcile join, and no nested-loop anywhere."""
+    p = simple_plan(spark, sf_dir, "events_asof_nearest_error")
+    assert p.count("Window") == 2
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bot_detection_single_user_exchange(spark, sf_dir):
+    """Burst window, lag, and the rollup must share ONE user_id hash
+    exchange."""
+    p = simple_plan(spark, sf_dir, "events_bot_detection")
+    assert p.count("Exchange") == 1 and p.count("Window") == 1
+
+
+def test_bpe_merge_single_winner_broadcast(spark, sf_dir):
+    """The BPE step's only join is the broadcast of the 1-row winning
+    pair into the vocab-grain merge (a SMJ or second join would mean the
+    word-frequency-table rewrite regressed to corpus grain)."""
+    p = simple_plan(spark, sf_dir, "text_bpe_merge_step")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
 @pytest.fixture(scope="module")
 def registry_dfs(spark, sf_dir):
     """Every registered non-streaming query built ONCE (construction is the

@@ -489,6 +489,57 @@ def test_log2_histogram_mass_and_bounds(spark, sf_dir):
             assert r["lo_cents"] == 2 ** (r["bucket"] - 1)
 
 
+def test_anova_f_truth_table(spark, tmp_path):
+    """Identical group means -> F = 0; cleanly separated groups -> large
+    F; ms_within matches the hand-computed pooled variance."""
+    from laposte_data_engineering_jedha_spark.queries import round7m
+
+    flat = [
+        (1, _ts(0), 1, "view", 1.0, "{}"),
+        (2, _ts(1), 1, "view", 3.0, "{}"),
+        (3, _ts(2), 1, "click", 1.0, "{}"),
+        (4, _ts(3), 1, "click", 3.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, flat)
+    r = round7m.events_value_anova_f(spark, d).collect()[0]
+    assert r["ms_between"] == 0.0 and r["f_stat"] == 0.0
+    # groups {100,300} both: within SS = 20000+20000, df = 2 -> 20000
+    assert r["ms_within"] == 20000.0
+
+    sep = [
+        (1, _ts(0), 1, "view", 1.0, "{}"),
+        (2, _ts(1), 1, "view", 1.0, "{}"),
+        (3, _ts(2), 1, "click", 9.0, "{}"),
+        (4, _ts(3), 1, "click", 9.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, sep)
+    r = round7m.events_value_anova_f(spark, d).collect()[0]
+    # zero within-group variance: F undefined -> guarded NULL (ANSI-safe)
+    assert r["ms_within"] == 0.0 and r["f_stat"] is None
+
+
+def test_contingency_chi2_independence(spark, tmp_path):
+    """A perfectly independent 2x2 grid has zero chi-square everywhere;
+    expected counts equal the marginal product rule."""
+    from laposte_data_engineering_jedha_spark.queries import round7m
+
+    d = str(tmp_path / "minidocs2")
+    rows = []
+    i = 0
+    for lang, source, n in [("en", "web", 8), ("en", "book", 4), ("fr", "web", 4), ("fr", "book", 2)]:
+        for _ in range(n):
+            rows.append((i, "x", lang, source, 1))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = round7m.corpus_lang_source_contingency(spark, d).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["chi2_term"] == 0.0
+        assert r["expected"] == r["obs"]
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
