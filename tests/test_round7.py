@@ -540,6 +540,47 @@ def test_contingency_chi2_independence(spark, tmp_path):
         assert r["expected"] == r["obs"]
 
 
+def test_packing_curve_hand_computed(spark, tmp_path):
+    """Docs of 3 and 5 tokens at L=4 (plus the standard lengths): doc1
+    pads 1, doc2 needs 2 sequences padding 3 -> total_tokens 8,
+    padding 4 at seq_len 512? No — at 512 both fit one sequence:
+    padding (512-3)+(512-5)=1016. Check the 512 row exactly."""
+    from laposte_data_engineering_jedha_spark.queries import round7n
+
+    d = _write_docs(spark, tmp_path, ["a b c", "a b c d e"])
+    out = {r["seq_len"]: r for r in round7n.corpus_packing_efficiency_curve(spark, d).collect()}
+    r = out[512]
+    assert r["n_docs"] == 2 and r["total_tokens"] == 8
+    assert r["n_sequences"] == 2 and r["padding_tokens"] == 1016
+    assert r["waste_fraction"] == round(1016 / 1024 * 1000000) / 1000000
+
+
+def test_user_lifetime_mass_conservation(spark, sf_dir):
+    """Lifetime buckets partition both users and events."""
+    from laposte_data_engineering_jedha_spark.queries import round7n
+
+    rows = round7n.events_user_lifetime_stats(spark, sf_dir).collect()
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    e = events_table(spark, sf_dir)
+    assert sum(r["n_users"] for r in rows) == e.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == e.count()
+
+
+def test_ivf_cell_balance_mass(spark, sf_dir):
+    """Cell sizes cover the corpus; the advertised max factor matches the
+    actual hottest cell."""
+    from laposte_data_engineering_jedha_spark.queries import round7n, table
+
+    rows = round7n.embedding_ivf_cell_balance(spark, sf_dir).collect()
+    total = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["cell_size"] for r in rows) == total
+    k = len(rows)
+    max_cell = max(r["cell_size"] for r in rows)
+    expect = round(max_cell * k / total * 1000000) / 1000000
+    assert all(r["max_balance_factor"] == expect for r in rows)
+
+
 def test_bot_detection_thresholds(spark, tmp_path):
     """User 1 fires 3 events inside an hour -> flagged with burst 3 and
     2 fast gaps; user 2's events are spread past the window -> clean."""
