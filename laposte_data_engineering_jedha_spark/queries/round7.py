@@ -22,12 +22,12 @@ embedding_pq_encode_pinned).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..operators import similarity
-from . import events_table, query, table
+from . import query, table
 from .llmops import SQL_NORM, sql_dot, sql_round
 from .round5 import _EMB_DIM, _IVF_K, _spark_argmin, _spark_d2, _sql_argmin, _sql_d2
 
