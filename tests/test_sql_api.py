@@ -41,6 +41,18 @@ SQL_PORTABLE = [
     "corpus_length_gini",
     "events_audience_overlap",
     "events_forecast_seasonal_naive",
+    # round-7 session additions that are also ANSI-portable
+    "events_target_encoding",
+    "olap_numeric_corr_matrix",
+    "olap_returns_rate_by_brand",
+    "olap_order_value_log2_histogram",
+    "olap_customer_concentration",
+    "events_value_anova_f",
+    "corpus_lang_source_contingency",
+    "olap_open_order_backlog",
+    "dq_part_name_links",
+    # dq_value_first_digit / dq_uniqueness_report stay DuckDB-only: their
+    # oracles CAST AS VARCHAR (no length), which Spark SQL rejects
 ]
 
 @pytest.fixture(scope="module")
