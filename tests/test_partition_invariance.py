@@ -25,6 +25,12 @@ REPRESENTATIVES = [
     "dedup_passage",               # window-count over (key, doc) + re-agg
     "events_windowed_topk",        # decimal agg + rank window tie-break
     "pq_adc_topk_pinned",          # HOF folds + broadcast BNLJ + rank
+    # round-7 families
+    "events_value_anova_f",        # quantized per-group terms summed as ints
+    "events_holt_linear",          # single-group pandas fold over a shuffled day grain
+    "ivf_knn",                     # fold argmin routing + Arrow cosine + rank
+    "eval_value_auc",              # global rank window at the score grain
+    "text_bpe_merge_step",         # winner limit(1) + vocab-grain replace
 ]
 
 
