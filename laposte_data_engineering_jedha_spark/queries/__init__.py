@@ -675,15 +675,18 @@ ROUND7_ADDED: list[str] = [
     "corpus_packing_efficiency_curve",
     "events_user_lifetime_stats",
     "embedding_ivf_cell_balance",
+    # round-7 session batch 15 (queries/round7o.py)
+    "dq_order_line_status_consistency",
+    "corpus_quality_percentiles_by_source",
 ]
 
 # Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
 # until now) + the ivf_knn oracle graduation (first-ever hash row).
 #
 # ROUND-8 ROTATION (stage at round-8 start): window = ROUND7_ADDED
-# (41 entries at round-7 close — RECOUNT in case a continued session
+# (43 entries at round-7 close — RECOUNT in case a continued session
 # grew it) + the next-oldest externally-verified rows to fill 50,
-# oldest first: ROUND3_VERIFIED[17:] (r03 rows, 9 needed at count 41),
+# oldest first: ROUND3_VERIFIED[17:] (r03 rows, 7 needed at count 43),
 # then ROUND4_ADDED / ROUND4_VERIFIED (r04 rows). Move the window slice
 # to the head of DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry.
@@ -723,7 +726,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 
