@@ -680,31 +680,38 @@ ROUND7_ADDED: list[str] = [
     "corpus_quality_percentiles_by_source",
 ]
 
-# Round-7 window (first 50): the 49 round-6 additions (replica-gate-only
-# until now) + the ivf_knn oracle graduation (first-ever hash row).
+# Round-8 additions: registered AFTER the window (replica-gate coverage
+# now, round-9 window candidates). Registration order IS the queue.
+ROUND8_ADDED: list[str] = []
+
+# Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
+# until now — their first external hash rows) + the 7 next-oldest
+# externally-verified rows in the rotation, ROUND3_VERIFIED[17:24]
+# (r03 hash rows, the oldest external evidence in the registry).
 #
-# ROUND-8 ROTATION (stage at round-8 start): window = ROUND7_ADDED
-# (43 entries at round-7 close — RECOUNT in case a continued session
-# grew it) + the next-oldest externally-verified rows to fill 50,
-# oldest first: ROUND3_VERIFIED[17:] (r03 rows, 7 needed at count 43),
-# then ROUND4_ADDED / ROUND4_VERIFIED (r04 rows). Move the window slice
-# to the head of DRIVER_WINDOW_PRIORITY and update
+# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED
+# (RECOUNT at round-8 close) + the next-oldest externally-verified rows
+# to fill 50: ROUND3_VERIFIED[24:] first (r03 remainder), then
+# ROUND4_ADDED / ROUND4_VERIFIED (r04 rows). Move the window slice to
+# the head of DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND6_ADDED,
-    *ROUND7_GRADUATED,
+    *ROUND7_ADDED,
+    *ROUND3_VERIFIED[17:24],
     # --- past the 50-query window: externally verified in earlier rounds,
     # kept on the in-repo replica gate; r03 remainder first (oldest rows,
-    # next in the rotation after ROUND7_ADDED) ---
-    *ROUND3_VERIFIED[17:],
+    # next in the rotation after ROUND8_ADDED) ---
+    *ROUND3_VERIFIED[24:],
     *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
     *ROUND4_VERIFIED,
     *ROUND5_DEFERRED,
     *ROUND5_ADDED,
     *ROUND6_GRADUATED,
     *ROUND3_VERIFIED[:17],
-    # --- round-8 window queue ---
-    *ROUND7_ADDED,
+    *ROUND6_ADDED,
+    *ROUND7_GRADUATED,
+    # --- round-9 window queue ---
+    *ROUND8_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

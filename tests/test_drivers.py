@@ -247,33 +247,31 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-7 rotation: the 50-slot window = the 49 round-6 additions
-    # (replica-gate-only until now) + the ivf_knn oracle graduation
-    # (first-ever hash row — its r04 row was the weaker rows-only check).
+    # round-8 rotation: the 50-slot window = the 43 round-7 additions
+    # (replica-gate-only until now — first external hash rows) + the 7
+    # next-oldest externally-verified rows, ROUND3_VERIFIED[17:24].
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND6_ADDED) == 49 and len(q.ROUND7_GRADUATED) == 1
-    assert set(window) == set(q.ROUND6_ADDED) | set(q.ROUND7_GRADUATED)
-    # every window slot carries a full hash (the whole round-7 window is
+    assert len(q.ROUND7_ADDED) == 43
+    assert set(window) == set(q.ROUND7_ADDED) | set(q.ROUND3_VERIFIED[17:24])
+    # every window slot carries a full hash (the whole round-8 window is
     # oracle-bearing — no rows-only entries this round)
     assert all(name in q.ORACLE_SQL for name in window)
     # the graduations really did graduate
     assert all(name in q.ORACLE_SQL for name in q.ROUND6_GRADUATED)
     assert all(name in q.ORACLE_SQL for name in q.ROUND7_GRADUATED)
     # registry partition covers everything registered
-    assert set(window) | set(q.ROUND3_VERIFIED) | set(q.ROUND4_ADDED) | set(
-        q.ROUND4_VERIFIED
-    ) | set(q.ROUND5_ADDED) | set(q.ROUND6_GRADUATED) | set(
-        q.ROUND7_ADDED
+    assert set(q.ROUND6_ADDED) | set(q.ROUND7_GRADUATED) | set(
+        q.ROUND3_VERIFIED
+    ) | set(q.ROUND4_ADDED) | set(q.ROUND4_VERIFIED) | set(
+        q.ROUND5_ADDED
+    ) | set(q.ROUND6_GRADUATED) | set(q.ROUND7_ADDED) | set(
+        q.ROUND8_ADDED
     ) == set(q.SPARK_QUERIES)
-    # round-7 additions queue behind the window (round-8 candidates)
+    # round-8 additions queue behind the window (round-9 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND7_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND8_ADDED
     )
-    # rows-only is down to the ONE iterative fit with no SQL twin (its
-    # encode math has a pinned-constant hash twin:
-    # embedding_pq_encode_pinned)
-    assert set(q.SPARK_QUERIES) - set(q.ORACLE_SQL) == {"embedding_pq_codes"}
 
 
 def test_webapi_serves_console_ui(webapp):
