@@ -231,6 +231,107 @@ def pd_nearest_centroids(vec: Column | str, centers: "np.ndarray", n: int) -> Co
     return kernel(_c(vec))
 
 
+def _fold_d2(m: "np.ndarray", centers: "np.ndarray") -> "np.ndarray":
+    """(n, k) squared distances of each row of `m` to each centroid with
+    the SAME left-to-right per-dimension fold as the Catalyst/DuckDB twin
+    expressions (queries/round5.py:_spark_d2 / _sql_d2): acc = acc +
+    diff*diff per dimension in IEEE float64, vectorized across rows — NOT
+    a gemm or numpy axis-sum (pairwise summation reorders additions), so
+    results are bit-identical to the HOF fold and the oracle."""
+    d2 = np.empty((len(m), len(centers)), dtype="float64")
+    if len(m) == 0:  # Arrow may hand the kernel an empty batch
+        return d2
+    for ci in range(len(centers)):
+        cv = centers[ci]
+        acc = np.zeros(len(m), dtype="float64")
+        for d in range(centers.shape[1]):
+            diff = m[:, d] - cv[d]
+            acc = acc + diff * diff
+        d2[:, ci] = acc
+    return d2
+
+
+def pd_fold_codes(vec: Column | str, codebooks: "np.ndarray") -> Column:
+    """Per-subspace nearest-centroid codes (`array<int>`, ties -> lowest
+    id) against an (m, k, sub) codebook — the Arrow-batched twin of the
+    per-centroid Catalyst fold argmin (queries/round5.py:_spark_argmin),
+    bit-identical by construction (see _fold_d2) and ~20x faster: the
+    fold is interpreted per (row, centroid, dim) on the JVM, while here
+    each dimension step is one fused numpy op across the whole batch.
+    np.argmin's first-occurrence rule == the struct-min lowest-id
+    tiebreak. Map-side only; the codebook ships in the closure."""
+    books = np.asarray(codebooks, dtype="float64")
+    m, k, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def kernel(sa: pd.Series) -> pd.Series:
+        mat = _to_matrix(sa)
+        out = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            out[:, j] = _fold_d2(mat[:, j * sub : (j + 1) * sub], books[j]).argmin(axis=1)
+        return pd.Series([r.tolist() for r in out])
+
+    return kernel(_c(vec))
+
+
+def pd_fold_assign_d2(vec: Column | str, centers: "np.ndarray") -> Column:
+    """`struct<centroid:int, d2:double>` nearest-centroid assignment with
+    the exact min distance — fold-faithful twin of
+    `F.array_min(struct(d2, c))` over per-centroid folds (ties -> lowest
+    id via argmin first-occurrence). The d2 value is the selected
+    centroid's fold result, bit-identical to `F.least` over the folds."""
+    c = np.asarray(centers, dtype="float64")
+
+    @pandas_udf("centroid int, d2 double")
+    def kernel(sa: pd.Series) -> pd.DataFrame:
+        mat = _to_matrix(sa)
+        d2 = _fold_d2(mat, c)
+        arg = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"centroid": arg.astype("int32"), "d2": d2[np.arange(len(mat)), arg]}
+        )
+
+    return kernel(_c(vec))
+
+
+def pd_fold_topn_centroids(vec: Column | str, centers: "np.ndarray", n: int) -> Column:
+    """The `n` nearest centroid ids ordered by (d2, id) — fold-faithful
+    twin of the struct array_sort slice (queries/round7.py:_probe_array):
+    np.argsort(kind='stable') keeps ties in index order, matching the
+    lexicographic (d, c) struct sort on both engines."""
+    c = np.asarray(centers, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def kernel(sa: pd.Series) -> pd.Series:
+        mat = _to_matrix(sa)
+        d2 = _fold_d2(mat, c)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series([r.tolist() for r in idx])
+
+    return kernel(_c(vec))
+
+
+def pd_fold_d2_tables(vec: Column | str, codebooks: "np.ndarray") -> Column:
+    """Per-subspace ADC lookup tables (`array<array<double>>`, m arrays of
+    k squared distances) against an (m, k, sub) codebook — fold-faithful
+    twin of the per-centroid Catalyst d2 folds that build the query-side
+    tables in pq_adc_topk_pinned (queries/round5.py). Each table value is
+    the exact _fold_d2 result, so downstream `element_at` lookups and the
+    pinned left-to-right adds stay bit-identical to the oracle."""
+    books = np.asarray(codebooks, dtype="float64")
+    m, k, sub = books.shape
+
+    @pandas_udf("array<array<double>>")
+    def kernel(sa: pd.Series) -> pd.Series:
+        mat = _to_matrix(sa)
+        tabs = np.empty((len(mat), m, k), dtype="float64")
+        for j in range(m):
+            tabs[:, j, :] = _fold_d2(mat[:, j * sub : (j + 1) * sub], books[j])
+        return pd.Series([[row.tolist() for row in r] for r in tabs])
+
+    return kernel(_c(vec))
+
+
 def hyperplane_weights(plane: Column, dim: int) -> Column:
     """Deterministic integer weight vector of hyperplane `plane` (0-based):
     md5 of "plane_i" per dimension (see module docstring for why md5)."""

@@ -144,12 +144,13 @@ def knn_graph(
     measured plans in tests/test_plans.py pin the single-Exchange shape).
     The cache is the narrow (id, vec, norm, band, key) projection — at
     1B x 64-dim that is ~bands x 300 GB spread across the cluster, far
-    cheaper than recomputing + reshuffling it. Lifecycle: the handle is
-    exposed on the result as `_knn_graph_src` so composing operators
-    (dedup_semantic) can unpersist once their downstream is materialized;
-    Spark's LRU eviction bounds the cost if a caller never does. Exact
-    cosine re-ranks within the bucket; per-vector top-k is a window over
-    the deduped candidate edges.
+    cheaper than recomputing + reshuffling it. Lifecycle: the persist is
+    registered with caches.track (no DataFrame-attribute handles — those
+    are lost on any transform, ADVICE r6); callers release via
+    caches.release_all once their downstream is materialized, and Spark's
+    LRU eviction bounds the cost if a caller never does. Exact cosine
+    re-ranks within the bucket; per-vector top-k is a window over the
+    deduped candidate edges.
 
     BANDED OR-amplification (round-4 fix): the original single-band shape
     had recall == the one-band collision probability — measured 0.0871
@@ -227,10 +228,7 @@ def knn_graph(
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    out = _ranked_topk(pairs, k)
-    if persist_src:
-        out._knn_graph_src = src  # lifecycle handle (see docstring)
-    return out
+    return _ranked_topk(pairs, k)
 
 
 def pinned_codebook(m: int, k: int, sub: int) -> np.ndarray:

@@ -85,8 +85,28 @@ def load_data(df: DataFrame, config: dict) -> dict:
     # lineage a second time. The staged count is a zero-column parquet
     # scan (footer-speed); when a multi-part parquet OUTPUT is requested,
     # the staged directory is MOVED into place instead of re-written.
+    #
+    # ADVICE r7 hardening: the stage dir lives INSIDE out_path (dot-
+    # prefixed), so the parquet->output promotion is always a same-
+    # filesystem rename — tempfile.mkdtemp() defaulted to /tmp, where
+    # shutil.move silently degrades to a full copy when /tmp and the
+    # output are different filesystems. NullType columns (e.g. a
+    # `lit(None)` projection that csv/json-only outputs tolerate) are
+    # cast to string before the stage write — parquet cannot encode VOID,
+    # and a string-typed all-NULL column round-trips to the identical
+    # csv (empty cell) / json (omitted field) bytes.
     spark = df.sparkSession
-    staged = tempfile.mkdtemp(prefix="laposte_stage_")
+    void_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "void"]
+    if void_cols:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(c).cast("string").alias(c) if c in void_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+    staged = tempfile.mkdtemp(prefix=".laposte_stage_", dir=out_path)
     try:
         stage_target = os.path.join(staged, "deliveries.parquet")
         WRITER_MAP["parquet"](stage_target, single_file=False).write(df)

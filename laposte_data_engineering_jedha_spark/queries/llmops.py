@@ -1310,9 +1310,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup.connected_components(pairs).withColumnRenamed("node", "vec_id")
     # the component loop checkpointed the edge set, so the banded
     # projection knn_graph persisted (one-exchange self-join, SCALE.md
-    # finding 11 fix) is no longer reachable — release it eagerly instead
-    # of waiting for LRU eviction.
-    g._knn_graph_src.unpersist()
+    # finding 11 fix) is only needed until here; it is registered with
+    # caches.track, so the per-query caches.release_all() in bench.py /
+    # the replica gate (and LRU eviction otherwise) reclaims it.
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         emb.select("vec_id")

@@ -109,17 +109,23 @@ _PQ_SQL = "SELECT vec_id, " + ", ".join(
 def embedding_pq_encode_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode (4 subspaces x 16 centroids) against the closed-form
     pinned codebook — the hash-checkable twin of embedding_pq_codes'
-    encode stage (whose fitted codebook has no SQL twin). Pure Catalyst:
-    per-row fold + struct-min, no shuffle at any scale; the Arrow kernel
-    (similarity.pq_encode) is pinned equal on the same codebook in
-    tests/test_round5.py."""
+    encode stage. The per-row math runs in the fold-faithful Arrow kernel
+    (vectors.pd_fold_codes): bit-identical to the Catalyst `_spark_argmin`
+    fold by construction (same left-to-right per-dimension IEEE adds, same
+    lowest-id tiebreak — pinned equal in tests/test_round5.py) but ~10x
+    faster, because the HOF fold is interpreted per (row, centroid, dim)
+    on the JVM while the kernel fuses each dimension step across the whole
+    Arrow batch. Map-side only, no shuffle at any scale."""
+    from ..operators import similarity as sim
+    from ..functions import vectors
+
     emb = table(spark, sf_dir, "embeddings")
+    books = sim.pinned_codebook(_PQ_M, _PQ_K, _PQ_SUB)
     return emb.select(
+        "vec_id", vectors.pd_fold_codes("embedding", books).alias("codes")
+    ).select(
         "vec_id",
-        *[
-            _spark_argmin(j, _PQ_K, _PQ_SUB).cast("int").alias(f"code{j}")
-            for j in range(_PQ_M)
-        ],
+        *[F.element_at("codes", j + 1).cast("int").alias(f"code{j}") for j in range(_PQ_M)],
     )
 
 
@@ -139,14 +145,21 @@ def ivf_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment against 16 pinned 64-dim centroids —
     the hash-checkable twin of ivf_knn's assignment stage (its k-means fit
     is iterative, hence rows-only). Map-side only: at 100 TB this is the
-    exact shape of the index build — one narrow pass, codebook in the
-    expression tree, no shuffle."""
+    exact shape of the index build — one narrow pass, codebook shipped in
+    the kernel closure, no shuffle. Runs the fold-faithful Arrow kernel
+    (vectors.pd_fold_assign_d2), bit-identical to the `_spark_argmin` /
+    `F.least`-over-folds Catalyst formulation but batch-fused."""
+    from ..operators import similarity as sim
+    from ..functions import vectors
+
     emb = table(spark, sf_dir, "embeddings")
-    d2s = [_spark_d2(0, c, _EMB_DIM) for c in range(_IVF_K)]
+    books = sim.pinned_codebook(1, _IVF_K, _EMB_DIM)[0]
     return emb.select(
+        "vec_id", vectors.pd_fold_assign_d2("embedding", books).alias("a")
+    ).select(
         "vec_id",
-        _spark_argmin(0, _IVF_K, _EMB_DIM).cast("int").alias("centroid"),
-        (F.round(F.least(*d2s) * 1000000) / 1000000).alias("d2"),
+        F.col("a.centroid").alias("centroid"),
+        (F.round(F.col("a.d2") * 1000000) / 1000000).alias("d2"),
     )
 
 
@@ -439,23 +452,34 @@ def pq_adc_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     with broadcast build, the sanctioned many-row variant); the only
     exchange is the per-query top-k window. pq_knn's numpy kernel ranks
     are pinned >= 0.9-recall-equal to this relation in
-    tests/test_round5.py."""
+    tests/test_round5.py.
+
+    Both sides run the fold-faithful Arrow kernels (vectors.pd_fold_codes
+    / pd_fold_d2_tables): bit-identical to the Catalyst `_spark_d2` /
+    `_spark_argmin` folds the oracle mirrors, but batch-fused — the
+    interpreted HOF fold was this query's whole 5.6 s cost at sf0.1."""
+    from ..operators import similarity as sim
+    from ..functions import vectors
+
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % _ADC_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        *[
-            F.array(*[_spark_d2(j, c, _PQ_SUB) for c in range(_PQ_K)]).alias(
-                f"tab{j}"
-            )
-            for j in range(_PQ_M)
-        ],
+    books = sim.pinned_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    q = (
+        emb.where(F.col("vec_id") % _ADC_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            vectors.pd_fold_d2_tables("embedding", books).alias("tabs"),
+        )
+        .select(
+            "query_id",
+            *[F.element_at("tabs", j + 1).alias(f"tab{j}") for j in range(_PQ_M)],
+        )
     )
     codes = emb.select(
         F.col("vec_id").alias("cand_id"),
-        *[
-            _spark_argmin(j, _PQ_K, _PQ_SUB).cast("int").alias(f"code{j}")
-            for j in range(_PQ_M)
-        ],
+        vectors.pd_fold_codes("embedding", books).alias("codes"),
+    ).select(
+        "cand_id",
+        *[F.element_at("codes", j + 1).cast("int").alias(f"code{j}") for j in range(_PQ_M)],
     )
     adc = (
         (

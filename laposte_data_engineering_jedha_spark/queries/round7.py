@@ -89,21 +89,28 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus never reshuffles and the index "build" is
     embarrassingly parallel. The fitted-quantizer variant stays
     recall-tested against brute force in tests/test_llmops.py."""
+    books = similarity.pinned_codebook(1, _IVF_K, _EMB_DIM)[0]
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id", "embedding", vectors.pd_norm("embedding").alias("nrm")
     ).where(F.col("nrm") > 0)
+    # fold-faithful Arrow kernels (bit-identical to _spark_argmin /
+    # _probe_array — tests/test_round5.py pins both) replace the
+    # interpreted Catalyst folds: assignment + probe routing were ~90% of
+    # this query's 3.7 s at sf0.1.
     cand = n.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("cn"),
-        _spark_argmin(0, _IVF_K, _EMB_DIM).cast("int").alias("centroid"),
+        vectors.pd_fold_assign_d2("embedding", books)["centroid"].alias("centroid"),
     )
     qry = n.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.explode(_probe_array()).alias("centroid"),
+        F.explode(
+            vectors.pd_fold_topn_centroids("embedding", books, _IVF_PROBE)
+        ).alias("centroid"),
     )
     cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     pairs = (

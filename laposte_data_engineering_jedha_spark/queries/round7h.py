@@ -145,10 +145,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                B-only keys % 10 = 0), and every key % 7 = 0 gets its
 #                totalprice bumped one cent ("changed").
 
+# Every fingerprint input is COALESCE'd to a NULL sentinel on BOTH engines
+# (ADVICE r7): bare '||' NULL-poisons the whole md5 in DuckDB while Spark's
+# concat_ws silently SKIPS NULLs — orders' NOT NULL columns masked the
+# divergence, but a nullable snapshot source would classify every NULL-
+# bearing row as 'changed'. The sentinel also disambiguates NULL from the
+# empty string at field boundaries.
+_FP_NULL = "'<NULL>'"
+
+
+def _sql_fp_field(expr: str) -> str:
+    return f"COALESCE({expr}, {_FP_NULL})"
+
+
 _SNAP_FP = (
-    "md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' "
-    "|| CAST(cents AS VARCHAR) || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) "
-    "|| '|' || o_orderpriority)"
+    f"md5({_sql_fp_field('CAST(o_custkey AS VARCHAR)')} || '|' "
+    f"|| {_sql_fp_field('o_orderstatus')} || '|' "
+    f"|| {_sql_fp_field('CAST(cents AS VARCHAR)')} || '|' "
+    f"|| {_sql_fp_field('CAST(CAST(o_orderdate AS DATE) AS VARCHAR)')} "
+    f"|| '|' || {_sql_fp_field('o_orderpriority')})"
 )
 
 
@@ -194,14 +209,21 @@ def dq_snapshot_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp(cents: F.Column) -> F.Column:
+        # coalesce-to-sentinel per field (see _SNAP_FP): concat_ws would
+        # SKIP a NULL (colliding with the empty string and drifting from
+        # the oracle's ||); the guarded fields can never be NULL, so
+        # concat_ws == '||' exactly.
+        def g(c: F.Column) -> F.Column:
+            return F.coalesce(c, F.lit("<NULL>"))
+
         return F.md5(
             F.concat_ws(
                 "|",
-                F.col("o_custkey").cast("string"),
-                F.col("o_orderstatus"),
-                cents.cast("string"),
-                F.to_date("o_orderdate").cast("string"),
-                F.col("o_orderpriority"),
+                g(F.col("o_custkey").cast("string")),
+                g(F.col("o_orderstatus")),
+                g(cents.cast("string")),
+                g(F.to_date("o_orderdate").cast("string")),
+                g(F.col("o_orderpriority")),
             )
         )
 

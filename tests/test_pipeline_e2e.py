@@ -65,6 +65,34 @@ def test_e2e_multiformat_fanout(spark, tmp_path):
     assert columns == ENRICHED_COLUMNS and len(list(rows)) == 100
 
 
+def test_load_tolerates_void_columns_and_stages_inside_out_path(spark, tmp_path):
+    """ADVICE r7: the parquet staging write must not crash on a NullType
+    column (csv/json-only outputs tolerated one pre-staging), and the
+    stage dir must live inside out_path so the parquet promotion is a
+    same-filesystem rename, never a silent cross-device copy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.plans.load import load_data
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(None).alias("void_col")
+    )
+    out = tmp_path / "voidout"
+    manifest = load_data(df, {"output": {"path": str(out), "format": "all_but_xlsx"}})
+    assert manifest["shape"] == {"rows": 5, "cols": 2}
+    # csv: NULL writes the empty cell, exactly as the void column would
+    lines = (out / "deliveries.csv").read_text().splitlines()
+    assert lines[0] == "k,void_col" and all(l.endswith(",") for l in lines[1:])
+    # json: NDJSON omits null fields — same bytes as a void column
+    assert '"void_col"' not in (out / "deliveries.json").read_text()
+    back = spark.read.parquet(str(out / "deliveries.parquet"))
+    assert back.count() == 5 and [f.name for f in back.schema.fields] == ["k", "void_col"]
+    # no stage residue left behind
+    assert not [p for p in os.listdir(out) if p.startswith(".laposte_stage_")]
+
+
 def test_formats_resolution():
     expected_all = ["csv", "json", "parquet", "sqlite", "xlsx"]
     assert formats_to_write("all") == expected_all

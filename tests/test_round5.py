@@ -68,6 +68,52 @@ def test_ivf_pinned_d2_is_true_min_distance(spark, sf_dir):
         assert abs(d2 - r["d2"]) < 1e-6
 
 
+def test_fold_kernels_bit_identical_to_catalyst_folds(spark, sf_dir):
+    """The registered pinned twins now run vectors.pd_fold_* Arrow kernels;
+    the DuckDB oracles still mirror the Catalyst `_spark_d2` fold. This
+    pins the replaced equivalence at zero tolerance: kernel doubles must
+    be BIT-identical to the HOF fold (same left-to-right IEEE adds), ids
+    and probe orders exactly equal — any drift here would surface as an
+    oracle hash mismatch one gate later."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = similarity.pinned_codebook(4, 16, 16)
+    centers = similarity.pinned_codebook(1, 16, 64)[0]
+
+    rows = emb.select(
+        "vec_id",
+        vectors.pd_fold_codes("embedding", cb).alias("k_codes"),
+        F.array(
+            *[round5._spark_argmin(j, 16, 16).cast("int") for j in range(4)]
+        ).alias("c_codes"),
+        vectors.pd_fold_assign_d2("embedding", centers).alias("k_assign"),
+        round5._spark_argmin(0, 16, 64).cast("int").alias("c_centroid"),
+        F.least(*[round5._spark_d2(0, c, 64) for c in range(16)]).alias("c_d2"),
+        vectors.pd_fold_topn_centroids("embedding", centers, 4).alias("k_probes"),
+        vectors.pd_fold_d2_tables("embedding", cb).alias("k_tabs"),
+        F.array(
+            *[
+                F.array(*[round5._spark_d2(j, c, 16) for c in range(16)])
+                for j in range(4)
+            ]
+        ).alias("c_tabs"),
+    ).collect()
+    assert len(rows) > 0
+
+    from laposte_data_engineering_jedha_spark.queries import round7
+
+    probe_rows = emb.select(
+        "vec_id", round7._probe_array().alias("c_probes")
+    ).collect()
+    c_probes = {r["vec_id"]: r["c_probes"] for r in probe_rows}
+
+    for r in rows:
+        assert r["k_codes"] == r["c_codes"], r["vec_id"]
+        assert r["k_assign"]["centroid"] == r["c_centroid"], r["vec_id"]
+        assert r["k_assign"]["d2"] == r["c_d2"], r["vec_id"]  # bitwise
+        assert r["k_probes"] == c_probes[r["vec_id"]], r["vec_id"]
+        assert r["k_tabs"] == r["c_tabs"], r["vec_id"]  # bitwise, 64 doubles
+
+
 # --------------------- incremental (batch-vs-index) dedup ---------------------
 
 
