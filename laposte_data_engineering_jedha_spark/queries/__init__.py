@@ -682,7 +682,13 @@ ROUND7_ADDED: list[str] = [
 
 # Round-8 additions: registered AFTER the window (replica-gate coverage
 # now, round-9 window candidates). Registration order IS the queue.
-ROUND8_ADDED: list[str] = []
+ROUND8_ADDED: list[str] = [
+    # round-8 session batch 1 (queries/round8a.py)
+    "corpus_type_token_ratio",
+    "corpus_top_bigram_share",
+    "corpus_token_count_gate",
+    "corpus_repeated_token_runs",
+]
 
 # Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
 # until now — their first external hash rows) + the 7 next-oldest
@@ -733,7 +739,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

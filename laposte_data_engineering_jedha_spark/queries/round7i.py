@@ -143,7 +143,10 @@ def olap_nation_share_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = r.groupBy("month").agg(F.sum("cents").cast("long").alias("total"))
-    s = r.join(t, "month").select(
+    # the totals side is |months| rows — broadcast it back into the
+    # (nation, month) relation instead of letting the planner SMJ two
+    # aggregate-grain relations (r8 plan pin)
+    s = r.join(F.broadcast(t), "month").select(
         "n_name",
         "month",
         "cents",

@@ -160,10 +160,20 @@ def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_bucket_skew. Probe latency is the probed lists' sizes, so
     max_balance_factor IS the worst-case probe amplification; a real
     deployment re-trains or splits cells when it drifts. Map-side
-    assignment (the same exact Catalyst fold ivf_assign_pinned
-    hash-checks), one 16-row aggregate."""
+    assignment via the fold-faithful Arrow kernel (bit-identical to the
+    Catalyst `_spark_argmin` fold the oracle mirrors — the r8 swap that
+    took the 400k-vector assignment from 127 s to 4.8 s, SCALE.md), one
+    16-row aggregate."""
+    from ..functions import vectors
+    from ..operators import similarity
+
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(_spark_argmin(0, _IVF_K, _EMB_DIM).cast("long").alias("centroid"))
+    books = similarity.pinned_codebook(1, _IVF_K, _EMB_DIM)[0]
+    a = emb.select(
+        vectors.pd_fold_assign_d2("embedding", books)["centroid"]
+        .cast("long")
+        .alias("centroid")
+    )
     c = a.groupBy("centroid").agg(F.count(F.lit(1)).cast("long").alias("n"))
     t = c.agg(
         F.sum("n").cast("long").alias("total"),

@@ -525,7 +525,12 @@ def run_funnel_detect_available_now(
 
 
 CEP_OUT_SCHEMA = "user_id long, view_us long, purchase_us long"
-_CEP_STATE_SCHEMA = "started_us long"  # 0 = idle (no live view)
+# started_us: the armed view's micros (0 = idle); pend_*: parallel arrays
+# buffering (ts, event_id, event_type) until the watermark passes them
+# (r8 watermark-buffered fold — see pattern_completions_stream docstring)
+_CEP_STATE_SCHEMA = (
+    "started_us long, pend_ts array<long>, pend_id array<long>, pend_type array<string>"
+)
 
 
 def pattern_completions_stream(events: DataFrame) -> DataFrame:
@@ -540,41 +545,64 @@ def pattern_completions_stream(events: DataFrame) -> DataFrame:
       click     -> keeps an armed attempt alive, ignored otherwise;
       purchase  -> if armed, EMIT (view_us, purchase_us) and disarm;
       anything else -> disarm.
-    State is ONE long per user (the armed view's micros, 0 = idle) — a
-    true automaton, no event buffering; emissions can happen repeatedly
-    per user (each completion needs a fresh view). Same TTL note as the
-    funnel: unbounded by design here; production adds an event-time TTL.
-    Same in-order-arrival contract as rate_alert_stream (see its
-    docstring): events are sorted per micro-batch only, so a
-    within-watermark event arriving a batch late is folded out of event
-    order — the batch-twin equivalence holds for event-time-ordered
-    feeds; exact late-data semantics would buffer events in state until
-    the watermark passes."""
+    Automaton state is ONE long per user (the armed view's micros,
+    0 = idle); emissions can happen repeatedly per user (each completion
+    needs a fresh view). WATERMARK-BUFFERED FOLD (r8, same contract as
+    rate_alert_stream): arriving events buffer in state until the
+    watermark passes them, then run through the automaton in GLOBAL
+    (ts, event_id) order — batch-twin equivalence holds for any
+    within-watermark arrival order (shuffled-arrival test in
+    tests/test_streaming.py), with completions whose purchase timestamp
+    is still inside the final watermark WITHHELD. The pending buffer is
+    bounded by the user's event rate over one watermark delay; the
+    event-time timeout exists ONLY to flush it — the automaton long
+    itself stays unbounded by design (same TTL note as the funnel;
+    production adds an event-time TTL)."""
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
-        started = state.get[0] if state.exists else 0
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            started, p_ts, p_id, p_ty = state.get
+            p_ts, p_id, p_ty = list(p_ts), list(p_id), list(p_ty)
+        else:
+            started, p_ts, p_id, p_ty = 0, [], [], []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                p_ts.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
+                p_id.extend(int(i) for i in rows["event_id"].astype("int64"))
+                p_ty.extend(str(x) for x in rows["event_type"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        trips = sorted(zip(p_ts, p_id, p_ty))
+        ready = [e for e in trips if e[0] < wm_us]
+        pend = [e for e in trips if e[0] >= wm_us]
         out_views: list[int] = []
         out_purch: list[int] = []
-        if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-            types = rows["event_type"].to_numpy()
-            for t, typ in zip(ts_us, types):
-                t = int(t)
-                if typ == "view":
-                    started = t
-                elif typ == "click":
-                    pass
-                elif typ == "purchase":
-                    if started != 0:
-                        out_views.append(started)
-                        out_purch.append(t)
-                    started = 0
-                else:
-                    started = 0
-            state.update((started,))
+        for t, _eid, typ in ready:
+            if typ == "view":
+                started = t
+            elif typ == "click":
+                pass
+            elif typ == "purchase":
+                if started != 0:
+                    out_views.append(started)
+                    out_purch.append(t)
+                started = 0
+            else:
+                started = 0
+        state.update(
+            (
+                started,
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                [e[2] for e in pend],
+            )
+        )
+        if pend:
+            # wake as soon as the watermark passes the oldest pending event
+            state.setTimeoutTimestamp(
+                max(pend[0][0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
         if out_views:
             yield pd.DataFrame(
                 {
@@ -592,7 +620,7 @@ def pattern_completions_stream(events: DataFrame) -> DataFrame:
             outputStructType=CEP_OUT_SCHEMA,
             stateStructType=_CEP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -675,7 +703,10 @@ RATE_ALERT_K = 3  # events within the trailing hour that trip the alert
 _RATE_WINDOW_US = 3_600_000_000
 
 RATE_ALERT_OUT_SCHEMA = "user_id long, alert_us long, n_in_hour long"
-_RATE_STATE_SCHEMA = "recent array<long>"  # event micros inside the window
+# recent: event micros inside the trailing window (already folded);
+# pending: event micros buffered until the watermark passes them (r8
+# watermark-buffered fold — see rate_alert_stream docstring)
+_RATE_STATE_SCHEMA = "recent array<long>, pending array<long>"
 
 
 def rate_alert_stream(events: DataFrame) -> DataFrame:
@@ -691,61 +722,79 @@ def rate_alert_stream(events: DataFrame) -> DataFrame:
     count-over-RANGE == K predicate on both engines, which is what makes
     the contract deterministic under micro-batch ordering.
 
-    IN-ORDER-ARRIVAL ASSUMPTION (ADVICE r6): the fold sorts only WITHIN
-    a micro-batch. A late-but-within-watermark event arriving in a LATER
-    micro-batch is folded after events with larger timestamps already in
-    state: its trailing-(t-1h, t] count then includes those
-    later-timestamped events, and in-window events may already have been
-    pruned by a larger t seen first. Stream/batch-twin equivalence
-    (pinned in tests/test_streaming.py) therefore holds for event-time-
-    ordered feeds — exactly what the availableNow single-batch twin test
-    provides — not for arbitrarily shuffled cross-batch arrival. Exact
-    late-data semantics would require buffering events in state until
-    the watermark passes t before folding them (the aggregation-operator
-    strategy), trading one watermark-delay of emission latency;
-    pattern_completions_stream shares the same per-batch-sort-only
-    contract. Within-watermark reordering is an alerting-accuracy nit
-    (counts near the threshold may differ transiently); it never grows
-    state or emits duplicate alert keys.
+    WATERMARK-BUFFERED FOLD (r8, closing ADVICE r6 / VERDICT r7 item 5):
+    arriving events are NOT folded immediately — they buffer in state
+    (`pending`) until the watermark passes their timestamp, then fold in
+    GLOBAL event-time order. Stream == batch-minus-withheld therefore
+    holds for any arrival order the watermark admits (the shuffled-
+    arrival test in tests/test_streaming.py), not just event-time-
+    ordered feeds: a late-but-within-watermark event arriving a batch
+    behind its peers still folds in its correct position, because
+    nothing at or above the watermark has been folded yet. The trade is
+    the aggregation-operator contract: emissions lag one watermark delay
+    behind event time, and alerts whose trigger timestamp is still
+    inside the final watermark are WITHHELD (exactly like append-mode
+    window aggregates — see test_tumbling_dau_chain_matches_batch).
 
-    State per user = the event timestamps inside the trailing hour
-    (bounded by the user's max in-window rate, pruned every fold);
-    event-time timeout clears users idle past the window — state is a
-    watermark-horizon working set, the property that lets this run
-    forever. applyInPandasWithState because no built-in streaming
-    operator gives per-event sliding counts: window() buckets are fixed
-    grid, not trailing."""
+    State per user = the folded event timestamps inside the trailing
+    hour (bounded by the user's max in-window rate, pruned every fold)
+    plus the pending buffer (bounded by the user's event rate over ONE
+    watermark delay — 10 min — the same bound every watermarked
+    aggregation carries). Event-time timeouts both flush pending events
+    once the watermark passes them and clear users idle past the window
+    — state is a watermark-horizon working set, the property that lets
+    this run forever. applyInPandasWithState because no built-in
+    streaming operator gives per-event sliding counts: window() buckets
+    are fixed grid, not trailing."""
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
         out = []
-        if state.hasTimedOut:
-            state.remove()
+        if state.exists:
+            recent, pending = (list(v) for v in state.get)
         else:
+            recent, pending = [], []
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
             if len(rows):
-                rows = rows.sort_values(["ts", "event_id"])
-                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-                (recent,) = state.get if state.exists else ([],)
-                recent = list(recent)
-                # group arriving events by timestamp: peers enter together
-                i = 0
-                while i < len(ts_us):
-                    t = int(ts_us[i])
-                    j = i
-                    while j < len(ts_us) and int(ts_us[j]) == t:
-                        j += 1
-                    recent.extend([t] * (j - i))
-                    lo = t - _RATE_WINDOW_US  # (t-1h, t]
-                    recent = [x for x in recent if x > lo]
-                    if len(recent) == RATE_ALERT_K:
-                        out.append((user_id, t, len(recent)))
-                    i = j
-                state.update((recent,))
-                horizon_ms = (max(recent) + _RATE_WINDOW_US) // 1000 if recent else 0
-                state.setTimeoutTimestamp(
-                    max(horizon_ms, state.getCurrentWatermarkMs() + 1000)
-                )
+                # no sort needed here: arriving events only ever join the
+                # pending buffer (they are >= the current watermark by the
+                # late-row filter); ordering happens at fold time below
+                pending.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(t for t in pending if t < wm_us)
+        pending = [t for t in pending if t >= wm_us]
+        # fold finalized events in event-time order; same-ts peers enter
+        # the trailing window TOGETHER (RANGE-window semantics)
+        i = 0
+        while i < len(ready):
+            t = ready[i]
+            j = i
+            while j < len(ready) and ready[j] == t:
+                j += 1
+            recent.extend([t] * (j - i))
+            lo = t - _RATE_WINDOW_US  # (t-1h, t]
+            recent = [x for x in recent if x > lo]
+            if len(recent) == RATE_ALERT_K:
+                out.append((user_id, t, len(recent)))
+            i = j
+        evict_ms = (max(recent) + _RATE_WINDOW_US) // 1000 if recent else 0
+        if not pending and state.getCurrentWatermarkMs() >= evict_ms:
+            # nothing buffered and every folded event is already outside
+            # any future trailing window — drop the user entirely
+            if state.exists:
+                state.remove()
+        else:
+            state.update((recent, pending))
+            if pending:
+                # wake as soon as the watermark passes the oldest pending
+                # event so it folds (and emits) promptly
+                horizon_ms = min(pending) // 1000 + 1
+            else:
+                horizon_ms = evict_ms
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(
                 {

@@ -391,6 +391,57 @@ def test_bpe_merge_single_winner_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
+def test_nation_share_momentum_broadcasts_dims_no_fact_smj(spark, sf_dir):
+    """Round-7 heavy hitter (VERDICT r7 item 8): the nation-share rollup
+    must aggregate lineitem ONCE with the supplier/nation dims BROADCAST —
+    a SortMergeJoin on the fact path would reshuffle 6M+ rows at bench
+    scale (and the whole fact table at 100 TB) for two tiny dims."""
+    p = simple_plan(spark, sf_dir, "olap_nation_share_momentum")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_shingle_df_profile_aggregates_hashes_not_strings(spark, sf_dir):
+    """corpus_shingle_df_profile must profile over the Arrow shingle-HASH
+    relation: the plan carries the pandas kernel (ArrowEvalPython) and no
+    join at all — the df-profile is one hash-keyed aggregate chain. A
+    string-shingle expression regression measured 25x slower (SCALE.md)."""
+    p = simple_plan(spark, sf_dir, "corpus_shingle_df_profile")
+    assert "ArrowEvalPython" in p
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in p
+
+
+def test_ivf_cell_balance_is_kernel_scan_plus_broadcast_rollup(spark, sf_dir):
+    """embedding_ivf_cell_balance: assignment must be the Arrow
+    nearest-centroid kernel (ArrowEvalPython; the Catalyst fold measured
+    26x slower at 400k vectors, SCALE.md) and the corpus-wide stats side
+    must broadcast back into the 16-row cell relation — never a shuffle
+    join."""
+    p = simple_plan(spark, sf_dir, "embedding_ivf_cell_balance")
+    assert "ArrowEvalPython" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pinned_fold_twins_run_arrow_kernels(spark, sf_dir):
+    """The r8 fold-kernel swap must not regress: every pinned PQ/IVF twin
+    plans the Arrow kernel (ArrowEvalPython), and the ADC search keeps
+    its codes-side scan + broadcast query build."""
+    for name in (
+        "embedding_pq_encode_pinned",
+        "ivf_assign_pinned",
+        "pq_adc_topk_pinned",
+        "ivf_knn",
+    ):
+        p = simple_plan(spark, sf_dir, name)
+        assert "ArrowEvalPython" in p, name
+        assert "CartesianProduct" not in p, name
+    p = simple_plan(spark, sf_dir, "pq_adc_topk_pinned")
+    assert "BroadcastNestedLoopJoin" in p  # broadcast query-table build
+
+
 @pytest.fixture(scope="module")
 def registry_dfs(spark, sf_dir):
     """Every registered non-streaming query built ONCE (construction is the

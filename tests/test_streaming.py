@@ -450,8 +450,13 @@ def test_daily_topk_streaming_matches_batch(spark, events_dir):
 
 def test_rate_alert_stream_matches_batch(spark, sf_dir, events_dir):
     """The sliding-window rate alerter must emit exactly the batch
-    RANGE-window alerts under in-order file replay (every event arrives
-    inside the watermark horizon, so no crossing is missed or invented)."""
+    RANGE-window alerts — minus alerts whose trigger timestamp is still
+    inside the FINAL watermark, which the r8 watermark-buffered fold
+    correctly WITHHOLDS (their trailing-hour count could still change):
+    the same emitted-rows-are-final contract as
+    test_tumbling_dau_chain_matches_batch."""
+    from pyspark.sql import functions as F
+
     from laposte_data_engineering_jedha_spark.queries.round6 import stream_rate_alert
 
     batch = {
@@ -460,8 +465,12 @@ def test_rate_alert_stream_matches_batch(spark, sf_dir, events_dir):
     }
     streamed = jobs.run_rate_alert_available_now(spark, events_dir).collect()
     emitted = {(r["user_id"], r["alert_us"], r["n_in_hour"]) for r in streamed}
-    assert emitted == batch
-    assert len(batch) > 0
+    max_us = spark.read.parquet(events_dir).agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_us = (max_us // 1000 - 600_000) * 1000  # Spark tracks event time in ms
+    closed = {a for a in batch if a[1] < wm_us}
+    assert emitted == closed
+    assert len(closed) > 0
+    assert all(a[1] >= wm_us for a in batch - emitted)
 
 
 def test_tumbling_dau_chain_matches_batch(spark, events_dir):
