@@ -340,6 +340,85 @@ def ivf_knn(
     return _ranked_topk(pairs, k)
 
 
+#: quantization scale for the pinned Lloyd fit: embedding components live
+#: in [-1, 1], so floor(x * 2^20 + 0.5) is an exact integer in
+#: [-2^20, 2^20] — x (float32 widened to double) times a power of two is
+#: an exponent shift (exact), +0.5 and floor are exact, and BIGINT sums
+#: of the quantized coordinates are order-independent across engines.
+PQ_PIN_SCALE = 1_048_576  # 2^20
+
+
+def pq_fit_lloyd_pinned(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """DETERMINISTIC product-quantization fit — seeded init + quantized
+    Lloyd steps, bit-reproducible in plain SQL (the DuckDB twin in
+    queries/round8b.py runs the identical procedure), which is what turns
+    the otherwise iterative-fit-only `embedding_pq_codes` into a full
+    hash row:
+
+    - init: per subspace, the k lowest-`id_col` rows' subvectors
+      (TakeOrderedAndProject — k bounded rows to the driver, the same
+      bounded collect every iterative k-means needs for its centroids);
+    - assign: the fold-faithful Arrow kernel (vectors.pd_fold_codes),
+      bit-identical to the oracle's per-centroid left-to-right fold,
+      ties -> lowest centroid id;
+    - update: per (centroid, dimension), the BIGINT sum of
+      floor(x * 2^20 + 0.5) quantized coordinates; the new coordinate is
+      the offset floor-mean ((sum + n*2^20) div n - 2^20) / 2^20 — every
+      step integer or exact-dyadic, so no float accumulation order can
+      diverge between engines. Empty cells keep their previous centroid.
+
+    The sums aggregate map-side (k*sub BIGINT partials per subspace) and
+    only k rows per subspace ever reach the driver per iteration — the
+    same scale shape as MLlib's own Lloyd loop. Production fits stay on
+    `pq_fit_codebooks` (seeded-sample MLlib k-means); this variant exists
+    so the REGISTERED end-to-end PQ query is value-checkable to the last
+    bit (VERDICT r7 item 2)."""
+    sub = dim // m
+    head = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    books = np.array(
+        [[list(r[vec_col])[j * sub : (j + 1) * sub] for r in head] for j in range(m)],
+        dtype="float64",
+    )
+    quant = lambda c: F.floor(c.cast("double") * PQ_PIN_SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+    for _ in range(iters):
+        # ONE job per iteration: posexplode the m codes to (j, c) keys and
+        # index the subvector by the exploded j, so all m subspaces' sums
+        # ride one m*k-group aggregate (map-side partials) and one <= m*k
+        # row collect.
+        ex = df.select(
+            F.col(vec_col).alias("v"),
+            F.posexplode(vectors.pd_fold_codes(vec_col, books)).alias("j", "c"),
+        )
+        rows = (
+            ex.groupBy("j", "c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        quant(F.element_at("v", F.col("j") * sub + d + 1))
+                    ).alias(f"q{d}")
+                    for d in range(sub)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            books[r["j"]][r["c"]] = [
+                ((r[f"q{d}"] + r["n"] * PQ_PIN_SCALE) // r["n"] - PQ_PIN_SCALE)
+                / PQ_PIN_SCALE
+                for d in range(sub)
+            ]
+    return books
+
+
 def pq_fit_codebooks(
     df: DataFrame,
     m: int = 4,

@@ -432,7 +432,7 @@ ROUND4_ADDED = [
 # rows-only + the funnel graduation + the last-registered oracle query),
 # first in the round-6 window. Registration order IS the queue.
 ROUND5_DEFERRED = [
-    "embedding_pq_codes",  # rows-only: iterative PQ codebook fit has no SQL twin
+    "embedding_pq_codes",  # graduated r8: pinned Lloyd fit + generated SQL twin
     "stream_funnel_detect",  # oracle added in round 5 (batch window twin; the
     # stateful streaming operator itself stays linked via the equivalence test)
     "dedup_savings_report",  # oracle-bearing, 51st in the round-4 queue
@@ -688,6 +688,20 @@ ROUND8_ADDED: list[str] = [
     "corpus_top_bigram_share",
     "corpus_token_count_gate",
     "corpus_repeated_token_runs",
+    # round-8 session batch 2 (queries/round8b.py)
+    "corpus_sampling_weights_sqrt",
+    "embedding_quantization_error_histogram",
+    "embedding_centroid_margin_profile",
+    "embedding_label_centroid_purity",
+    # round-8 session batch 3 (queries/round8c.py)
+    "olap_customer_decile_lift",
+    "olap_supplier_pareto_80",
+    "olap_order_weekday_priority",
+    # round-8 session batch 4 (queries/round8d.py)
+    "events_markov_transitions",
+    "events_value_winsorized_stats",
+    "events_inactivity_churn",
+    "events_hourly_autocorr",
 ]
 
 # Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
@@ -739,7 +753,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

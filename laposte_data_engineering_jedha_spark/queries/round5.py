@@ -1,11 +1,12 @@
 """Round-5 registry extensions.
 
 Pinned-codebook verification twins for the vector-quantization operators:
-`ivf_knn` / `embedding_pq_codes` stay rows-only (their k-means *fits* are
-iterative), but the expensive-at-scale part — the per-row assignment /
-encode math — is deterministic given a codebook, so these twins run it
-against the closed-form `similarity.pinned_codebook` and earn full DuckDB
-hash rows.
+the per-row assignment / encode math is deterministic given a codebook,
+so these twins run it against the closed-form
+`similarity.pinned_codebook` and earn full DuckDB hash rows. (Since then
+the fits themselves graduated too: ivf_knn in round 7, embedding_pq_codes
+in round 8 via the pinned Lloyd fit — these twins remain as the
+closed-form-codebook variants.)
 
 Cross-engine float discipline: every distance is a left-to-right fold
 (`F.aggregate` with 0.0 init == DuckDB `list_reduce` with 0.0 prepend) over

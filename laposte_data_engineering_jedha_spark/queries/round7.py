@@ -14,10 +14,10 @@ top-k — against the closed-form pinned codebook
   convention that knn_brute_force / knn_lsh have hash-matched against the
   fold-based DuckDB twin since r04.
 
-This clears the last rows-only registry entry that had no hash row of its
-own end-to-end shape (embedding_pq_codes remains the one declared
-rows-only fit, with its encode math hash-checked via
-embedding_pq_encode_pinned).
+This cleared the last rows-only registry entry that had no hash row of
+its own end-to-end shape except embedding_pq_codes — which graduated in
+round 8 via the pinned Lloyd fit (queries/round4.py,
+similarity.pq_fit_lloyd_pinned), leaving zero rows-only entries.
 """
 
 from __future__ import annotations

@@ -114,6 +114,27 @@ def test_fold_kernels_bit_identical_to_catalyst_folds(spark, sf_dir):
         assert r["k_tabs"] == r["c_tabs"], r["vec_id"]  # bitwise, 64 doubles
 
 
+def test_pq_fit_lloyd_pinned_exact_dyadic_and_improving(spark, sf_dir):
+    """The r8 pinned Lloyd fit (embedding_pq_codes' graduated codebook):
+    every centroid coordinate must be an exact multiple of 2^-20 (the
+    quantized floor-mean — what makes the DuckDB twin bit-reproducible),
+    the fit must be deterministic across runs, and two Lloyd steps must
+    not WORSEN reconstruction error vs the raw seeded init."""
+    from laposte_data_engineering_jedha_spark.queries import table as qtable
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit_lloyd_pinned(emb, m=4, k=16, dim=64, iters=2)
+    assert books.shape == (4, 16, 16)
+    scaled = books * similarity.PQ_PIN_SCALE
+    assert np.all(scaled == np.round(scaled))  # exact dyadic rationals
+    again = similarity.pq_fit_lloyd_pinned(emb, m=4, k=16, dim=64, iters=2)
+    assert np.array_equal(books, again)
+    init = similarity.pq_fit_lloyd_pinned(emb, m=4, k=16, dim=64, iters=0)
+    assert similarity.pq_reconstruction_mse(emb, books) <= (
+        similarity.pq_reconstruction_mse(emb, init)
+    )
+
+
 # --------------------- incremental (batch-vs-index) dedup ---------------------
 
 
