@@ -42,6 +42,11 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate registration would silently REPLACE an existing
+        # query + oracle (dict overwrite) — caught live in round 8 when a
+        # new batch reused an existing name; fail loudly at import instead
+        if name in SPARK_QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -698,10 +703,17 @@ ROUND8_ADDED: list[str] = [
     "olap_supplier_pareto_80",
     "olap_order_weekday_priority",
     # round-8 session batch 4 (queries/round8d.py)
-    "events_markov_transitions",
     "events_value_winsorized_stats",
     "events_inactivity_churn",
     "events_hourly_autocorr",
+    # round-8 session batch 5 (queries/round8e.py)
+    "dq_null_rate_report",
+    "dq_numeric_range_report",
+    "dq_duplicate_key_report",
+    "dq_ship_before_order",
+    # round-8 session batch 6 (queries/round8f.py)
+    "corpus_dedup_cluster_size_histogram",
+    "multimodal_payload_size_percentiles",
 ]
 
 # Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
@@ -753,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

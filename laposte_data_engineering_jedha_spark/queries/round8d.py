@@ -1,8 +1,5 @@
 """Round-8 session batch 4 — behavioral events analytics:
 
-- events_markov_transitions: the first-order event-type transition matrix
-  (counts + row-conditional probabilities) — the input to next-event
-  prediction baselines and funnel anomaly detection.
 - events_value_winsorized_stats: per-type value stats after p1/p99
   winsorization — the robust-mean report; bounds quantize to integer
   centi-cents BEFORE clamping so no float ever crosses a group boundary.
@@ -21,49 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import events_table, query
-
-# ========================= markov transition matrix ==========================
-
-
-@query(
-    "events_markov_transitions",
-    """
-WITH s AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_type
-  FROM events),
-c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
-      FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
-t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY prev_type)
-SELECT c.prev_type AS prev_type, next_type, n,
-       CAST(n * 1000000 // row_total AS BIGINT) AS p_ppm
-FROM c JOIN t ON c.prev_type = t.prev_type
-""",
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over each user's
-    (ts, event_id)-ordered stream: per (prev, next) event-type pair, the
-    count and the row-conditional probability in integer ppm. One
-    user-partitioned lag window (the same single exchange every
-    sessionization query pays) then |types|^2-row rollups; the row-total
-    join broadcasts."""
-    ev = events_table(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).where(F.col("prev_type").isNotNull())
-    c = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
-    return c.join(F.broadcast(t), "prev_type").select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.expr("(n * 1000000) div row_total").cast("long").alias("p_ppm"),
-    )
-
 
 # ========================= winsorized value stats ============================
 
