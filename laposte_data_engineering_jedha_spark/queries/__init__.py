@@ -714,6 +714,11 @@ ROUND8_ADDED: list[str] = [
     # round-8 session batch 6 (queries/round8f.py)
     "corpus_dedup_cluster_size_histogram",
     "multimodal_payload_size_percentiles",
+    # round-8 session batch 7 (queries/round8g.py)
+    "sketch_histogram_quantiles",
+    "events_count_min_estimate",
+    "olap_monthly_revenue_anomaly",
+    "dq_cardinality_drift",
 ]
 
 # Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
@@ -721,12 +726,12 @@ ROUND8_ADDED: list[str] = [
 # externally-verified rows in the rotation, ROUND3_VERIFIED[17:24]
 # (r03 hash rows, the oldest external evidence in the registry).
 #
-# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED
-# (RECOUNT at round-8 close) + the next-oldest externally-verified rows
-# to fill 50: ROUND3_VERIFIED[24:] first (r03 remainder), then
-# ROUND4_ADDED / ROUND4_VERIFIED (r04 rows). Move the window slice to
+# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED (24
+# entries at round-8 close) + ROUND3_VERIFIED[24:] (26 entries — the r03
+# remainder, the oldest external rows) = exactly 50. Move that slice to
 # the head of DRIVER_WINDOW_PRIORITY and update
-# tests/test_drivers.py::test_driver_window_priority_matches_registry.
+# tests/test_drivers.py::test_driver_window_priority_matches_registry;
+# stage ROUND9_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
     *ROUND7_ADDED,
     *ROUND3_VERIFIED[17:24],
@@ -765,7 +770,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

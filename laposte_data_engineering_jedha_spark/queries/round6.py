@@ -383,19 +383,30 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LP_CELL_CAP = 64  # md5-head representatives per (type, cell) bucket
+
+
 def _lp_edges_sql() -> str:
-    return """
+    return f"""
 sess AS (
   SELECT user_id, event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS cell
   FROM events
   GROUP BY user_id, event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)),
-edges0 AS (
-  SELECT a.user_id AS u, b.user_id AS v, count(*) AS w
-  FROM sess a JOIN sess b
+bh AS (
+  SELECT user_id, event_type, cell FROM (
+    SELECT user_id, event_type, cell,
+           row_number() OVER (PARTITION BY event_type, cell
+                              ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS _r
+    FROM sess) WHERE _r <= {_LP_CELL_CAP}),
+pairs0 AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) AS u,
+                  greatest(a.user_id, b.user_id) AS v,
+                  a.event_type AS t, a.cell AS c
+  FROM sess a JOIN bh b
     ON a.cell = b.cell AND a.event_type = b.event_type
-   AND a.user_id < b.user_id
-  GROUP BY a.user_id, b.user_id),
+   AND a.user_id <> b.user_id),
+edges0 AS (SELECT u, v, count(*) AS w FROM pairs0 GROUP BY u, v),
 edges AS (SELECT u, v, w FROM edges0 UNION ALL SELECT v, u, w FROM edges0)"""
 
 
@@ -428,7 +439,7 @@ SELECT node AS user_id, lbl AS community FROM l2"""
 
 @query("graph_label_prop_communities", _LP_SQL)
 def graph_label_prop_communities(
-    spark: SparkSession, sf_dir: str, max_cell_members: int | None = None
+    spark: SparkSession, sf_dir: str, max_cell_members: int | None = _LP_CELL_CAP
 ) -> DataFrame:
     """Community detection via synchronous label propagation (2 unrolled
     rounds) over the co-presence graph: users are linked when they have
@@ -445,15 +456,22 @@ def graph_label_prop_communities(
     all partitioned by node. Rounds unroll statically (2 here) exactly
     like graph_bfs_reach unrolls its frontier.
 
-    `max_cell_members` is the hot-cell knob (default None = exact, what
-    the oracle checks; the fixture's cells are small): a peak hour on a
-    large site puts 10^5+ users in one cell and the pair set goes
-    quadratic — measured OOM at a 150k-user synthetic peak (SCALE.md).
-    With a cap, every bucket member STAR-JOINS the md5-head
+    `max_cell_members` is the hot-cell knob — since round 8 the
+    REGISTERED default is the capped path (_LP_CELL_CAP = 64, mirrored
+    exactly in the DuckDB twin's `bh` CTE; fixture cells never reach the
+    cap, so the hash row is unchanged): the r8 sf1 sweep OOM'd the exact
+    formulation's pair aggregation at 1M events (~270 users/cell x 3.7k
+    cells -> 135M pairs partial-aggregated inside AQE-coalesced join
+    tasks). With the cap, every bucket member STAR-JOINS the md5-head
     representatives only (the connectivity-preserving capped join shape
     shared with hamming_band_pairs since the round-5 fix), bounding
     pairs per bucket at members x cap while every member keeps edges
-    into the community core."""
+    into the community core. The pair relation is also explicitly
+    repartitioned on its dedup key before aggregating, so the dedup runs
+    as ONE post-shuffle aggregate on size-balanced partitions instead of
+    a map-side hash partial on the join's fan-out (the actual OOM site —
+    AQE coalesces by INPUT size and a fan-out join breaks that
+    estimate). Pass None for the exact all-pairs variant."""
     ev = events_table(spark, sf_dir)
     cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     sess = ev.select("user_id", "event_type", cell.alias("cell")).distinct()
@@ -472,13 +490,20 @@ def graph_label_prop_communities(
         F.col("a.event_type") == F.col("b.event_type")
     )
     if max_cell_members is None:
-        raw = a.join(b, join_cond & (F.col("a.user_id") < F.col("b.user_id"))).select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        # explicit repartition on the aggregate key: the join's output is
+        # a fan-out whose size AQE under-estimates from its inputs; the
+        # plain exchange streams shuffle blocks (no map-side hash state)
+        # and the count then runs as one post-shuffle aggregate
+        raw = (
+            a.join(b, join_cond & (F.col("a.user_id") < F.col("b.user_id")))
+            .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+            .repartition("u", "v")
         )
     else:
         # star-to-representatives with normalized pairs, deduped per
         # bucket so w still counts SHARED BUCKETS (a rep-rep pair would
-        # otherwise appear once per join direction)
+        # otherwise appear once per join direction); same explicit
+        # fan-out repartition, on the dedup key
         raw = (
             a.join(b, join_cond & (F.col("a.user_id") != F.col("b.user_id")))
             .select(
@@ -487,6 +512,7 @@ def graph_label_prop_communities(
                 F.col("a.event_type").alias("t"),
                 F.col("a.cell").alias("c"),
             )
+            .repartition("u", "v", "t", "c")
             .dropDuplicates(["u", "v", "t", "c"])
             .select("u", "v")
         )

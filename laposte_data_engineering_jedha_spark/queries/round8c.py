@@ -39,11 +39,11 @@ g AS (SELECT CAST(decile AS BIGINT) AS decile,
              CAST(count(*) AS BIGINT) AS n_customers,
              CAST(sum(cents) AS BIGINT) AS cents
       FROM d GROUP BY decile),
-t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM g),
+t AS (SELECT CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS total FROM g),
 s AS (SELECT decile, n_customers, cents,
-             CAST(cents * 1000000 // total AS BIGINT) AS share_ppm,
-             CAST(sum(cents) OVER (ORDER BY decile
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(CAST(cents AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+             CAST(CAST(sum(CAST(cents AS HUGEINT)) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
                   * 1000000 // total AS BIGINT) AS cum_share_ppm
       FROM g CROSS JOIN t)
 SELECT decile, n_customers, cents AS revenue_cents, share_ppm, cum_share_ppm FROM s
@@ -78,7 +78,11 @@ def olap_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("cents"),
     )
-    t = g.agg(F.sum("cents").cast("long").alias("total"))
+    # share math in DECIMAL(38,0) (== the oracle's HUGEINT): cum * 1e6
+    # overflows BIGINT already at sf1 totals (found by the r8 sf1 sweep)
+    t = g.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("total")
+    )
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (
         g.crossJoin(F.broadcast(t))
@@ -86,8 +90,13 @@ def olap_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_customers",
             F.col("cents").alias("revenue_cents"),
-            F.expr("(cents * 1000000) div total").cast("long").alias("share_ppm"),
-            (F.sum("cents").over(w) * 1000000).alias("_cum"),
+            F.expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div total")
+            .cast("long")
+            .alias("share_ppm"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)")).over(w).cast("decimal(38,0)")
+                * 1000000
+            ).alias("_cum"),
             "total",
         )
         .select(
