@@ -505,6 +505,29 @@ def passage_dup_stats(
     )
 
 
+def auto_band_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> int:
+    """Corpus-size-dependent LSH band width: planes per band such that the
+    EXPECTED bucket occupancy on a structureless corpus stays near
+    `target_bucket` — planes = ceil(log2(n / target_bucket)), floored.
+
+    Why this exists (r8 sf1 sweep): with FIXED banding parameters the
+    bucket count is constant (2^planes per band), so candidate-pair mass
+    grows ~n^2/2^planes — dedup_embedding_cosine measured exponent 1.59
+    for a 10x corpus step at the fixed 4-plane default (SCALE.md). Sizing
+    planes with log2(n) keeps expected occupancy — and therefore
+    per-bucket pair mass — constant, restoring ~linear candidate volume;
+    recall at a given cosine follows the AND/OR curve, so deployments
+    compensate with `bands` (OR amplification) as planes grow. The
+    REGISTERED gate queries pin fixture-sized parameters (they are the
+    oracle surface); production entry points pass
+    `band_planes=auto_band_planes(df.count())`."""
+    import math
+
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -122,6 +122,50 @@ def test_winsorized_stats_clamp_semantics(spark):
         assert 0 <= r["n_clamped"] < r["n_events"]
 
 
+def test_auto_band_planes_bounds_bucket_occupancy(spark):
+    """auto_band_planes keeps EXPECTED LSH bucket occupancy ~constant as
+    the corpus grows (the r8 sf1 finding: fixed planes -> n^2/2^planes
+    candidate mass). On random vectors, a 4x corpus with fixed planes
+    ~4x-es mean occupancy; with auto planes it stays within 2x of the
+    target."""
+    import numpy as np
+
+    from laposte_data_engineering_jedha_spark.functions import vectors
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    assert dedup.auto_band_planes(50) == 4  # floored
+    assert dedup.auto_band_planes(64 * 2**5) == 5
+    assert dedup.auto_band_planes(64 * 2**10) == 10
+
+    rng = np.random.default_rng(7)
+
+    def occupancy(n: int, planes: int) -> float:
+        mat = rng.standard_normal((n, 16)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(mat)],
+            "vec_id long, embedding array<float>",
+        )
+        b = df.select(
+            F.posexplode(
+                vectors.pd_lsh_buckets_banded("embedding", 16, 2, planes)
+            ).alias("band", "key")
+        )
+        row = (
+            b.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.avg("n").alias("m"))
+            .first()
+        )
+        return float(row["m"])
+
+    small_fixed = occupancy(1000, 4)
+    big_fixed = occupancy(4000, 4)
+    big_auto = occupancy(4000, dedup.auto_band_planes(4000, target_bucket=64))
+    assert big_fixed > 2.5 * small_fixed  # fixed planes: occupancy tracks n
+    assert big_auto < 0.5 * big_fixed  # auto planes pull it back down
+
+
 def test_hourly_autocorr_shape(spark):
     rows = {r["lag_hours"]: r for r in _rows(spark, "events_hourly_autocorr")}
     assert set(rows) == {1, 24}
