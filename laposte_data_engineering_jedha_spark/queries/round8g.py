@@ -167,13 +167,12 @@ def events_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long") % _CM_W
 
+    # posexplode of the precomputed cell array: each row hashes its key
+    # exactly _CM_D times (the indexed-array formulation re-evaluated the
+    # whole array per exploded row — 4x the md5 work, measured 2.5 s vs
+    # 0.7 s at sf0.1)
     rows_ = ev.select(
-        "event_type", F.explode(F.array(*[F.lit(r) for r in range(_CM_D)])).alias("r")
-    ).select(
-        "r",
-        F.element_at(
-            F.array(*[cell(r) for r in range(_CM_D)]), F.col("r").cast("int") + 1
-        ).alias("cell"),
+        F.posexplode(F.array(*[cell(r) for r in range(_CM_D)])).alias("r", "cell")
     )
     cm = rows_.groupBy("r", "cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
     keys_ = ev.groupBy("event_type").agg(
@@ -182,14 +181,7 @@ def events_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = keys_.select(
         "event_type",
         "true_n",
-        F.explode(F.array(*[F.lit(r) for r in range(_CM_D)])).alias("r"),
-    ).select(
-        "event_type",
-        "true_n",
-        "r",
-        F.element_at(
-            F.array(*[cell(r) for r in range(_CM_D)]), F.col("r").cast("int") + 1
-        ).alias("cell"),
+        F.posexplode(F.array(*[cell(r) for r in range(_CM_D)])).alias("r", "cell"),
     )
     return (
         probe.join(cm, ["r", "cell"])

@@ -228,60 +228,71 @@ SESSION_GAP_S = 1800  # 30 min, matches queries/llmops.py:events_sessionize
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start long, end long, n long"  # micros since epoch
+# open session (start, last-event, count) in integer micros + the
+# watermark buffer (r8 — see docstring)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, pending array<long>"
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: 30-minute-gap sessionization via
     `applyInPandasWithState` keyed by user_id.
 
-    State per user = the open session (start, last-event, count) in integer
-    microseconds. Each micro-batch folds its (watermark-ordered-enough)
-    events into the open session; a gap > 30 min closes and emits the
-    previous session. Event-time timeout (last_event + gap past the
-    watermark) closes idle sessions, so state size is bounded by the number
-    of users active inside one watermark horizon — the property that makes
-    this run forever on an unbounded stream.
-
-    Note the ordering contract: within a micro-batch, events of one user
-    arrive as one pandas group and are sorted here; ACROSS micro-batches,
-    ordering holds only beyond the watermark. That is the same guarantee
-    Spark's own session_window operator gives.
+    WATERMARK-BUFFERED FOLD (r8, same contract as rate_alert_stream):
+    gap splits are order-sensitive, so arriving events buffer in state
+    (`pending`) until the watermark passes them and fold into the open
+    session in GLOBAL event-time order — a late-but-within-watermark
+    event can no longer split a session it belongs inside of, whatever
+    micro-batch it rode in on. State per user = the open session
+    (start, last-event, count) in integer microseconds plus the pending
+    buffer (bounded by the user's event rate over one watermark delay).
+    Event-time timeouts both flush pending once the watermark passes it
+    and close idle sessions (watermark past last finalized event + gap:
+    at that point every admissible future event exceeds the gap and
+    would start a new session anyway) — state stays a watermark-horizon
+    working set, the property that makes this run forever.
     """
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
         out = []
-        if state.hasTimedOut:
-            start, end, n = state.get
-            out.append((user_id, start, end, n))
-            state.remove()
+        if state.exists:
+            start, end, n, pending = state.get
+            pending = list(pending)
         else:
+            start, end, n, pending = 0, 0, 0, []
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
             if len(rows):
-                rows = rows.sort_values(["ts", "event_id"])
-                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
-                if state.exists:
-                    start, end, n = state.get
-                else:
-                    start, end, n = int(ts_us[0]), int(ts_us[0]), 0
-                for t in ts_us:
-                    t = int(t)
-                    if n > 0 and t - end > SESSION_GAP_S * 1_000_000:
-                        out.append((user_id, start, end, n))
-                        start, n = t, 0
-                    if n == 0:
-                        start = t
-                    end = t
-                    n += 1
-                state.update((start, end, n))
-                # close when the watermark passes last event + gap; clamp to
-                # just past the current watermark for users whose events ran
-                # behind it (out-of-order micro-batch arrival)
-                timeout_ms = end // 1000 + SESSION_GAP_S * 1000
-                state.setTimeoutTimestamp(
-                    max(timeout_ms, state.getCurrentWatermarkMs() + 1000)
-                )
+                pending.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(t for t in pending if t < wm_us)
+        pending = [t for t in pending if t >= wm_us]
+        for t in ready:
+            if n > 0 and t - end > SESSION_GAP_S * 1_000_000:
+                out.append((user_id, start, end, n))
+                n = 0
+            if n == 0:
+                start = t
+            end = t
+            n += 1
+        gap_ms = SESSION_GAP_S * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if n > 0 and wm_ms >= end // 1000 + gap_ms:
+            # idle close: nothing admissible can land inside the gap
+            # anymore — buffered events (all >= the watermark >= end+gap)
+            # would start a NEW session, so they don't block the close
+            out.append((user_id, start, end, n))
+            start, end, n = 0, 0, 0
+        if n == 0 and not pending:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, end, n, pending))
+            if pending:
+                horizon_ms = min(pending) // 1000 + 1  # flush wake-up
+            else:
+                horizon_ms = end // 1000 + gap_ms  # idle-close wake-up
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
         if out:  # one batched frame per group call, not one per session
             yield pd.DataFrame(
                 {
@@ -441,7 +452,11 @@ def run_events_to_parquet(
 FUNNEL_OUT_SCHEMA = (
     "user_id long, view_us long, click_us long, purchase_us long"
 )
-_FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"  # micros; 0 = unset
+# three stage micros (0 = unset) + the watermark buffer (r8 — see docstring)
+_FUNNEL_STATE_SCHEMA = (
+    "t1 long, t2 long, t3 long, "
+    "pend_ts array<long>, pend_id array<long>, pend_type array<string>"
+)
 
 
 def funnel_detect_stream(events: DataFrame) -> DataFrame:
@@ -451,39 +466,60 @@ def funnel_detect_stream(events: DataFrame) -> DataFrame:
     first-view / first-click-after / first-purchase-after semantics;
     equivalence asserted in tests/test_streaming.py).
 
-    State per user = the three stage timestamps in integer microseconds
-    (0 = stage not reached); each micro-batch folds its events in
-    (ts, event_id) order through the same three-stage transition the
-    batch window computes, and the completion row emits exactly once
-    (t3 transitions 0 -> value). State is three longs per user — the
-    pattern matcher never buffers events, unlike a join formulation.
-    No timeout: a funnel may complete arbitrarily late; a production
-    deployment bounds user-state lifetime with an event-time TTL exactly
-    like sessionize_stream's (trade documented, not silently applied,
-    because expiring state here CHANGES the answer rather than just
-    splitting a session)."""
+    WATERMARK-BUFFERED FOLD (r8, same contract as rate_alert_stream):
+    the stage transitions are genuinely order-sensitive (an earlier view
+    arriving late invalidates a provisional t2/t3), so arriving events
+    buffer in state until the watermark passes them and fold in GLOBAL
+    (ts, event_id) order — batch-twin equivalence holds for any
+    within-watermark arrival order, with completions whose purchase is
+    still inside the final watermark WITHHELD. The automaton state stays
+    three longs; the pending buffer is bounded by the user's event rate
+    over one watermark delay, and the event-time timeout exists only to
+    flush it — completed or idle funnels otherwise keep state unbounded
+    by design (a production deployment bounds lifetime with an
+    event-time TTL, a documented trade because expiring state CHANGES
+    the answer rather than just splitting a session)."""
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.exists:
-            t1, t2, t3 = state.get
+            t1, t2, t3, p_ts, p_id, p_ty = state.get
+            p_ts, p_id, p_ty = list(p_ts), list(p_id), list(p_ty)
         else:
-            t1, t2, t3 = 0, 0, 0
+            t1, t2, t3, p_ts, p_id, p_ty = 0, 0, 0, [], [], []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                p_ts.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
+                p_id.extend(int(i) for i in rows["event_id"].astype("int64"))
+                p_ty.extend(str(x) for x in rows["event_type"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        trips = sorted(zip(p_ts, p_id, p_ty))
+        ready = [e for e in trips if e[0] < wm_us]
+        pend = [e for e in trips if e[0] >= wm_us]
         had_t3 = t3 != 0
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-            types = rows["event_type"].to_numpy()
-            for t, typ in zip(ts_us, types):
-                t = int(t)
-                if typ == "view" and (t1 == 0 or t < t1):
-                    t1 = t
-                elif typ == "click" and t1 != 0 and t > t1 and (t2 == 0 or t < t2):
-                    t2 = t
-                elif typ == "purchase" and t2 != 0 and t > t2 and (t3 == 0 or t < t3):
-                    t3 = t
-            state.update((t1, t2, t3))
+        for t, _eid, typ in ready:
+            if typ == "view" and (t1 == 0 or t < t1):
+                t1 = t
+            elif typ == "click" and t1 != 0 and t > t1 and (t2 == 0 or t < t2):
+                t2 = t
+            elif typ == "purchase" and t2 != 0 and t > t2 and (t3 == 0 or t < t3):
+                t3 = t
+        state.update(
+            (
+                t1,
+                t2,
+                t3,
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                [e[2] for e in pend],
+            )
+        )
+        if pend:
+            # wake as soon as the watermark passes the oldest pending event
+            state.setTimeoutTimestamp(
+                max(pend[0][0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
         if t3 != 0 and not had_t3:
             yield pd.DataFrame(
                 {
@@ -502,7 +538,7 @@ def funnel_detect_stream(events: DataFrame) -> DataFrame:
             outputStructType=FUNNEL_OUT_SCHEMA,
             stateStructType=_FUNNEL_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

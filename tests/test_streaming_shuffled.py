@@ -1,17 +1,19 @@
 """Shuffled-arrival stream == batch equivalence (VERDICT r7 item 5).
 
 The r8 watermark-buffered folds (rate_alert_stream,
-pattern_completions_stream) must produce EXACTLY the batch twin's output
-when events arrive out of event-time order across micro-batches, as long
-as every arrival stays inside the watermark — the contract the old
-per-batch-sort fold could not honor (ADVICE r6).
+pattern_completions_stream, funnel_detect_stream, sessionize_stream)
+must produce EXACTLY the batch twin's output when events arrive out of
+event-time order across micro-batches, as long as every arrival stays
+inside the watermark — the contract the old per-batch-sort folds could
+not honor (ADVICE r6).
 
 Fixture: a planted dense-burst timeline sliced into 5-minute files where
 every third event is DEFERRED one file (arriving up to 5 minutes late —
 half the 10-minute watermark) and rows inside each file are written in
-REVERSE timestamp order. A lone sentinel event 10 minutes past the
-timeline pushes the final watermark beyond every planted event, so
-nothing is withheld and the assertion is plain multiset equality.
+REVERSE timestamp order. A lone sentinel event 40 minutes past the
+timeline pushes the final watermark past every planted event PLUS the
+30-minute session gap, so nothing is withheld (sessions included) and
+every assertion is plain multiset equality.
 """
 
 from __future__ import annotations
@@ -39,8 +41,9 @@ def _plant_rows():
     for u in range(1, 6):
         t = u * 37  # stagger users
         # keep every event strictly below T0+48min: the final watermark is
-        # T0+50min (sentinel minus the 10-min delay), so nothing planted
-        # is ever withheld and the assertion stays plain equality
+        # T0+80min (sentinel minus the 10-min delay), so nothing planted is
+        # ever withheld — and every session's end + 30-min gap also sits
+        # below the final watermark, so sessions all close
         while t + 40 < 48 * 60:
             for off, typ in ((0, "view"), (11, "click"), (23, "click"), (40, "purchase")):
                 eid += 1
@@ -48,8 +51,15 @@ def _plant_rows():
                     (eid, T0 + dt.timedelta(seconds=t + off), u, typ, float(u), "{}")
                 )
             t += 9 * 60 + u * 13
-    # sentinel: advances the final watermark past every planted event
-    rows.append((9999, T0 + dt.timedelta(seconds=60 * 60), 99, "noise", 0.0, "{}"))
+    # user 7: two bursts 40 min apart — a mid-stream session split (the
+    # 30-min gap rule) that the shuffled arrival must not move
+    for base in (120, 120 + 40 * 60):
+        for off, typ in ((0, "view"), (9, "click"), (21, "purchase")):
+            eid += 1
+            rows.append((eid, T0 + dt.timedelta(seconds=base + off), 7, typ, 7.0, "{}"))
+    # sentinel: advances the final watermark past every planted event + the
+    # session gap, so even open sessions close before the stream ends
+    rows.append((9999, T0 + dt.timedelta(seconds=90 * 60), 99, "noise", 0.0, "{}"))
     return rows
 
 
@@ -72,7 +82,7 @@ def shuffled_dirs(spark, tmp_path_factory):
         f"{batch_dir}/events.parquet"
     )
 
-    n_slices = (60 * 60) // SLICE_S + 1
+    n_slices = (90 * 60) // SLICE_S + 1
     files: list[list] = [[] for _ in range(n_slices + 1)]
     for r in rows:
         k = int((r[1] - T0).total_seconds()) // SLICE_S
@@ -106,6 +116,76 @@ def test_rate_alert_stream_matches_batch_under_shuffled_arrival(spark, shuffled_
     )
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_funnel_stream_matches_batch_under_shuffled_arrival(spark, shuffled_dirs):
+    """The funnel automaton's transitions are order-sensitive (a late
+    earlier view invalidates a provisional t2/t3) — the buffered fold
+    must reproduce the batch first-view/first-click-after/first-purchase-
+    after result under shuffled arrival, computed here independently in
+    Python from the plant."""
+    stream_dir, _ = shuffled_dirs
+    want: dict[int, tuple[int, int, int]] = {}
+    per_user: dict[int, list] = {}
+    for eid, ts, u, typ, _v, _p in sorted(_plant_rows(), key=lambda r: (r[1], r[0])):
+        per_user.setdefault(u, []).append((ts, typ))
+    for u, evs in per_user.items():
+        t1 = t2 = t3 = None
+        for ts, typ in evs:
+            if typ == "view" and t1 is None:
+                t1 = ts
+            elif typ == "click" and t1 is not None and ts > t1 and t2 is None:
+                t2 = ts
+            elif typ == "purchase" and t2 is not None and ts > t2 and t3 is None:
+                t3 = ts
+        if t3 is not None:
+            us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+            want[u] = (us(t1), us(t2), us(t3))
+    got = {
+        r["user_id"]: (r["view_us"], r["click_us"], r["purchase_us"])
+        for r in jobs.run_funnel_detect_available_now(
+            spark, stream_dir, query_name="funnels_shuffled"
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_sessionize_stream_matches_batch_under_shuffled_arrival(spark, shuffled_dirs):
+    """30-min-gap sessions computed independently from the plant (the
+    user-7 40-min gap splits; everything closes under the final
+    watermark) must equal the buffered stream's emissions exactly —
+    a deferred event may no longer split the session it belongs to."""
+    import datetime as _dt
+
+    stream_dir, _ = shuffled_dirs
+    per_user: dict[int, list] = {}
+    for _eid, ts, u, _typ, _v, _p in sorted(_plant_rows(), key=lambda r: (r[1], r[0])):
+        per_user.setdefault(u, []).append(ts)
+    want = set()
+    for u, tss in per_user.items():
+        start = end = tss[0]
+        n = 0
+        for ts in tss:
+            if n > 0 and (ts - end) > _dt.timedelta(seconds=jobs.SESSION_GAP_S):
+                want.add((u, start, end, n))
+                n = 0
+            if n == 0:
+                start = ts
+            end = ts
+            n += 1
+        want.add((u, start, end, n))
+    # the sentinel user's 1-event session ends AT the final watermark
+    # horizon (wm = sentinel - 10 min < end + 30 min) -> stays open
+    want = {s for s in want if s[0] != 99}
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in jobs.run_sessionize_available_now(
+            spark, stream_dir, query_name="sessions_shuffled"
+        ).collect()
+    }
+    assert len(want) > 2
+    assert got == want
 
 
 def test_cep_stream_matches_batch_under_shuffled_arrival(spark, shuffled_dirs):
