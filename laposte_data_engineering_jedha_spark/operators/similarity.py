@@ -340,6 +340,102 @@ def ivf_knn(
     return _ranked_topk(pairs, k)
 
 
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_max_rows: int = 4096,
+) -> None:
+    """Build and PERSIST an IVF index: `{path}/centroids.parquet` (the
+    coarse quantizer, centroid id + vals) and `{path}/postings.parquet`
+    partitioned BY CENTROID — the stored-index half of the ANN lifecycle
+    that `ivf_knn` (fit-per-query) skips. At 100 TB the index is built
+    once (one bounded-sample fit + one map-side assignment pass, writing
+    hive-partitioned postings) and every search afterwards reads ONLY the
+    probed centroid directories via partition pruning — gigabytes per
+    query instead of the corpus (ivf_index_search asserts PartitionFilters
+    in tests/test_round8.py). Same shape as minhash's stored (id, band,
+    key) relation for incremental dedup."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = kmeans_fit_sample(
+        df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")),
+        fit_max_rows,
+        seed,
+    ).cache()
+    try:
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features", maxIter=10, initMode="random"
+        ).fit(train)
+    finally:
+        train.unpersist()
+    centers = np.array([c for c in model.clusterCenters()], dtype="float64")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid int, vals array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(vectors.pd_nearest_centroids(vec_col, centers, 1), 1).alias(
+            "centroid"
+        ),
+    ).write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/postings.parquet")
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index (see ivf_index_write): route each
+    query to its `n_probe` nearest stored centroids, STATICALLY filter
+    the partitioned postings to the union of probed centroid ids (the
+    probe set is driver-side tiny — centroids are the index's coarse
+    grain — so the IN-list prunes partitions at plan time, no dynamic
+    pruning needed), then exact-cosine re-rank and take top-k. Returns
+    (query_id, cand_id, cosine, rank) like every knn operator."""
+    centers_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    centers = np.zeros((len(centers_rows), len(centers_rows[0]["vals"])), dtype="float64")
+    for r in centers_rows:
+        centers[r["centroid"]] = r["vals"]
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                vectors.pd_nearest_centroids(vec_col, centers, n_probe)
+            ).alias("centroid"),
+        )
+        .withColumn("qn", vectors.pd_norm("qv"))
+        .where(F.col("qn") > 0)
+    )
+    probed = sorted({r["centroid"] for r in qry.select("centroid").distinct().collect()})
+    postings = (
+        spark.read.parquet(f"{path}/postings.parquet")
+        .where(F.col("centroid").isin(probed))
+        .withColumn("cn", vectors.pd_norm("cv"))
+        .where(F.col("cn") > 0)
+    )
+    cos = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        postings.join(F.broadcast(qry), "centroid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    return _ranked_topk(pairs, k)
+
+
 #: quantization scale for the pinned Lloyd fit: embedding components live
 #: in [-1, 1], so floor(x * 2^20 + 0.5) is an exact integer in
 #: [-2^20, 2^20] — x (float32 widened to double) times a power of two is

@@ -166,6 +166,37 @@ def test_auto_band_planes_bounds_bucket_occupancy(spark):
     assert big_auto < 0.5 * big_fixed  # auto planes pull it back down
 
 
+def test_ivf_persistent_index_matches_in_memory_and_prunes(spark, tmp_path):
+    """The persisted IVF index (build once, search later) must return
+    EXACTLY what the fit-per-query ivf_knn returns under the same seed
+    (same quantizer -> same probes -> same candidates -> same top-k),
+    and the postings scan must carry a centroid PartitionFilter — the
+    property that makes a stored 100 TB index readable per-query."""
+    import contextlib
+    import io
+
+    from laposte_data_engineering_jedha_spark.operators import similarity
+    from laposte_data_engineering_jedha_spark.queries import table as qtable
+
+    emb = qtable(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_index_write(emb, idx, n_centroids=16, seed=42)
+    got = similarity.ivf_index_search(spark, idx, queries, k=5, n_probe=4)
+    want = similarity.ivf_knn(emb, queries, k=5, n_centroids=16, n_probe=4, seed=42)
+    canon = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"]) for r in df.collect()
+    )
+    assert canon(got) == canon(want)
+    assert len(canon(got)) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    assert "centroid IN" in plan or "centroid#" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_hourly_autocorr_shape(spark):
     rows = {r["lag_hours"]: r for r in _rows(spark, "events_hourly_autocorr")}
     assert set(rows) == {1, 24}
