@@ -730,10 +730,11 @@ ROUND8_ADDED: list[str] = [
 # externally-verified rows in the rotation, ROUND3_VERIFIED[17:24]
 # (r03 hash rows, the oldest external evidence in the registry).
 #
-# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED (24
-# entries at round-8 close) + ROUND3_VERIFIED[24:] (26 entries — the r03
-# remainder, the oldest external rows) = exactly 50. Move that slice to
-# the head of DRIVER_WINDOW_PRIORITY and update
+# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED (27
+# entries at round-8 close) + ROUND3_VERIFIED[24:47] (23 of the 26
+# oldest remaining r03 rows) = exactly 50; ROUND3_VERIFIED[47:] (3 rows)
+# queues first for round 10. Move that slice to the head of
+# DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
 # stage ROUND9_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
