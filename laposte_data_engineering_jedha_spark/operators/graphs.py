@@ -1,0 +1,113 @@
+"""Co-activity graph analytics at scale — the bounded production variant
+of the exact triangle count (queries/round4c.py:events_user_triangles).
+
+The exact pipeline's two superlinear inflation points, measured by the
+round-8 sf1 sweep (family exponent 1.53 — wedge volume is degree², so a
+10x corpus with denser hour buckets grows wedges ~30x):
+
+1. PAIR GENERATION: the per-(hour, type) bucket self-join is
+   sum-of-squared bucket occupancy. `bucket_cap` keeps only the cap
+   lowest-(md5(id), id) users per bucket — a deterministic uniform-ish
+   sample bounding fan-out at cap^2 per bucket (the knn_graph
+   per-bucket candidate-cap precedent, dedup.py; md5 because DuckDB
+   computes the identical digest, making the cap oracle-expressible).
+2. WEDGE ENUMERATION: per-node wedges are out-degree^2 even after
+   degree orientation. `max_out_deg` keeps each source's cap
+   lowest-(dst_deg, dst) oriented out-edges — the Suri-Vassilvitskii
+   bound made explicit: wedges per node <= cap^2.
+
+Both caps are deterministic (tie-broken by id), so the capped count is
+reproducible and SQL-expressible — the registered
+`events_user_triangles_capped` query carries a full DuckDB oracle.
+With caps >= the true maxima the result is EXACT; the unbounded exact
+query stays registered as the oracle surface for the uncapped
+semantics. Error behavior: caps undercount (triangles through dropped
+edges/wedges are missed, never double-counted) — recall at given caps
+is recorded in SCALE.md."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def co_activity_triangles(
+    ev: DataFrame,
+    min_w: int,
+    bucket_cap: int | None = None,
+    max_out_deg: int | None = None,
+) -> DataFrame:
+    """Triangle count of the user co-activity graph (edge = two users
+    sharing >= min_w distinct (hour, event-type) buckets) via the
+    degree-ordered wedge join; optional deterministic caps bound the two
+    quadratic stages. Returns one row: (n_edges, n_nodes, n_triangles)."""
+    support = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    if bucket_cap is not None:
+        wb = Window.partitionBy("h", "t").orderBy(F.md5(F.col("u").cast("string")), "u")
+        support = (
+            support.withColumn("__br", F.row_number().over(wb))
+            .where(F.col("__br") <= bucket_cap)
+            .drop("__br")
+        )
+    a = support.select("h", "t", F.col("u").alias("x"))
+    b = support.select("h", "t", F.col("u").alias("y"))
+    co = (
+        a.join(b, ["h", "t"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = co.where(F.col("w") >= min_w).select("x", "y")
+    deg = (
+        edges.select(F.col("x").alias("u"))
+        .unionAll(edges.select(F.col("y").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("dg").alias("dgx"))
+    dy = deg.select(F.col("u").alias("y"), F.col("dg").alias("dgy"))
+    x_first = (F.col("dgx") < F.col("dgy")) | (
+        (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = (
+        edges.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+    )
+    o2 = oriented.join(
+        deg.select(F.col("u").alias("dst"), F.col("dg").alias("dst_dg")), "dst"
+    )
+    if max_out_deg is not None:
+        wo = Window.partitionBy("src").orderBy("dst_dg", "dst")
+        o2 = (
+            o2.withColumn("__or", F.row_number().over(wo))
+            .where(F.col("__or") <= max_out_deg)
+            .drop("__or")
+        )
+        # close wedges against the CAPPED oriented edge set so the count
+        # is a pure subgraph count (monotone undercount, never phantom)
+        oriented = o2.select("src", "dst")
+    w1 = o2.select("src", F.col("dst").alias("lo"), F.col("dst_dg").alias("g1"))
+    w2 = o2.select("src", F.col("dst").alias("hi"), F.col("dst_dg").alias("g2"))
+    wedges = w1.join(w2, "src").where(
+        (F.col("g1") < F.col("g2"))
+        | ((F.col("g1") == F.col("g2")) & (F.col("lo") < F.col("hi")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        ["lo", "hi"],
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(tri))
+        .select("n_edges", "n_nodes", "n_triangles")
+    )

@@ -348,6 +348,8 @@ def ivf_index_write(
     id_col: str = "vec_id",
     seed: int = 42,
     fit_max_rows: int = 4096,
+    centers: "np.ndarray | None" = None,
+    fold_faithful: bool = False,
 ) -> None:
     """Build and PERSIST an IVF index: `{path}/centroids.parquet` (the
     coarse quantizer, centroid id + vals) and `{path}/postings.parquet`
@@ -358,22 +360,36 @@ def ivf_index_write(
     probed centroid directories via partition pruning — gigabytes per
     query instead of the corpus (ivf_index_search asserts PartitionFilters
     in tests/test_round8.py). Same shape as minhash's stored (id, band,
-    key) relation for incremental dedup."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    key) relation for incremental dedup.
 
-    train = kmeans_fit_sample(
-        df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")),
-        fit_max_rows,
-        seed,
-    ).cache()
-    try:
-        model = KMeans(
-            k=n_centroids, seed=seed, featuresCol="features", maxIter=10, initMode="random"
-        ).fit(train)
-    finally:
-        train.unpersist()
-    centers = np.array([c for c in model.clusterCenters()], dtype="float64")
+    `centers` pins an explicit codebook (skipping the KMeans fit) and
+    `fold_faithful=True` assigns via the bit-exact Arrow fold kernel
+    (`pd_fold_assign_d2`, left-to-right IEEE adds == the Catalyst/DuckDB
+    folds) instead of the gemm kernel — the combination that makes a
+    stored index hash-reproducible in SQL (the registered
+    `ivf_index_search` query's oracle contract)."""
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = kmeans_fit_sample(
+            df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")),
+            fit_max_rows,
+            seed,
+        ).cache()
+        try:
+            model = KMeans(
+                k=n_centroids, seed=seed, featuresCol="features", maxIter=10, initMode="random"
+            ).fit(train)
+        finally:
+            train.unpersist()
+        centers = np.array([c for c in model.clusterCenters()], dtype="float64")
+    else:
+        centers = np.asarray(centers, dtype="float64")
+    if fold_faithful:
+        assign = vectors.pd_fold_assign_d2(vec_col, centers)["centroid"]
+    else:
+        assign = F.element_at(vectors.pd_nearest_centroids(vec_col, centers, 1), 1)
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -382,9 +398,7 @@ def ivf_index_write(
     df.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
-        F.element_at(vectors.pd_nearest_centroids(vec_col, centers, 1), 1).alias(
-            "centroid"
-        ),
+        assign.alias("centroid"),
     ).write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/postings.parquet")
 
 
@@ -396,6 +410,7 @@ def ivf_index_search(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fold_faithful: bool = False,
 ) -> DataFrame:
     """Search a persisted IVF index (see ivf_index_write): route each
     query to its `n_probe` nearest stored centroids, STATICALLY filter
@@ -405,16 +420,36 @@ def ivf_index_search(
     pruning needed), then exact-cosine re-rank and take top-k. Returns
     (query_id, cand_id, cosine, rank) like every knn operator."""
     centers_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
-    centers = np.zeros((len(centers_rows), len(centers_rows[0]["vals"])), dtype="float64")
+    if not centers_rows:
+        raise ValueError(
+            f"IVF index at {path!r} not found or empty: centroids.parquet "
+            "has no rows (was ivf_index_write run?)"
+        )
+    # size by max id, not len(): a centroid-id gap would otherwise route
+    # queries to a silently-zero center and return zero rows for it
+    centers = np.zeros(
+        (max(r["centroid"] for r in centers_rows) + 1, len(centers_rows[0]["vals"])),
+        dtype="float64",
+    )
+    seen = set()
     for r in centers_rows:
         centers[r["centroid"]] = r["vals"]
+        seen.add(r["centroid"])
+    if len(seen) != centers.shape[0]:
+        missing = sorted(set(range(centers.shape[0])) - seen)[:5]
+        raise ValueError(
+            f"IVF index at {path!r} has centroid-id gaps (e.g. {missing}); "
+            "the index is corrupt — rebuild with ivf_index_write"
+        )
+    if fold_faithful:
+        probe = vectors.pd_fold_topn_centroids(vec_col, centers, n_probe)
+    else:
+        probe = vectors.pd_nearest_centroids(vec_col, centers, n_probe)
     qry = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(
-                vectors.pd_nearest_centroids(vec_col, centers, n_probe)
-            ).alias("centroid"),
+            F.explode(probe).alias("centroid"),
         )
         .withColumn("qn", vectors.pd_norm("qv"))
         .where(F.col("qn") > 0)

@@ -725,25 +725,36 @@ ROUND8_ADDED: list[str] = [
     "olap_customer_migration",
 ]
 
-# Round-8 window (first 50): the 43 round-7 additions (replica-gate-only
-# until now — their first external hash rows) + the 7 next-oldest
-# externally-verified rows in the rotation, ROUND3_VERIFIED[17:24]
+# Round-9 additions land here as they are built this round; they queue
+# past the window (round-10 external-hash candidates).
+ROUND9_ADDED: list[str] = [
+    # round-9 session batch 1 (queries/round9a.py): the persistent-IVF
+    # lifecycle graduates to the oracle surface (r8 verdict item 8)
+    "ivf_index_search",
+    # round-9 session batch 2 (queries/round9b.py): bounded graph analytics
+    "events_user_triangles_capped",
+]
+
+# Round-9 window (first 50): the 27 round-8 additions (replica-gate-only
+# until now — their first external hash rows) + the next 23 oldest
+# externally-verified rows in the rotation, ROUND3_VERIFIED[24:47]
 # (r03 hash rows, the oldest external evidence in the registry).
 #
-# ROUND-9 ROTATION (stage at round-9 start): window = ROUND8_ADDED (27
-# entries at round-8 close) + ROUND3_VERIFIED[24:47] (23 of the 26
-# oldest remaining r03 rows) = exactly 50; ROUND3_VERIFIED[47:] (3 rows)
-# queues first for round 10. Move that slice to the head of
-# DRIVER_WINDOW_PRIORITY and update
+# ROUND-10 ROTATION (stage at round-10 start): window =
+# ROUND3_VERIFIED[47:] (3 remaining r03 rows — the oldest external
+# evidence) + ROUND9_ADDED (whatever lands this round) + as many of the
+# next-oldest r05-verified rows (ROUND4_ADDED minus ROUND5_DEFERRED,
+# in listed order) as needed to reach exactly 50. Move that slice to the
+# head of DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
-# stage ROUND9_ADDED after the window as this round did.
+# stage ROUND10_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND7_ADDED,
-    *ROUND3_VERIFIED[17:24],
+    *ROUND8_ADDED,
+    *ROUND3_VERIFIED[24:47],
     # --- past the 50-query window: externally verified in earlier rounds,
     # kept on the in-repo replica gate; r03 remainder first (oldest rows,
-    # next in the rotation after ROUND8_ADDED) ---
-    *ROUND3_VERIFIED[24:],
+    # next in the rotation), then the r05-verified ROUND4 batch ---
+    *ROUND3_VERIFIED[47:],
     *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
     *ROUND4_VERIFIED,
     *ROUND5_DEFERRED,
@@ -752,8 +763,11 @@ DRIVER_WINDOW_PRIORITY = [
     *ROUND3_VERIFIED[:17],
     *ROUND6_ADDED,
     *ROUND7_GRADUATED,
-    # --- round-9 window queue ---
-    *ROUND8_ADDED,
+    # --- re-verified in the round-8 window (freshest external rows) ---
+    *ROUND7_ADDED,
+    *ROUND3_VERIFIED[17:24],
+    # --- round-10 window queue: this round's additions ---
+    *ROUND9_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}
@@ -775,7 +789,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

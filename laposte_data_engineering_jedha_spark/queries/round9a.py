@@ -1,0 +1,114 @@
+"""Round-9 registry extensions, batch 1 — the persistent-IVF lifecycle
+joins the oracle surface.
+
+`ivf_index_search` (r8's stored-index operator: hive-partitioned-by-
+centroid postings, plan-time partition pruning) graduates from
+test-only to a full DuckDB hash row, following the `ivf_knn` graduation
+precedent (queries/round7.py): the registered query pins the closed-form
+codebook (similarity.pinned_codebook) and builds the index ONCE per
+(sf_dir, contract-version) under the system temp dir — every subsequent
+run, in this process or the next, searches the STORED index, which is
+exactly the build-once/search-many lifecycle a production ANN service
+runs. Assignment and probe routing use the fold-faithful Arrow kernels
+(bit-identical to the Catalyst/DuckDB d2 folds), so the stored postings
+and the oracle's inline recomputation agree bit-for-bit.
+
+Reference parity note: the reference repo has no ANN surface at all —
+this is part of the LLM-data-pipeline extension layer
+(SURVEY.md "beyond the reference" items), graded against the 100 TB bar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from . import query, table
+from .round5 import _EMB_DIM, _IVF_K, _sql_argmin
+from .round7 import _IVF_PROBE, _IVF_TOPK, _SQL_PROBES
+from .llmops import SQL_NORM, sql_dot, sql_round
+
+# a different query slice than ivf_knn (vec_id < 8) so the two hash rows
+# are independent evidence
+_IDX_Q_LO, _IDX_Q_HI = 8, 16
+
+#: bump when the on-disk index layout or assignment kernel changes — a
+#: stale index from older code must never be reused
+_INDEX_CONTRACT = "v1-pinned16-foldfaithful"
+
+_IVF_INDEX_SQL = f"""
+WITH n AS (SELECT vec_id, embedding, {SQL_NORM} AS nrm FROM embeddings
+           WHERE {SQL_NORM} > 0),
+cand AS (SELECT vec_id, embedding AS cv, nrm AS cn,
+                CAST({_sql_argmin(0, _IVF_K, _EMB_DIM)} AS INTEGER) AS centroid
+         FROM n),
+qp AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+              unnest({_SQL_PROBES}) AS centroid
+       FROM n WHERE vec_id >= {_IDX_Q_LO} AND vec_id < {_IDX_Q_HI}),
+pairs AS (
+  SELECT query_id, c.vec_id AS cand_id,
+         {sql_round(f"{sql_dot('qv', 'c.cv', _EMB_DIM)} / (qn * c.cn)", 6)} AS cosine
+  FROM cand c JOIN qp USING (centroid) WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)
+            AS rank
+  FROM pairs)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}"""
+
+
+def _index_path(sf_dir: str) -> str:
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_INDEX_CONTRACT}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"laposte_ivf_index_{tag}")
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once: the stored index is keyed by (sf_dir, contract
+    version); a complete build leaves parquet _SUCCESS markers that gate
+    reuse, so a torn build rebuilds and a code-contract bump re-keys."""
+    path = _index_path(sf_dir)
+    done = all(
+        os.path.exists(os.path.join(path, part, "_SUCCESS"))
+        for part in ("centroids.parquet", "postings.parquet")
+    )
+    if not done:
+        books = similarity.pinned_codebook(1, _IVF_K, _EMB_DIM)[0]
+        emb = table(spark, sf_dir, "embeddings")
+        similarity.ivf_index_write(
+            emb, path, n_centroids=_IVF_K, centers=books, fold_faithful=True
+        )
+    return path
+
+
+@query("ivf_index_search", _IVF_INDEX_SQL)
+def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_IVF_TOPK} ANN over the PERSISTED pinned-codebook IVF index:
+    build once (hive-partitioned postings), then probe the {_IVF_PROBE}
+    nearest centroid directories — the scan is partition-pruned at plan
+    time to the probed centroid ids (PartitionFilters pinned in
+    tests/test_round8.py), exact-cosine re-ranked, per-query top-k.
+
+    vs `ivf_knn` (same codebook, query slice vec_id<8, fit-per-query
+    shape): this is the stored-index half of the lifecycle — at 100 TB
+    the corpus-side assignment pass happens once at build, and a search
+    touches only n_probe/k of the postings bytes."""
+    idx = _ensure_index(spark, sf_dir)
+    queries_df = (
+        table(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") >= _IDX_Q_LO) & (F.col("vec_id") < _IDX_Q_HI))
+        .select("vec_id", "embedding")
+    )
+    return similarity.ivf_index_search(
+        spark,
+        idx,
+        queries_df,
+        k=_IVF_TOPK,
+        n_probe=_IVF_PROBE,
+        fold_faithful=True,
+    )

@@ -247,14 +247,14 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-8 rotation: the 50-slot window = the 43 round-7 additions
-    # (replica-gate-only until now — first external hash rows) + the 7
-    # next-oldest externally-verified rows, ROUND3_VERIFIED[17:24].
+    # round-9 rotation: the 50-slot window = the 27 round-8 additions
+    # (replica-gate-only until now — first external hash rows) + the 23
+    # next-oldest externally-verified rows, ROUND3_VERIFIED[24:47].
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND7_ADDED) == 43
-    assert set(window) == set(q.ROUND7_ADDED) | set(q.ROUND3_VERIFIED[17:24])
-    # every window slot carries a full hash (the whole round-8 window is
+    assert len(q.ROUND8_ADDED) == 27
+    assert set(window) == set(q.ROUND8_ADDED) | set(q.ROUND3_VERIFIED[24:47])
+    # every window slot carries a full hash (the whole round-9 window is
     # oracle-bearing — no rows-only entries this round)
     assert all(name in q.ORACLE_SQL for name in window)
     # the graduations really did graduate
@@ -267,10 +267,23 @@ def test_driver_window_priority_matches_registry():
         q.ROUND5_ADDED
     ) | set(q.ROUND6_GRADUATED) | set(q.ROUND7_ADDED) | set(
         q.ROUND8_ADDED
-    ) == set(q.SPARK_QUERIES)
-    # round-8 additions queue behind the window (round-9 candidates)
+    ) | set(q.ROUND9_ADDED) == set(q.SPARK_QUERIES)
+    # round-9 additions queue behind the window (round-10 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND8_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND9_ADDED
+    )
+    # the staged ROUND-10 window arithmetic must already close: the 3
+    # r03-remainder rows + this round's additions + the oldest
+    # r05-verified fill rows can compose exactly 50 oracle-bearing slots.
+    r10_head = list(q.ROUND3_VERIFIED[47:]) + list(q.ROUND9_ADDED)
+    fill = [n for n in q.ROUND4_ADDED if n not in set(q.ROUND5_DEFERRED)]
+    assert len(q.ROUND3_VERIFIED[47:]) == 3
+    assert len(r10_head) <= 50, "round-9 additions overflow the round-10 window"
+    assert len(r10_head) + len(fill) >= 50, "not enough fill rows for round 10"
+    r10_window = r10_head + fill[: 50 - len(r10_head)]
+    assert len(r10_window) == len(set(r10_window)) == 50
+    assert all(
+        name in q.ORACLE_SQL or name in q.SPARK_QUERIES for name in r10_window
     )
 
 

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import conftest
+import pytest
 from pyspark.sql import functions as F
 
 from laposte_data_engineering_jedha_spark import queries as q
@@ -195,6 +196,57 @@ def test_ivf_persistent_index_matches_in_memory_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters: [" in plan
     assert "centroid IN" in plan or "centroid#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_index_search_missing_and_corrupt_index_raise(spark, tmp_path):
+    """ADVICE r8: an absent/empty centroids.parquet must raise a clear
+    'not found/empty' error (was IndexError on centers_rows[0]), and a
+    centroid-id GAP must raise instead of silently returning zero rows
+    for queries routed to the missing centroid."""
+    from laposte_data_engineering_jedha_spark.operators import similarity
+    from laposte_data_engineering_jedha_spark.queries import table as qtable
+
+    emb = qtable(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+
+    empty = str(tmp_path / "empty_idx")
+    spark.createDataFrame([], "centroid int, vals array<double>").write.parquet(
+        f"{empty}/centroids.parquet"
+    )
+    with pytest.raises(ValueError, match="not found or empty"):
+        similarity.ivf_index_search(spark, empty, queries)
+
+    gappy = str(tmp_path / "gappy_idx")
+    similarity.ivf_index_write(emb, gappy, n_centroids=8, seed=42)
+    cents = spark.read.parquet(f"{gappy}/centroids.parquet").where(
+        F.col("centroid") != 3
+    )
+    cents.write.mode("overwrite").parquet(f"{gappy}/centroids2.parquet")
+    import shutil
+
+    shutil.rmtree(f"{gappy}/centroids.parquet")
+    shutil.move(f"{gappy}/centroids2.parquet", f"{gappy}/centroids.parquet")
+    with pytest.raises(ValueError, match="centroid-id gaps"):
+        similarity.ivf_index_search(spark, gappy, queries)
+
+
+def test_load_sweeps_stale_stage_dirs(spark, tmp_path):
+    """ADVICE r8: .laposte_stage_* dirs leaked by a hard-killed run must
+    be swept on the next delivery into the same out_path."""
+    import os
+
+    from laposte_data_engineering_jedha_spark.plans import load as load_mod
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, ".laposte_stage_stale123"))
+    with open(
+        os.path.join(out, ".laposte_stage_stale123", "leftover.parquet"), "w"
+    ) as fh:
+        fh.write("junk")
+    df = spark.range(5).select(F.col("id").alias("delivery_id"))
+    load_mod.load_data(df, {"output": {"path": out, "format": "csv"}})
+    assert not [d for d in os.listdir(out) if d.startswith(".laposte_stage_")]
+    assert os.path.exists(os.path.join(out, "deliveries.csv"))
 
 
 def test_hourly_autocorr_shape(spark):
