@@ -9,6 +9,7 @@ after.
 from __future__ import annotations
 
 import datetime
+import glob
 import json
 import os
 import shutil
@@ -106,6 +107,11 @@ def load_data(df: DataFrame, config: dict) -> dict:
                 for c in df.columns
             ]
         )
+    # a hard-killed prior run can leak its stage dir (the finally-rmtree
+    # only covers in-process failures): sweep stale stages before creating
+    # a new one so crashed runs don't accumulate garbage next to outputs
+    for stale in glob.glob(os.path.join(out_path, ".laposte_stage_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     staged = tempfile.mkdtemp(prefix=".laposte_stage_", dir=out_path)
     try:
         stage_target = os.path.join(staged, "deliveries.parquet")

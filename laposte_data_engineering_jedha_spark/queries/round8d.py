@@ -3,9 +3,10 @@
 - events_value_winsorized_stats: per-type value stats after p1/p99
   winsorization — the robust-mean report; bounds quantize to integer
   centi-cents BEFORE clamping so no float ever crosses a group boundary.
-- events_inactivity_churn: per first-seen-week cohort, users whose last
-  event is more than 7 days before the corpus horizon — the churn-rate
-  matrix at cohort grain.
+- events_inactivity_churn: users banded by activity level (bit length of
+  their event count), with the share whose last event sits more than 24 h
+  before the corpus horizon — the churn-rate report at activity-band
+  grain.
 - events_hourly_autocorr: Pearson autocorrelation of the hourly event
   volume at lag 1h and lag 24h over the zero-filled hour spine — the
   seasonality scalar (daily rhythm shows up as high lag-24 r). Moments

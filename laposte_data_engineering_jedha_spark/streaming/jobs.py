@@ -290,6 +290,14 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             state.update((start, end, n, pending))
             if pending:
                 horizon_ms = min(pending) // 1000 + 1  # flush wake-up
+                if n > 0:
+                    # an idle close may become admissible BEFORE the next
+                    # pending event's flush (min(pending) > end+gap): take
+                    # the earlier of the two horizons, else a closable
+                    # session is withheld until the watermark passes the
+                    # pending event — and withheld forever if the stream
+                    # ends in between (stream != batch-minus-withheld)
+                    horizon_ms = min(horizon_ms, end // 1000 + gap_ms)
             else:
                 horizon_ms = end // 1000 + gap_ms  # idle-close wake-up
             state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))

@@ -188,6 +188,59 @@ def test_sessionize_stream_matches_batch_under_shuffled_arrival(spark, shuffled_
     assert got == want
 
 
+def test_sessionize_idle_close_not_deferred_past_pending_event(spark, tmp_path):
+    """ADVICE r8: with a session closable at watermark end+gap but a
+    buffered pending event FURTHER out (min(pending) > end+gap), the
+    wake-up must fire at end+gap, not at the pending event — otherwise a
+    final watermark landing between the two withholds a session the
+    batch-minus-withheld twin emits.
+
+    Plant: user 1 has one event at T0 and one at T0+100min; sentinels
+    advance the watermark only to T0+5min while the T0 event folds, so
+    the open session's idle close (T0+30min) is NOT yet admissible at the
+    last data batch and must come from the timeout. Final watermark =
+    T0+90min sits between end+gap (T0+30min) and the pending event
+    (T0+100min): the session must be emitted, the future event withheld."""
+    import time
+
+    stream_dir = str(tmp_path / "stream")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    files = [
+        # batch 1: the session event + a sentinel (wm after: T0+5min)
+        [
+            (1, T0, 1, "view", 1.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=15), 99, "noise", 0.0, "{}"),
+        ],
+        # batch 2 (wm during: T0+5min -> the T0 event folds, session opens,
+        # idle close NOT yet admissible): the far-future pending event.
+        # wm after: T0+90min — between end+gap (T0+30) and pending (T0+100).
+        [
+            (3, T0 + dt.timedelta(minutes=25), 99, "noise", 0.0, "{}"),
+            (4, T0 + dt.timedelta(minutes=100), 1, "view", 1.0, "{}"),
+        ],
+    ]
+    for batch in files:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(
+            stream_dir
+        )
+        time.sleep(0.05)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in jobs.run_sessionize_available_now(
+            spark, stream_dir, query_name="sessions_idle_close"
+        ).collect()
+    }
+    want = {
+        (1, T0, T0, 1),  # the previously-withheld idle close
+        # sentinel user's own pair folds + closes under the final watermark
+        (99, T0 + dt.timedelta(minutes=15), T0 + dt.timedelta(minutes=25), 2),
+    }
+    assert got == want
+
+
 def test_cep_stream_matches_batch_under_shuffled_arrival(spark, shuffled_dirs):
     from laposte_data_engineering_jedha_spark.queries import round6e
 
