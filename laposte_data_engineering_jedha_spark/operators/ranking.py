@@ -1,0 +1,145 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+`Window.orderBy(...)` with no partitionBy (which Catalyst executes as ONE
+task holding the whole relation: the classic 100 TB plan-killer).
+
+Two-pass partition-offset ranking:
+
+1. `repartitionByRange` on the order columns (persisted via caches.track
+   so the sampled range boundaries are computed once and every consumer
+   sees the same partition assignment);
+2. per-partition counts -> each partition's global offset (a <= P-row
+   collect, driver-tiny, broadcast back);
+3. `row_number` over a window PARTITIONED by the range-partition id +
+   the offset = the exact global rank. No task ever sorts more than
+   ~N/P rows.
+
+`exact_ntile` layers the ntile(n) band arithmetic (first N mod n bands
+get ceil(N/n) rows) on top of the exact rank — bit-identical to
+`F.ntile(n).over(Window.orderBy(...))` for a deterministic (tie-free)
+ordering, at full parallelism.
+
+For per-row FEATURE generation where exact tile boundaries don't matter,
+`percentile_bands` trades exactness for a zero-extra-shuffle plan: it
+approximates the n-1 cut points with approx_percentile, broadcasts them,
+and buckets map-side (the events_rfm_segments pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import caches
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+
+
+def global_ranks(
+    df: DataFrame,
+    *order_cols: Column | str,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact dense 1-based global row_number over `order_cols` without a
+    single-partition window. Returns (df + rank_col, total_rows); the
+    total rides along for free since the offset pass counts every
+    partition. Ordering must be deterministic (include a unique
+    tie-breaker column) for the ranks to be reproducible."""
+    spark = df.sparkSession
+    n_part = n_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    parted = caches.track(
+        df.repartitionByRange(n_part, *order_cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+    counts = parted.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    offsets = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r[_PID]):  # range pids are ordered
+        offsets.append((row[_PID], acc))
+        acc += row["cnt"]
+    if not offsets:  # empty input: keep the schema contract
+        return parted.withColumn(rank_col, F.lit(None).cast("long")).drop(_PID), 0
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        parted.join(off_df, _PID)
+        .withColumn(rank_col, (F.row_number().over(w) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _OFF)
+    )
+    return ranked, acc
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    *order_cols: Column | str,
+    band_col: str = "band",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact `ntile(n) OVER (ORDER BY order_cols)` at full parallelism:
+    global rank via partition-offset ranking, then the ntile band split
+    (total = q*n + rem: the first rem bands take q+1 rows) computed from
+    the rank with driver-side constants. Bit-identical to the global
+    window for tie-free orderings."""
+    ranked, total = global_ranks(
+        df, *order_cols, rank_col="__grank", n_partitions=n_partitions
+    )
+    if total == 0:
+        return ranked.withColumn(band_col, F.lit(None).cast("long")).drop("__grank")
+    q, rem = divmod(total, n)
+    cut = (q + 1) * rem  # rows 1..cut live in the first rem (fat) bands
+    r = F.col("__grank")
+    if q == 0:  # fewer rows than bands: band == rank
+        band = r
+    else:
+        band = F.when(r <= cut, F.expr(f"(__grank - 1) div {q + 1}") + 1).otherwise(
+            F.expr(f"(__grank - {cut} - 1) div {q}") + rem + 1
+        )
+    return ranked.withColumn(band_col, band.cast("long")).drop("__grank")
+
+
+def percentile_bands(
+    df: DataFrame,
+    n: int,
+    value_col: str,
+    band_col: str = "band",
+    descending: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate n-banding for per-row FEATURE generation at scale:
+    approx_percentile the n-1 cut points (one partial-aggregate pass),
+    broadcast them as literals, bucket map-side — zero extra shuffle, no
+    global ordering anywhere. Band 1 holds the largest values when
+    `descending` (matching the exact_ntile convention used by the
+    customer-spend queries). Ties straddling a cut land in the lower
+    band together (approximate by contract — use exact_ntile when the
+    report needs exact tile populations)."""
+    probs = [i / n for i in range(1, n)]
+    accuracy = max(int(1.0 / relative_error), 100)
+    cuts = [
+        float(x)
+        for x in df.agg(
+            F.percentile_approx(
+                value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias("cuts")
+        ).collect()[0]["cuts"]
+    ]
+    v = F.col(value_col)
+    if descending:
+        # cuts ascend; value > cuts[n-1-i] -> band i+1
+        expr = F.lit(n)
+        for i, c in enumerate(cuts):  # ascending cuts => descending bands
+            expr = F.when(v > F.lit(c), F.lit(n - 1 - i)).otherwise(expr)
+        band = expr
+    else:
+        expr = F.lit(n)
+        for i, c in enumerate(reversed(cuts)):
+            expr = F.when(v <= F.lit(c), F.lit(1 + len(cuts) - 1 - i)).otherwise(expr)
+        band = expr
+    return df.withColumn(band_col, band.cast("long"))

@@ -442,14 +442,14 @@ def olap_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the sort key is unique; DECIMAL-exact spend sums on both
     engines make the quartile boundaries identical.
 
-    Scale note: a GLOBAL ntile is a single-partition window — fine for
-    reporting outputs (one pass over the already-aggregated per-customer
-    rows), wrong for per-row feature generation at 100 TB; there the move
-    is approx percentile boundaries broadcast as a cut-point array (see
-    events_value_quantiles), trading exact tiles for full parallelism.
-    This query keeps the exact form because its input is one row per
-    customer, already 5 orders of magnitude smaller than the fact
-    table."""
+    Scale note (r9): the tiles come from ranking.exact_ntile — two-pass
+    partition-offset ranking, bit-identical to the oracle's global ntile
+    but with no single-partition window: no task sorts more than ~N/P of
+    the customer-grain relation, so the shape survives per-row feature
+    generation grains too. For approximate banding with zero extra
+    shuffle see ranking.percentile_bands."""
+    from ..operators import ranking
+
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     rev = (
@@ -461,9 +461,10 @@ def olap_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
-    w = Window.orderBy(F.col("spend").desc(), "c_custkey")
     return (
-        rev.withColumn("quartile", F.ntile(4).over(w))
+        ranking.exact_ntile(
+            rev, 4, F.col("spend").desc(), "c_custkey", band_col="quartile"
+        )
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),

@@ -248,38 +248,80 @@ GROUP BY pct, n_prefix
 def corpus_vocab_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: distinct terms first seen within the
     first {_VOCAB_CHECKPOINTS}% of documents (id order, ceil prefix
-    sizes). Each term costs one min(first-position) aggregate off a
-    single tokenize scan; the curve itself is a vocabulary-grain rollup
-    against a broadcast 4-row checkpoint relation. A flattening curve
-    says the corpus has stopped contributing new vocabulary — the signal
-    mixture designers read before adding more of a source."""
+    sizes). doc_id is unique, so "first seen within the n-th prefix"
+    reduces to min(doc_id) per term <= the n-th smallest doc_id — the 4
+    checkpoint THRESHOLDS are order statistics computed by two-pass
+    partition-offset ranking (range-partition doc_ids, per-partition
+    counts give each partition's global offset, a PARTITIONED window
+    ranks only inside the <=4 partitions that contain a checkpoint), not
+    a doc-grain global sort: no single task ever sees more than ~N/P
+    rows. Each term then costs one min(doc_id) aggregate off a single
+    tokenize scan; the curve itself is a vocabulary-grain rollup against
+    a broadcast 4-row threshold relation. A flattening curve says the
+    corpus has stopped contributing new vocabulary — the signal mixture
+    designers read before adding more of a source."""
+    from ..operators import caches
+
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # pass 1: range-partition the ids and pin the (sampled) boundaries so
+    # the count job and the threshold job see the same assignment
+    ids = caches.track(
+        docs.select("doc_id")
+        .repartitionByRange(n_part, "doc_id")
+        .select("doc_id", F.spark_partition_id().alias("pid"))
     )
-    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    cp = (
-        spark.createDataFrame([(p,) for p in _VOCAB_CHECKPOINTS], "pct int")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "pct",
-            F.greatest(
-                F.expr("(pct * n_docs + 99) div 100").cast("long"), F.lit(1)
-            ).alias("n_prefix"),
+    part_counts = {
+        r["pid"]: r["cnt"]
+        for r in ids.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_docs = sum(part_counts.values())
+    # locate each checkpoint's (partition, local-rank) via the offsets —
+    # driver-side arithmetic over <= n_part rows
+    prefixes = {
+        p: max((p * n_docs + 99) // 100, 1) for p in _VOCAB_CHECKPOINTS
+    }
+    need: dict[tuple[int, int], list[int]] = {}
+    for pct, n_prefix in prefixes.items():
+        off = 0
+        for pid in sorted(part_counts):  # range partitions are id-ordered
+            if n_prefix <= off + part_counts[pid]:
+                need.setdefault((pid, n_prefix - off), []).append(pct)
+                break
+            off += part_counts[pid]
+    # pass 2: rank ONLY inside the partitions that hold a checkpoint
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    hit = F.lit(False)
+    for pid, lrn in need:
+        hit = hit | ((F.col("pid") == pid) & (F.col("lrn") == lrn))
+    th_rows = (
+        ids.where(F.col("pid").isin([pid for pid, _ in need]))
+        .withColumn("lrn", F.row_number().over(w))
+        .where(hit)
+        .collect()
+    )
+    thresholds: dict[int, int] = {p: 0 for p in _VOCAB_CHECKPOINTS}  # empty-corpus: fs is empty anyway
+    by_key = {(r["pid"], r["lrn"]): r["doc_id"] for r in th_rows}
+    for key, pcts in need.items():
+        for pct in pcts:
+            thresholds[pct] = by_key[key]
+    cp = F.broadcast(
+        spark.createDataFrame(
+            [(p, prefixes[p], thresholds[p]) for p in _VOCAB_CHECKPOINTS],
+            "pct int, n_prefix long, threshold long",
         )
     )
     fs = (
         docs.where(F.trim("text") != "")
-        .join(d, "doc_id")
-        .select("rn", F.explode(texts.tokens("text")).alias("term"))
+        .select("doc_id", F.explode(texts.tokens("text")).alias("term"))
         .groupBy("term")
-        .agg(F.min("rn").cast("long").alias("first_rn"))
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
     )
     return (
-        fs.crossJoin(F.broadcast(cp))
+        fs.crossJoin(cp)
         .groupBy("pct", F.col("n_prefix").alias("n_docs"))
         .agg(
-            F.sum(F.when(F.col("first_rn") <= F.col("n_prefix"), 1).otherwise(0))
+            F.sum(F.when(F.col("first_doc") <= F.col("threshold"), 1).otherwise(0))
             .cast("long")
             .alias("vocab_size")
         )

