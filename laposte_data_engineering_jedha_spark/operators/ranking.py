@@ -51,9 +51,9 @@ def global_ranks(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
     parted = caches.track(
-        df.repartitionByRange(n_part, *order_cols).withColumn(
-            _PID, F.spark_partition_id()
-        )
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
     )
     counts = parted.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
     offsets = []
@@ -102,6 +102,63 @@ def exact_ntile(
             F.expr(f"(__grank - {cut} - 1) div {q}") + rem + 1
         )
     return ranked.withColumn(band_col, band.cast("long")).drop("__grank")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: Column | str,
+    out_col: str = "cum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running `sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)` without a single-partition window: range-partition on the
+    order columns, collect the <= P per-partition sums, prefix them
+    driver-side (exact: DECIMAL stays Decimal, integers stay int), and
+    add each partition's offset to its LOCAL running sum. For DECIMAL and
+    integer inputs the result is bit-identical to the global window
+    (addition is exact and associative); for DOUBLE inputs the grouping
+    of additions changes, so use only where the consumer tolerates
+    last-ulp differences."""
+    spark = df.sparkSession
+    n_part = n_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    value_type = df.schema[value_col].dataType.simpleString()
+    parted = caches.track(
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    psums = parted.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    offsets = []
+    acc = None
+    for row in sorted(psums, key=lambda r: r[_PID]):
+        offsets.append((row[_PID], acc))
+        s = row["s"]
+        acc = s if acc is None else (acc + s if s is not None else acc)
+    if not offsets:
+        return parted.withColumn(out_col, F.lit(None).cast(value_type)).drop(_PID)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets],
+            df.sparkSession.createDataFrame(
+                [], f"{_PID} int, {_OFF} {value_type}"
+            ).schema,
+        )
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        parted.join(off_df, _PID)
+        .withColumn(
+            out_col,
+            F.sum(value_col).over(w)
+            + F.coalesce(F.col(_OFF), F.lit(0).cast(value_type)),
+        )
+        .drop(_PID, _OFF)
+    )
 
 
 def percentile_bands(

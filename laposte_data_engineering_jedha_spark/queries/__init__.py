@@ -733,6 +733,19 @@ ROUND9_ADDED: list[str] = [
     "ivf_index_search",
     # round-9 session batch 2 (queries/round9b.py): bounded graph analytics
     "events_user_triangles_capped",
+    # round-9 session batch 3 (queries/round9c.py)
+    "sketch_kmv_union",
+    "events_survival_hazard",
+    "events_hashed_features",
+    "embedding_dim_stats",
+    "eval_knn_label_precision",
+    # round-9 session batch 4 (queries/round9d.py)
+    "olap_incremental_agg_merge",
+    "eval_score_calibration",
+    "embedding_principal_direction",
+    # round-9 session batch 5 (queries/round9e.py)
+    "dq_l_diversity",
+    "events_peak_concurrency",
 ]
 
 # Round-9 window (first 50): the 27 round-8 additions (replica-gate-only
@@ -789,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -56,25 +56,31 @@ def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, and band at 80% / 95% — the classic inventory-priority split
     ('A' parts get the warehouse slots). The cumulative window compares
     EXACT decimal-derived doubles, so the band cut can't flip on engine
-    rounding. The global rank runs at the |parts| aggregate grain (like
-    windowed_topk); a 100 TB part catalog would salt it with the
-    two-level rank used by events_kmv_distinct."""
+    rounding. Scale shape (r9): the running sum comes from
+    ranking.global_prefix_sum — partition-offset prefix sums over the
+    range-partitioned part relation, bit-identical to the global window
+    for DECIMAL (exact associative adds) with no single-partition sort;
+    the total is a broadcast 1-row aggregate."""
+    from ..operators import ranking
+
     li = table(spark, sf_dir, "lineitem")
     p = li.groupBy("l_partkey").agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
             "rev"
         )
     )
-    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    r = p.select(
-        "rev",
-        (
-            F.sum("rev").over(wcum).cast("double")
-            / F.sum("rev").over(wall).cast("double")
-        ).alias("cum_share"),
+    total = p.agg(F.sum("rev").alias("total"))
+    r = (
+        ranking.global_prefix_sum(
+            p, "rev", F.col("rev").desc(), "l_partkey", out_col="cum_rev"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rev",
+            (F.col("cum_rev").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
     )
     band = (
         F.when(F.col("cum_share") <= 0.8, "A")

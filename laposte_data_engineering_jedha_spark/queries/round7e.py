@@ -178,18 +178,18 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-occurrence coverage of the top-K vocabulary at K =
     {_COVERAGE_KS}: the curve that sizes a tokenizer's vocab budget (the
     uncovered tail is the OOV/byte-fallback rate). One tokenize scan,
-    ranking + cumulative mass at the VOCABULARY grain (bounded by
-    distinct terms, not corpus size), the 3-row K relation broadcast.
-    Integer counts with one final division; ties rank (count desc, term
-    asc) on both engines."""
+    ranking + cumulative mass at the VOCABULARY grain, the 3-row K
+    relation broadcast. Integer counts with one final division; ties
+    rank (count desc, term asc) on both engines. r9: the vocabulary
+    rank uses ranking.global_ranks (partition-offset, no
+    single-partition window) — a 100 TB corpus's distinct-term relation
+    is itself large enough to kill a global sort task."""
+    from ..operators import ranking
+
     docs = table(spark, sf_dir, "documents").where(F.trim("text") != "")
     tok = docs.select(F.explode(texts.tokens("text")).alias("term"))
     g = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    r = g.select(
-        "term",
-        "n",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).alias("rnk"),
-    )
+    r, _ = ranking.global_ranks(g, F.col("n").desc(), "term", rank_col="rnk")
     t = g.agg(F.sum("n").cast("long").alias("total"))
     ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
     return (
@@ -270,6 +270,7 @@ def corpus_vocab_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .repartitionByRange(n_part, "doc_id")
         .select("doc_id", F.spark_partition_id().alias("pid"))
+        .persist()
     )
     part_counts = {
         r["pid"]: r["cnt"]

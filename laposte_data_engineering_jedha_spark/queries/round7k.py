@@ -103,9 +103,15 @@ def embedding_triplet_violation_rate(spark: SparkSession, sf_dir: str) -> DataFr
         "nrm",
         F.lead("vec_id").over(Window.partitionBy("label").orderBy("vec_id")).alias("pos_id"),
     )
-    ranked = n.select(
-        "vec_id", F.row_number().over(Window.orderBy("label", "vec_id")).alias("rn")
+    # r9: exact global rank via partition-offset ranking (ranking.py) —
+    # the vec-grain Window.orderBy with no partition key was a
+    # single-task sort of the whole embedding corpus
+    from ..operators import ranking as _ranking
+
+    ranked, _ = _ranking.global_ranks(
+        n.select("vec_id", "label"), "label", "vec_id", rank_col="rn"
     )
+    ranked = ranked.select("vec_id", "rn")
     cnt = n.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     a = ranked.crossJoin(F.broadcast(cnt)).select(
         "vec_id",

@@ -174,6 +174,24 @@ def test_customer_banding_has_no_global_ntile_window(plans):
         assert "__rank_pid" in p, name  # the partitioned ranking window
 
 
+def test_prefix_sum_and_rank_migrations_window_on_pid_only(plans):
+    """The round-9 second wave: olap_abc_classification (part-grain
+    cumulative sum), corpus_ngram_coverage (vocab-grain rank) and
+    embedding_triplet_violation_rate (vec-grain rank) must window only
+    by the range-partition id — the global-window forms were fat single
+    tasks at their grains."""
+    for name in (
+        "olap_abc_classification",
+        "corpus_ngram_coverage",
+        "embedding_triplet_violation_rate",
+    ):
+        p = plans(name)
+        assert "__rank_pid" in p, name
+    # abc's only windows are the pid-partitioned prefix sums
+    p = plans("olap_abc_classification")
+    assert "row_number" not in p
+
+
 def test_vocab_first_seen_has_no_window_at_all(plans):
     """r8 verdict weak item 1: corpus_vocab_first_seen's doc-grain global
     row_number is gone — prefix membership tests min(doc_id) against 4

@@ -102,6 +102,53 @@ def test_exact_ntile_plan_has_no_unpartitioned_window(spark, spend_df):
     assert "__rank_pid" in plan
 
 
+def test_global_prefix_sum_matches_global_window_decimal_and_long(spark, spend_df):
+    """Bit-exact for exact-arithmetic types (DECIMAL, BIGINT) at any
+    partition count — including a partition count far above the row
+    count (empty partitions) and 1 (the degenerate global case)."""
+    df = spend_df.select(
+        "key",
+        "spend",
+        F.col("spend").cast("decimal(20,2)").alias("d"),
+        (F.col("key") * 7 % 101).cast("long").alias("v"),
+    )
+    w = Window.orderBy(F.col("spend").desc(), "key").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r["key"]): (str(r["cd"]), r["cv"])
+        for r in df.select(
+            "key",
+            F.sum("d").over(w).alias("cd"),
+            F.sum("v").over(w).alias("cv"),
+        ).collect()
+    }
+    for n_part in (1, 8, 2048):
+        got_d = ranking.global_prefix_sum(
+            df, "d", F.col("spend").desc(), "key", out_col="cd", n_partitions=n_part
+        )
+        got = {
+            r["key"]: (str(r["cd"]), r["cv"])
+            for r in ranking.global_prefix_sum(
+                got_d,
+                "v",
+                F.col("spend").desc(),
+                "key",
+                out_col="cv",
+                n_partitions=n_part,
+            ).collect()
+        }
+        caches.release_all()
+        assert got == want, n_part
+
+
+def test_global_prefix_sum_empty_input(spark):
+    df = spark.createDataFrame([], "key long, v long")
+    out = ranking.global_prefix_sum(df, "v", "key", out_col="cum")
+    assert out.count() == 0 and "cum" in out.columns
+    caches.release_all()
+
+
 def test_percentile_bands_descending_semantics(spark, spend_df):
     """Approximate banding: band 1 holds the largest values, bands are
     monotone non-increasing in value, every band in 1..n, and at 0.1%
