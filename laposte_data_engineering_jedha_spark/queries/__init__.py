@@ -746,6 +746,7 @@ ROUND9_ADDED: list[str] = [
     # round-9 session batch 5 (queries/round9e.py)
     "dq_l_diversity",
     "events_peak_concurrency",
+    "stream_topk_trending",
 ]
 
 # Round-9 window (first 50): the 27 round-8 additions (replica-gate-only

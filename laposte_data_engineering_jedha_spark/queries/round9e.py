@@ -129,3 +129,35 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("live").cast("long").alias("peak_concurrent"))
     )
+
+
+# ========================= streaming top-k trending ==========================
+
+
+@query(
+    "stream_topk_trending",
+    """
+WITH g AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_us
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM g)
+SELECT window_us, CAST(rnk AS BIGINT) AS rank, event_type, n
+FROM r WHERE rnk <= 3
+""",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode run of the windowed top-k trending operator's SEMANTICS
+    (per 1-hour tumbling event-time window, the top-3 event types by
+    (count desc, type asc)). The custom stateful streaming operator
+    (streaming/jobs.py:topk_trending_stream — per-window count-table
+    state, exactly-once emission when the watermark finalizes the
+    window, counts commute so no arrival-order buffer is needed) is
+    pinned equivalent to this formulation under shuffled arrival in
+    tests/test_streaming_shuffled.py; the registered callable is the
+    deterministic window form, so it carries a full DuckDB oracle."""
+    from ..streaming import jobs
+
+    return jobs.batch_topk_trending(events_table(spark, sf_dir))

@@ -945,3 +945,127 @@ def run_tumbling_dau_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# --- windowed top-k trending (custom stateful operator #5) -------------------
+
+TREND_WINDOW_US = 3_600_000_000  # 1-hour tumbling event-time windows
+TREND_K = 3
+TREND_OUT_SCHEMA = "window_us long, rank long, event_type string, n long"
+# running per-type counts for one open window; counts are ORDER-FREE, so
+# unlike the gap/automaton operators this one needs no watermark buffer —
+# state is just the count table (bounded by |event types|, not volume)
+_TREND_STATE_SCHEMA = "types array<string>, counts array<long>"
+
+
+def topk_trending_stream(events: DataFrame, k: int = TREND_K) -> DataFrame:
+    """Custom stateful streaming operator: per 1-hour tumbling event-time
+    window, the top-k event types by count, emitted EXACTLY ONCE when the
+    watermark finalizes the window (no retractions, no partial results —
+    the contract a downstream trending feed needs).
+
+    State per open window = the per-type count table. Counts commute, so
+    arrival order never matters (no watermark buffer needed); the only
+    event-time logic is finalization: the timeout fires once the
+    watermark passes window end, the ranked top-k is emitted, and the
+    window's state is dropped. A within-watermark event always arrives
+    while wm < its window end (ts >= wm by the watermark contract), so
+    every admissible event is counted before finalization — stream ==
+    batch-minus-withheld (tests/test_streaming_shuffled.py).
+
+    Scale note: keyed by window start, so one group per open window. At
+    100 TB/hour the production layout salts the key to (window, shard)
+    with a tiny downstream merge of shard-partial count tables (counts
+    are mergeable); the fixture-scale operator keeps the single-level
+    key so the oracle window formulation stays exactly equivalent."""
+
+    def fold(key, pdfs, state: GroupState):
+        (window_us,) = key
+        window_us = int(window_us)  # numpy int64 breaks the JSON state codec
+        end_ms = (window_us + TREND_WINDOW_US) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            types, counts = state.get
+            tally = dict(zip(types, (int(c) for c in counts)))
+        else:
+            tally = {}
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                if not state.exists and wm_ms >= end_ms:
+                    # late-beyond-finalization arrivals for an already
+                    # emitted window: never resurrect its state
+                    return
+                for typ, n in rows.groupby("event_type").size().items():
+                    tally[str(typ)] = tally.get(str(typ), 0) + int(n)
+        if wm_ms >= end_ms and tally:
+            top = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_us": [window_us] * len(top),
+                    "rank": list(range(1, len(top) + 1)),
+                    "event_type": [t for t, _ in top],
+                    "n": [n for _, n in top],
+                }
+            )
+            return
+        if tally:
+            items = sorted(tally.items())
+            state.update(([t for t, _ in items], [n for _, n in items]))
+            state.setTimeoutTimestamp(max(end_ms + 1, wm_ms + 1))
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn(
+            "window_us",
+            (F.unix_micros("ts") - F.unix_micros("ts") % TREND_WINDOW_US).cast("long"),
+        )
+        .groupBy("window_us")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=TREND_OUT_SCHEMA,
+            stateStructType=_TREND_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_topk_trending(events: DataFrame, k: int = TREND_K) -> DataFrame:
+    """Batch twin of topk_trending_stream: per 1-hour tumbling window,
+    the top-k event types by (count desc, type asc)."""
+    from pyspark.sql import Window as W
+
+    g = (
+        events.withColumn(
+            "window_us",
+            (F.unix_micros("ts") - F.unix_micros("ts") % TREND_WINDOW_US).cast("long"),
+        )
+        .groupBy("window_us", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("window_us").orderBy(F.col("n").desc(), "event_type")
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("window_us", "rank", "event_type", "n")
+    )
+
+
+def run_topk_trending_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_topk_trending"
+) -> DataFrame:
+    """Drive the trending top-k over the directory stream with availableNow
+    into a memory sink; returns the finalized-window emissions."""
+    stream = topk_trending_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

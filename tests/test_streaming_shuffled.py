@@ -188,6 +188,32 @@ def test_sessionize_stream_matches_batch_under_shuffled_arrival(spark, shuffled_
     assert got == want
 
 
+def test_topk_trending_stream_matches_batch_under_shuffled_arrival(spark, shuffled_dirs):
+    """The windowed top-k trending operator (stateful #5): emissions for
+    every window the final watermark FINALIZES must equal the batch
+    twin's rows for those windows exactly; unfinalized windows (the
+    sentinel's) are withheld — batch-minus-withheld. Counts commute, so
+    shuffled arrival must be a non-event for this operator."""
+    stream_dir, batch_dir = shuffled_dirs
+    final_wm_us = (90 - 10) * 60 * 1_000_000  # sentinel - delay, past T0
+    t0_us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    batch = sorted(
+        (r["window_us"], r["rank"], r["event_type"], r["n"])
+        for r in jobs.batch_topk_trending(
+            spark.read.parquet(f"{batch_dir}/events.parquet")
+        ).collect()
+        if r["window_us"] + jobs.TREND_WINDOW_US <= t0_us + final_wm_us
+    )
+    streamed = sorted(
+        (r["window_us"], r["rank"], r["event_type"], r["n"])
+        for r in jobs.run_topk_trending_available_now(
+            spark, stream_dir, query_name="trending_shuffled"
+        ).collect()
+    )
+    assert len(batch) > 0
+    assert streamed == batch
+
+
 def test_sessionize_idle_close_not_deferred_past_pending_event(spark, tmp_path):
     """ADVICE r8: with a session closable at watermark end+gap but a
     buffered pending event FURTHER out (min(pending) > end+gap), the
