@@ -50,6 +50,13 @@ def global_ranks(
     n_part = n_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
+    # NOTE on cost (interleaved A/B at sf0.1): the two-pass machinery adds
+    # ~0.9 s of fixed job overhead vs the single-partition window (range-
+    # boundary sampling pass + the offsets action) — a CONSTANT, not a
+    # scale term; the window variant's cost grows with the single task's
+    # data instead. Persisting the INPUT as well was measured net-negative
+    # at fixture scale (cache fill > upstream recompute) — callers whose
+    # upstream is genuinely expensive should persist it themselves.
     parted = caches.track(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
