@@ -755,27 +755,35 @@ ROUND9_ADDED: list[str] = [
     "olap_join_size_estimate",
 ]
 
-# Round-9 window (first 50): the 27 round-8 additions (replica-gate-only
-# until now — their first external hash rows) + the next 23 oldest
-# externally-verified rows in the rotation, ROUND3_VERIFIED[24:47]
-# (r03 hash rows, the oldest external evidence in the registry).
+# Round-10 additions land here as they are built this round; they queue
+# past the window (round-11 external-hash candidates).
+ROUND10_ADDED: list[str] = []
+
+# The r05-verified ROUND4 batch in rotation order (ROUND4_ADDED minus the
+# three ROUND5_DEFERRED rows): the oldest fill pool for window rotation.
+_R4_FILL = [name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED]
+
+# Round-10 window (first 50), per the rotation staged at round-9 close:
+# the 3 remaining r03 rows ROUND3_VERIFIED[47:] (oldest external
+# evidence in the registry) + the 17 round-9 additions (replica-gate-only
+# until now — their first external hash rows) + the 30 next-oldest
+# r05-verified fill rows (_R4_FILL[:30]).
 #
-# ROUND-10 ROTATION (stage at round-10 start): window =
-# ROUND3_VERIFIED[47:] (3 remaining r03 rows — the oldest external
-# evidence) + ROUND9_ADDED (whatever lands this round) + as many of the
-# next-oldest r05-verified rows (ROUND4_ADDED minus ROUND5_DEFERRED,
-# in listed order) as needed to reach exactly 50. Move that slice to the
-# head of DRIVER_WINDOW_PRIORITY and update
+# ROUND-11 ROTATION (stage at round-11 start): window = ROUND10_ADDED
+# (whatever lands this round) + as many of the next-oldest r05-verified
+# rows (_R4_FILL[30:], then ROUND4_VERIFIED, then ROUND5_DEFERRED /
+# ROUND5_ADDED, in listed order) as needed to reach exactly 50. Move that
+# slice to the head of DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
-# stage ROUND10_ADDED after the window as this round did.
+# stage ROUND11_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND8_ADDED,
-    *ROUND3_VERIFIED[24:47],
-    # --- past the 50-query window: externally verified in earlier rounds,
-    # kept on the in-repo replica gate; r03 remainder first (oldest rows,
-    # next in the rotation), then the r05-verified ROUND4 batch ---
     *ROUND3_VERIFIED[47:],
-    *[name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED],
+    *ROUND9_ADDED,
+    *_R4_FILL[:30],
+    # --- past the 50-query window: externally verified in earlier rounds,
+    # kept on the in-repo replica gate; oldest remaining rows first (next
+    # in the rotation) ---
+    *_R4_FILL[30:],
     *ROUND4_VERIFIED,
     *ROUND5_DEFERRED,
     *ROUND5_ADDED,
@@ -783,11 +791,13 @@ DRIVER_WINDOW_PRIORITY = [
     *ROUND3_VERIFIED[:17],
     *ROUND6_ADDED,
     *ROUND7_GRADUATED,
-    # --- re-verified in the round-8 window (freshest external rows) ---
     *ROUND7_ADDED,
     *ROUND3_VERIFIED[17:24],
-    # --- round-10 window queue: this round's additions ---
-    *ROUND9_ADDED,
+    # --- re-verified in the round-9 window (freshest external rows) ---
+    *ROUND8_ADDED,
+    *ROUND3_VERIFIED[24:47],
+    # --- round-11 window queue: this round's additions ---
+    *ROUND10_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

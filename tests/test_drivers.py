@@ -247,15 +247,22 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-9 rotation: the 50-slot window = the 27 round-8 additions
-    # (replica-gate-only until now — first external hash rows) + the 23
-    # next-oldest externally-verified rows, ROUND3_VERIFIED[24:47].
+    # round-10 rotation (staged at round-9 close, executed this round):
+    # the 50-slot window = the 3 remaining r03 rows (oldest external
+    # evidence) + the 17 round-9 additions (replica-gate-only until now —
+    # first external hash rows) + the 30 next-oldest r05-verified fill
+    # rows (_R4_FILL[:30]).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND8_ADDED) == 27
-    assert set(window) == set(q.ROUND8_ADDED) | set(q.ROUND3_VERIFIED[24:47])
-    # every window slot carries a full hash (the whole round-9 window is
-    # oracle-bearing — no rows-only entries this round)
+    assert len(q.ROUND3_VERIFIED[47:]) == 3
+    assert len(q.ROUND9_ADDED) == 17
+    fill = [n for n in q.ROUND4_ADDED if n not in set(q.ROUND5_DEFERRED)]
+    assert window == (
+        list(q.ROUND3_VERIFIED[47:]) + list(q.ROUND9_ADDED) + fill[:30]
+    )
+    # every window slot carries a full hash (the whole round-10 window is
+    # oracle-bearing — no rows-only entries; ADVICE r9: assert ORACLE_SQL
+    # membership directly, not the tautological SPARK_QUERIES fallback)
     assert all(name in q.ORACLE_SQL for name in window)
     # the graduations really did graduate
     assert all(name in q.ORACLE_SQL for name in q.ROUND6_GRADUATED)
@@ -267,24 +274,25 @@ def test_driver_window_priority_matches_registry():
         q.ROUND5_ADDED
     ) | set(q.ROUND6_GRADUATED) | set(q.ROUND7_ADDED) | set(
         q.ROUND8_ADDED
-    ) | set(q.ROUND9_ADDED) == set(q.SPARK_QUERIES)
-    # round-9 additions queue behind the window (round-10 candidates)
+    ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) == set(q.SPARK_QUERIES)
+    # round-10 additions queue behind the window (round-11 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND9_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND10_ADDED
     )
-    # the staged ROUND-10 window arithmetic must already close: the 3
-    # r03-remainder rows + this round's additions + the oldest
-    # r05-verified fill rows can compose exactly 50 oracle-bearing slots.
-    r10_head = list(q.ROUND3_VERIFIED[47:]) + list(q.ROUND9_ADDED)
-    fill = [n for n in q.ROUND4_ADDED if n not in set(q.ROUND5_DEFERRED)]
-    assert len(q.ROUND3_VERIFIED[47:]) == 3
-    assert len(r10_head) <= 50, "round-9 additions overflow the round-10 window"
-    assert len(r10_head) + len(fill) >= 50, "not enough fill rows for round 10"
-    r10_window = r10_head + fill[: 50 - len(r10_head)]
-    assert len(r10_window) == len(set(r10_window)) == 50
-    assert all(
-        name in q.ORACLE_SQL or name in q.SPARK_QUERIES for name in r10_window
+    # the staged ROUND-11 window arithmetic must already close: this
+    # round's additions + the oldest remaining fill rows (r05-verified
+    # remainder, then ROUND4_VERIFIED, then the round-5 batch) can
+    # compose exactly 50 oracle-bearing slots.
+    r11_head = list(q.ROUND10_ADDED)
+    r11_fill = (
+        fill[30:] + list(q.ROUND4_VERIFIED) + list(q.ROUND5_DEFERRED)
+        + list(q.ROUND5_ADDED)
     )
+    assert len(r11_head) <= 50, "round-10 additions overflow the round-11 window"
+    assert len(r11_head) + len(r11_fill) >= 50, "not enough fill rows for round 11"
+    r11_window = r11_head + r11_fill[: 50 - len(r11_head)]
+    assert len(r11_window) == len(set(r11_window)) == 50
+    assert all(name in q.ORACLE_SQL for name in r11_window)
 
 
 def test_webapi_serves_console_ui(webapp):
