@@ -24,16 +24,29 @@ still holds the cached blocks, making them unreleasable. To keep that
 never-releasing path bounded on the PYTHON side too (ADVICE r7: the JVM
 blocks are LRU-bounded but an unbounded handle list leaks), `track`
 unpersists and drops the OLDEST entries once the registry exceeds
-`MAX_TRACKED` — by then the oldest relations belong to queries whose
-results were long since materialized, so releasing them costs at most a
-recompute, never correctness.
+`MAX_TRACKED`.
+
+CORRECTNESS CAVEAT (ADVICE r9): eviction costs at most a recompute for
+relations whose derived results were already materialized — but the
+partition-offset ranking operators (operators/ranking.py) bake
+DRIVER-SIDE constants (per-partition offsets) computed from one
+materialization of a `repartitionByRange` relation into a lazy plan. If
+that persist is dropped before the consumer materializes, the range
+boundaries are RESAMPLED on recompute and the baked offsets silently
+corrupt ranks. Such relations are registered with `track(df, pin=True)`:
+pinned entries are exempt from MAX_TRACKED eviction and only released by
+`release_all()` — which batch runners call strictly AFTER materializing
+each query's result, so the constructed-plan window is never evicted.
+Long-lived sessions that build ranking plans but defer materialization
+past their own `release_all()` call are outside the contract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# (df, pinned) pairs; pinned entries are never LRU-evicted by track()
+_TRACKED: list[tuple[DataFrame, bool]] = []
 
 # Generous vs. real usage (no single query tracks more than a handful of
 # relations) while keeping a run-forever session's handle list — and the
@@ -41,13 +54,21 @@ _TRACKED: list[DataFrame] = []
 MAX_TRACKED = 32
 
 
-def track(df: DataFrame) -> DataFrame:
+def track(df: DataFrame, pin: bool = False) -> DataFrame:
     """Register a persisted relation for batch-runner cleanup; returns it.
-    Evicts (unpersists + drops) the oldest registered relations beyond
-    `MAX_TRACKED`, so sessions that never call release_all stay bounded."""
-    _TRACKED.append(df)
+    Evicts (unpersists + drops) the oldest UNPINNED relations beyond
+    `MAX_TRACKED`, so sessions that never call release_all stay bounded.
+    Pass `pin=True` for relations whose eviction before materialization
+    would be a correctness hazard (see module docstring): they are only
+    released by `release_all()`."""
+    _TRACKED.append((df, pin))
     while len(_TRACKED) > MAX_TRACKED:
-        old = _TRACKED.pop(0)
+        evict_idx = next(
+            (i for i, (_, pinned) in enumerate(_TRACKED) if not pinned), None
+        )
+        if evict_idx is None:  # all pinned: never evict a correctness pin
+            break
+        old, _ = _TRACKED.pop(evict_idx)
         try:
             old.unpersist()
         except Exception:  # pragma: no cover - session already stopped
@@ -56,13 +77,15 @@ def track(df: DataFrame) -> DataFrame:
 
 
 def release_all() -> int:
-    """Unpersist every tracked relation (blocking=False) and clear the
-    registry. Returns the number of relations released. Safe to call at
-    any time — unpersisting a relation that was never materialized, or
-    one whose blocks were already LRU-evicted, is a no-op JVM-side."""
+    """Unpersist every tracked relation (blocking=False), pinned included,
+    and clear the registry. Returns the number of relations released.
+    Safe to call any time AFTER materializing the current query's result —
+    unpersisting a relation that was never materialized, or one whose
+    blocks were already LRU-evicted, is a no-op JVM-side (but see the
+    module docstring for the ranking-plan caveat)."""
     n = 0
     while _TRACKED:
-        df = _TRACKED.pop()
+        df, _ = _TRACKED.pop()
         try:
             df.unpersist()
             n += 1

@@ -18,10 +18,29 @@ get ceil(N/n) rows) on top of the exact rank — bit-identical to
 `F.ntile(n).over(Window.orderBy(...))` for a deterministic (tie-free)
 ordering, at full parallelism.
 
+HYBRID GATE (r9 verdict item 3): the two-pass machinery costs a real
+fixed ~0.9 s/call (range-boundary sampling pass + the offsets action,
+interleaved A/B at sf0.1) vs ~0.34 s for the single-partition window —
+the right trade only when the single sort task would actually be fat.
+With the default `strategy="auto"`, the operators count the input once
+and pick the single-partition window form at or below `WINDOW_MAX_ROWS`
+rows, the partition-offset form above it. Both forms are bit-identical
+by contract, so the gate is a pure plan choice. Pass
+`strategy="offsets"` / `strategy="window"` to force a form (tests, or
+callers that already know the grain).
+
 For per-row FEATURE generation where exact tile boundaries don't matter,
 `percentile_bands` trades exactness for a zero-extra-shuffle plan: it
 approximates the n-1 cut points with approx_percentile, broadcasts them,
 and buckets map-side (the events_rfm_segments pattern).
+
+CACHE-LIFECYCLE NOTE (ADVICE r9): the offsets form bakes driver-collected
+per-partition offsets into a lazy plan over a sampled repartitionByRange
+persist; evicting that persist before the consumer materializes would
+resample the range boundaries and silently corrupt ranks. The persists
+are therefore registered with `caches.track(..., pin=True)` — exempt
+from MAX_TRACKED LRU eviction, released only by `caches.release_all()`
+(which runners call strictly after materializing each query).
 """
 
 from __future__ import annotations
@@ -34,19 +53,46 @@ from . import caches
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 
+# Auto-gate crossover: at or below this many rows the single-partition
+# window is both faster (no sampling pass, no offsets action) and safe
+# (a <= 1M-row sort in one task is tens of MB — far from the fat-task
+# regime the offsets form exists to kill). Measured at sf0.1: window
+# 0.34 s vs offsets 0.9 s fixed overhead (BASELINE.md round-9 close).
+WINDOW_MAX_ROWS = 1_000_000
+
 
 def global_ranks(
     df: DataFrame,
     *order_cols: Column | str,
     rank_col: str = "rank",
     n_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, int]:
     """Exact dense 1-based global row_number over `order_cols` without a
-    single-partition window. Returns (df + rank_col, total_rows); the
-    total rides along for free since the offset pass counts every
-    partition. Ordering must be deterministic (include a unique
-    tie-breaker column) for the ranks to be reproducible."""
+    fat single-partition sort at scale. Returns (df + rank_col,
+    total_rows). Ordering must be deterministic (include a unique
+    tie-breaker column) for the ranks to be reproducible.
+
+    strategy: "auto" (default) counts the input and picks the window
+    form at <= WINDOW_MAX_ROWS rows, else partition-offset; "window" /
+    "offsets" force a form. Both forms are bit-identical."""
+    if strategy not in ("auto", "window", "offsets"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
+    total: int | None = None
+    if strategy == "auto":
+        total = df.count()
+        strategy = "window" if total <= WINDOW_MAX_ROWS else "offsets"
+    if strategy == "window":
+        if total is None:
+            total = df.count()
+        if total == 0:
+            return df.withColumn(rank_col, F.lit(None).cast("long")), 0
+        w = Window.orderBy(*order_cols)
+        return (
+            df.withColumn(rank_col, F.row_number().over(w).cast("long")),
+            total,
+        )
     n_part = n_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
@@ -60,7 +106,8 @@ def global_ranks(
     parted = caches.track(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .persist(),
+        pin=True,  # offsets below are only valid for THIS materialization
     )
     counts = parted.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
     offsets = []
@@ -88,14 +135,19 @@ def exact_ntile(
     *order_cols: Column | str,
     band_col: str = "band",
     n_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact `ntile(n) OVER (ORDER BY order_cols)` at full parallelism:
-    global rank via partition-offset ranking, then the ntile band split
-    (total = q*n + rem: the first rem bands take q+1 rows) computed from
-    the rank with driver-side constants. Bit-identical to the global
-    window for tie-free orderings."""
+    global rank via the gated ranking (see module docstring), then the
+    ntile band split (total = q*n + rem: the first rem bands take q+1
+    rows) computed from the rank with driver-side constants.
+    Bit-identical to the global window for tie-free orderings."""
     ranked, total = global_ranks(
-        df, *order_cols, rank_col="__grank", n_partitions=n_partitions
+        df,
+        *order_cols,
+        rank_col="__grank",
+        n_partitions=n_partitions,
+        strategy=strategy,
     )
     if total == 0:
         return ranked.withColumn(band_col, F.lit(None).cast("long")).drop("__grank")
@@ -117,25 +169,46 @@ def global_prefix_sum(
     *order_cols: Column | str,
     out_col: str = "cum",
     n_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact running `sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
-    PRECEDING)` without a single-partition window: range-partition on the
-    order columns, collect the <= P per-partition sums, prefix them
-    driver-side (exact: DECIMAL stays Decimal, integers stay int), and
-    add each partition's offset to its LOCAL running sum. For DECIMAL and
-    integer inputs the result is bit-identical to the global window
-    (addition is exact and associative); for DOUBLE inputs the grouping
-    of additions changes, so use only where the consumer tolerates
-    last-ulp differences."""
+    PRECEDING)` without a fat single-partition window at scale:
+    range-partition on the order columns, collect the <= P per-partition
+    sums, prefix them driver-side (exact: DECIMAL stays Decimal, integers
+    stay int), and add each partition's offset to its LOCAL running sum.
+    For DECIMAL and integer inputs the result is bit-identical to the
+    global window (addition is exact and associative); for DOUBLE inputs
+    the grouping of additions changes, so use only where the consumer
+    tolerates last-ulp differences. `strategy` gates the form exactly as
+    in `global_ranks`.
+
+    NULL semantics match the global window (ADVICE r9): a row is NULL in
+    out_col only when NO non-null value precedes it globally; a
+    partition whose local running sum is still NULL carries the prior
+    partitions' total. Offsets are carried at the SUM type (long for
+    integral inputs, widened decimal for DECIMAL), never the input
+    column type, so a narrow int input cannot overflow the offset."""
+    if strategy not in ("auto", "window", "offsets"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
+    # the type Spark's own sum() yields for this input — long for
+    # int/smallint, decimal(p+10, s) for decimal(p, s), double for double
+    sum_type = (
+        df.select(F.sum(value_col).alias("__s")).schema["__s"].dataType.simpleString()
+    )
+    if strategy == "auto":
+        strategy = "window" if df.count() <= WINDOW_MAX_ROWS else "offsets"
+    if strategy == "window":
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return df.withColumn(out_col, F.sum(value_col).over(w).cast(sum_type))
     n_part = n_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
-    value_type = df.schema[value_col].dataType.simpleString()
     parted = caches.track(
         df.repartitionByRange(n_part, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .persist(),
+        pin=True,  # offsets below are only valid for THIS materialization
     )
     psums = parted.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
     offsets = []
@@ -145,25 +218,31 @@ def global_prefix_sum(
         s = row["s"]
         acc = s if acc is None else (acc + s if s is not None else acc)
     if not offsets:
-        return parted.withColumn(out_col, F.lit(None).cast(value_type)).drop(_PID)
+        return parted.withColumn(out_col, F.lit(None).cast(sum_type)).drop(_PID)
     off_df = F.broadcast(
         spark.createDataFrame(
             [(pid, off) for pid, off in offsets],
             df.sparkSession.createDataFrame(
-                [], f"{_PID} int, {_OFF} {value_type}"
+                [], f"{_PID} int, {_OFF} {sum_type}"
             ).schema,
         )
     )
     w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    local = F.sum(value_col).over(w)
+    off = F.col(_OFF)
+    # NULL only when both the local running sum and every prior
+    # partition's total are NULL — the global-window contract
+    running = F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+        F.coalesce(local, F.lit(0).cast(sum_type))
+        + F.coalesce(off, F.lit(0).cast(sum_type))
+    )
     return (
         parted.join(off_df, _PID)
-        .withColumn(
-            out_col,
-            F.sum(value_col).over(w)
-            + F.coalesce(F.col(_OFF), F.lit(0).cast(value_type)),
-        )
+        # cast: decimal addition re-widens precision by 1; pin the output
+        # to the window form's sum type so both strategies agree exactly
+        .withColumn(out_col, running.cast(sum_type))
         .drop(_PID, _OFF)
     )
 
@@ -186,14 +265,16 @@ def percentile_bands(
     report needs exact tile populations)."""
     probs = [i / n for i in range(1, n)]
     accuracy = max(int(1.0 / relative_error), 100)
-    cuts = [
-        float(x)
-        for x in df.agg(
-            F.percentile_approx(
-                value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
-            ).alias("cuts")
-        ).collect()[0]["cuts"]
-    ]
+    raw_cuts = df.agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    if raw_cuts is None:  # empty or all-NULL input (ADVICE r9): no cut
+        # points exist — NULL band, matching the empty-input contract of
+        # global_ranks/exact_ntile
+        return df.withColumn(band_col, F.lit(None).cast("long"))
+    cuts = [float(x) for x in raw_cuts]
     v = F.col(value_col)
     if descending:
         # cuts ascend; value > cuts[n-1-i] -> band i+1

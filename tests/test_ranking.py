@@ -1,8 +1,10 @@
 """operators/ranking — exact global ranking / ntile banding without a
-single-partition window (r8 verdict weak items: the customer-grain ntile
-family and the doc-grain row_number were the registry's last fat-task
-shapes). The contract under test: bit-identical results to the global
-window at ANY partition count."""
+fat single-partition window at scale (r8 verdict weak items: the
+customer-grain ntile family and the doc-grain row_number were the
+registry's last fat-task shapes). The contract under test: bit-identical
+results to the global window at ANY partition count, under EITHER
+strategy of the round-10 row-count gate (r9 verdict item 3), including
+the NULL / narrow-int edge cases from ADVICE r9."""
 
 from __future__ import annotations
 
@@ -31,9 +33,10 @@ def _window_ranks(df):
     }
 
 
-def test_global_ranks_matches_global_window(spark, spend_df):
+@pytest.mark.parametrize("strategy", ["auto", "window", "offsets"])
+def test_global_ranks_matches_global_window(spark, spend_df, strategy):
     ranked, total = ranking.global_ranks(
-        spend_df, F.col("spend").desc(), "key", rank_col="rn"
+        spend_df, F.col("spend").desc(), "key", rank_col="rn", strategy=strategy
     )
     got = {r["key"]: r["rn"] for r in ranked.collect()}
     caches.release_all()
@@ -41,10 +44,41 @@ def test_global_ranks_matches_global_window(spark, spend_df):
     assert got == _window_ranks(spend_df)
 
 
+def test_strategy_gate_picks_form_by_row_count(spark, spend_df, monkeypatch):
+    """r9 verdict item 3: auto must use the single-partition window form
+    at or below WINDOW_MAX_ROWS (no __rank_pid machinery, no sampling
+    pass) and the partition-offset form above it."""
+    # 997 rows <= 1M: window form
+    ranked, _ = ranking.global_ranks(
+        spend_df, F.col("spend").desc(), "key", rank_col="rn"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "__rank_pid" not in plan
+    assert "Window" in plan
+    # force the gate under the fixture size: offsets form
+    monkeypatch.setattr(ranking, "WINDOW_MAX_ROWS", 100)
+    ranked, _ = ranking.global_ranks(
+        spend_df, F.col("spend").desc(), "key", rank_col="rn"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    caches.release_all()
+    assert "__rank_pid" in plan
+
+
+def test_invalid_strategy_raises(spark, spend_df):
+    with pytest.raises(ValueError):
+        ranking.global_ranks(spend_df, "key", strategy="eager")
+    with pytest.raises(ValueError):
+        ranking.global_prefix_sum(spend_df, "spend", "key", strategy="eager")
+
+
 @pytest.mark.parametrize("n", [3, 4, 10, 1000])
 def test_exact_ntile_matches_window_ntile(spark, spend_df, n):
     """Including n > N (1000 bands over 997 rows: every band is one row —
-    the q == 0 branch)."""
+    the q == 0 branch). strategy='offsets' forces the two-pass machinery
+    (auto would pick the window form at this size; the auto path is
+    covered by test_strategy_gate_picks_form_by_row_count +
+    test_exact_ntile_strategy_agreement)."""
     want = {
         r["key"]: r["band"]
         for r in spend_df.withColumn(
@@ -55,11 +89,26 @@ def test_exact_ntile_matches_window_ntile(spark, spend_df, n):
     got = {
         r["key"]: r["band"]
         for r in ranking.exact_ntile(
-            spend_df, n, F.col("spend").desc(), "key"
+            spend_df, n, F.col("spend").desc(), "key", strategy="offsets"
         ).collect()
     }
     caches.release_all()
     assert got == want
+
+
+def test_exact_ntile_strategy_agreement(spark, spend_df):
+    """The gate is a pure plan choice: both forms must produce identical
+    band assignments."""
+    by_strategy = {}
+    for strategy in ("window", "offsets"):
+        by_strategy[strategy] = {
+            r["key"]: r["band"]
+            for r in ranking.exact_ntile(
+                spend_df, 7, F.col("spend").desc(), "key", strategy=strategy
+            ).collect()
+        }
+        caches.release_all()
+    assert by_strategy["window"] == by_strategy["offsets"]
 
 
 def test_exact_ntile_partition_count_invariance(spark, spend_df):
@@ -69,23 +118,28 @@ def test_exact_ntile_partition_count_invariance(spark, spend_df):
     base = {
         r["key"]: r["band"]
         for r in ranking.exact_ntile(
-            spend_df, 4, F.col("spend").desc(), "key", n_partitions=8
+            spend_df, 4, F.col("spend").desc(), "key", n_partitions=8,
+            strategy="offsets",
         ).collect()
     }
     for n_part in (1, 64):
         got = {
             r["key"]: r["band"]
             for r in ranking.exact_ntile(
-                spend_df, 4, F.col("spend").desc(), "key", n_partitions=n_part
+                spend_df, 4, F.col("spend").desc(), "key", n_partitions=n_part,
+                strategy="offsets",
             ).collect()
         }
         assert got == base, n_part
     caches.release_all()
 
 
-def test_global_ranks_empty_input(spark):
+@pytest.mark.parametrize("strategy", ["auto", "offsets"])
+def test_global_ranks_empty_input(spark, strategy):
     df = spark.createDataFrame([], "key long, spend double")
-    ranked, total = ranking.global_ranks(df, "spend", rank_col="rn")
+    ranked, total = ranking.global_ranks(
+        df, "spend", rank_col="rn", strategy=strategy
+    )
     assert total == 0
     assert ranked.count() == 0
     assert "rn" in ranked.columns
@@ -93,19 +147,42 @@ def test_global_ranks_empty_input(spark):
 
 
 def test_exact_ntile_plan_has_no_unpartitioned_window(spark, spend_df):
-    """The whole point: the only Window in the plan partitions by the
-    range-partition id; ntile never appears."""
-    df = ranking.exact_ntile(spend_df, 4, F.col("spend").desc(), "key")
+    """The point of the offsets form: the only Window in the plan
+    partitions by the range-partition id; ntile never appears (in EITHER
+    form — the band split is rank arithmetic)."""
+    df = ranking.exact_ntile(
+        spend_df, 4, F.col("spend").desc(), "key", strategy="offsets"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     caches.release_all()
     assert "ntile(" not in plan
     assert "__rank_pid" in plan
 
 
-def test_global_prefix_sum_matches_global_window_decimal_and_long(spark, spend_df):
+def test_ranking_persists_are_pinned(spark, spend_df):
+    """ADVICE r9: the offsets form bakes driver-collected offsets into a
+    lazy plan over a sampled repartitionByRange persist — that persist
+    must be pin-tracked so MAX_TRACKED eviction can never resample the
+    boundaries under a constructed-but-unmaterialized plan."""
+    caches.release_all()
+    ranking.global_ranks(
+        spend_df, F.col("spend").desc(), "key", rank_col="rn", strategy="offsets"
+    )
+    ranking.global_prefix_sum(
+        spend_df, "spend", F.col("spend").desc(), "key", strategy="offsets"
+    )
+    assert [pinned for _, pinned in caches._TRACKED] == [True, True]
+    caches.release_all()
+
+
+@pytest.mark.parametrize("strategy", ["window", "offsets"])
+def test_global_prefix_sum_matches_global_window_decimal_and_long(
+    spark, spend_df, strategy
+):
     """Bit-exact for exact-arithmetic types (DECIMAL, BIGINT) at any
     partition count — including a partition count far above the row
-    count (empty partitions) and 1 (the degenerate global case)."""
+    count (empty partitions) and 1 (the degenerate global case) — and
+    identical between the two gated forms (including output types)."""
     df = spend_df.select(
         "key",
         "spend",
@@ -125,26 +202,69 @@ def test_global_prefix_sum_matches_global_window_decimal_and_long(spark, spend_d
     }
     for n_part in (1, 8, 2048):
         got_d = ranking.global_prefix_sum(
-            df, "d", F.col("spend").desc(), "key", out_col="cd", n_partitions=n_part
+            df, "d", F.col("spend").desc(), "key", out_col="cd",
+            n_partitions=n_part, strategy=strategy,
         )
+        out = ranking.global_prefix_sum(
+            got_d, "v", F.col("spend").desc(), "key", out_col="cv",
+            n_partitions=n_part, strategy=strategy,
+        )
+        # output types must not depend on the strategy (ADVICE r9: the
+        # offsets form previously carried the INPUT type, re-widened by
+        # the offset addition)
+        assert out.schema["cd"].dataType.simpleString() == "decimal(30,2)"
+        assert out.schema["cv"].dataType.simpleString() == "bigint"
+        got = {r["key"]: (str(r["cd"]), r["cv"]) for r in out.collect()}
+        caches.release_all()
+        assert got == want, (strategy, n_part)
+
+
+def test_global_prefix_sum_null_runs_match_global_window(spark):
+    """ADVICE r9: a range partition whose local running sum is still NULL
+    must carry the prior partitions' total (NULL + offset was NULL). A
+    row is NULL in out_col only when no non-null value precedes it
+    globally — asserted for leading NULLs (globally nothing precedes)
+    AND an interior all-NULL partition."""
+    rows = [
+        (k, None if k <= 3 or 21 <= k <= 30 else k * 10) for k in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "key long, v long")
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["key"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert want[2] is None and want[25] is not None  # the fixture bites
+    for strategy in ("window", "offsets"):
         got = {
-            r["key"]: (str(r["cd"]), r["cv"])
+            r["key"]: r["cum"]
             for r in ranking.global_prefix_sum(
-                got_d,
-                "v",
-                F.col("spend").desc(),
-                "key",
-                out_col="cv",
-                n_partitions=n_part,
+                df, "v", "key", n_partitions=4, strategy=strategy
             ).collect()
         }
         caches.release_all()
-        assert got == want, n_part
+        assert got == want, strategy
 
 
-def test_global_prefix_sum_empty_input(spark):
+def test_global_prefix_sum_narrow_int_offsets_do_not_overflow(spark):
+    """ADVICE r9: per-partition sums of a smallint column overflow a
+    smallint offset schema — offsets must ride at the SUM type (long)."""
+    df = spark.range(1, 201).select(
+        F.col("id").alias("key"), F.lit(30000).cast("smallint").alias("v")
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["key"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert max(want.values()) == 200 * 30000  # far beyond smallint
+    got_df = ranking.global_prefix_sum(
+        df, "v", "key", n_partitions=8, strategy="offsets"
+    )
+    assert got_df.schema["cum"].dataType.simpleString() == "bigint"
+    got = {r["key"]: r["cum"] for r in got_df.collect()}
+    caches.release_all()
+    assert got == want
+
+
+@pytest.mark.parametrize("strategy", ["auto", "offsets"])
+def test_global_prefix_sum_empty_input(spark, strategy):
     df = spark.createDataFrame([], "key long, v long")
-    out = ranking.global_prefix_sum(df, "v", "key", out_col="cum")
+    out = ranking.global_prefix_sum(df, "v", "key", out_col="cum", strategy=strategy)
     assert out.count() == 0 and "cum" in out.columns
     caches.release_all()
 
@@ -173,3 +293,18 @@ def test_percentile_bands_ascending_semantics(spark, spend_df):
     for lo, hi in ((1, 2), (2, 3), (3, 4)):
         if lo in by_band and hi in by_band:
             assert max(by_band[lo]) <= min(by_band[hi])
+
+
+def test_percentile_bands_empty_and_all_null_inputs(spark):
+    """ADVICE r9: approx_percentile returns NULL on empty / all-NULL
+    input — percentile_bands must return a NULL band column (matching
+    the empty-input contract of global_ranks/exact_ntile), not raise."""
+    empty = spark.createDataFrame([], "key long, spend double")
+    out = ranking.percentile_bands(empty, 4, "spend")
+    assert out.count() == 0 and "band" in out.columns
+    assert out.schema["band"].dataType.simpleString() == "bigint"
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "key long, spend double"
+    )
+    got = ranking.percentile_bands(all_null, 4, "spend").collect()
+    assert [r["band"] for r in got] == [None, None]
