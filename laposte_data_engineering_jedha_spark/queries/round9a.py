@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,28 +63,65 @@ ranked AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}"""
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the embeddings table (ADVICE r9 /
+    r9 verdict item 4): the sorted (relative-name, size, mtime_ns) of
+    every file under embeddings.parquet. Regenerated fixture data —
+    even a single mutated vector rewritten in place — changes size or
+    mtime, re-keying the index path so a stale index can never serve a
+    corpus it wasn't built from. Metadata-only by design: hashing the
+    vectors themselves would cost a full corpus scan per lookup, which
+    is the cost the stored index exists to avoid."""
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fname in sorted(files):
+                p = os.path.join(root, fname)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts) or "missing"
+
+
 def _index_path(sf_dir: str) -> str:
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_INDEX_CONTRACT}".encode()
+        f"{os.path.abspath(sf_dir)}|{_INDEX_CONTRACT}|{_corpus_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"laposte_ivf_index_{tag}")
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once: the stored index is keyed by (sf_dir, contract
-    version); a complete build leaves parquet _SUCCESS markers that gate
-    reuse, so a torn build rebuilds and a code-contract bump re-keys."""
+    version, corpus fingerprint); a complete build leaves parquet
+    _SUCCESS markers that gate reuse, so a torn build rebuilds, a
+    code-contract bump re-keys, and mutated corpus data re-keys
+    (_corpus_fingerprint). The build lands in a unique scratch dir and
+    is PUBLISHED by an atomic rename — two processes building
+    concurrently can never interleave overwrite-mode writes into the
+    served path; the rename loser discards its build and serves the
+    winner's."""
     path = _index_path(sf_dir)
     done = all(
         os.path.exists(os.path.join(path, part, "_SUCCESS"))
         for part in ("centroids.parquet", "postings.parquet")
     )
     if not done:
+        scratch = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         books = similarity.pinned_codebook(1, _IVF_K, _EMB_DIM)[0]
         emb = table(spark, sf_dir, "embeddings")
         similarity.ivf_index_write(
-            emb, path, n_centroids=_IVF_K, centers=books, fold_faithful=True
+            emb, scratch, n_centroids=_IVF_K, centers=books, fold_faithful=True
         )
+        try:
+            os.rename(scratch, path)  # atomic publish (same filesystem)
+        except OSError:
+            # a concurrent builder published first: serve theirs
+            shutil.rmtree(scratch, ignore_errors=True)
     return path
 
 

@@ -1,0 +1,105 @@
+"""Round-10 hardening: IVF index lifecycle (fingerprint re-key + atomic
+publish, r9 verdict item 4 / ADVICE r9) and related operator defaults."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from laposte_data_engineering_jedha_spark.queries import round9a
+
+
+def _copy_corpus(tmp_path):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        sf / "embeddings.parquet",
+    )
+    return str(sf)
+
+
+def _markers_ok(path: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(path, part, "_SUCCESS"))
+        for part in ("centroids.parquet", "postings.parquet")
+    )
+
+
+def test_ivf_index_build_once_then_reuse(spark, tmp_path):
+    """Same corpus -> same key -> the second ensure reuses the stored
+    index without rebuilding (the _SUCCESS marker is untouched)."""
+    sf = _copy_corpus(tmp_path)
+    p1 = round9a._ensure_index(spark, sf)
+    assert _markers_ok(p1)
+    marker = os.path.join(p1, "postings.parquet", "_SUCCESS")
+    m1 = os.stat(marker).st_mtime_ns
+    assert round9a._ensure_index(spark, sf) == p1
+    assert os.stat(marker).st_mtime_ns == m1
+    shutil.rmtree(p1, ignore_errors=True)
+
+
+def test_ivf_index_rekeys_and_rebuilds_on_corpus_mutation(spark, tmp_path):
+    """Mutate ONE vector in the embeddings table: the fingerprint must
+    re-key the index path and the next ensure must build a fresh index
+    there — a mutated corpus can never be served from the stale index
+    (ADVICE r9: the old key was (sf_dir, contract) only)."""
+    import pyarrow.parquet as pq
+
+    sf = _copy_corpus(tmp_path)
+    p1 = round9a._ensure_index(spark, sf)
+    assert _markers_ok(p1)
+
+    src = os.path.join(sf, "embeddings.parquet")
+    tbl = pq.read_table(src)
+    df = tbl.to_pandas()
+    vec = list(df.loc[0, "embedding"])
+    vec[0] = float(vec[0]) + 1.0
+    df.at[0, "embedding"] = vec
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(df, schema=tbl.schema), src)
+
+    p2 = round9a._ensure_index(spark, sf)
+    assert p2 != p1, "mutated corpus must re-key the index"
+    assert _markers_ok(p2)
+    shutil.rmtree(p1, ignore_errors=True)
+    shutil.rmtree(p2, ignore_errors=True)
+
+
+def test_ivf_index_concurrent_publish_loser_discards(spark, tmp_path, monkeypatch):
+    """If another process publishes the index between this builder's
+    write and its rename, the rename fails (destination exists) and the
+    loser must discard its scratch build and serve the winner's —
+    overwrite-mode writes can never interleave into the served path."""
+    sf = _copy_corpus(tmp_path)
+    path = round9a._index_path(sf)
+    shutil.rmtree(path, ignore_errors=True)
+
+    real_write = round9a.similarity.ivf_index_write
+    scratches: list[str] = []
+
+    def write_and_simulate_winner(df, scratch, **kw):
+        scratches.append(scratch)
+        real_write(df, scratch, **kw)
+        # the "other process" publishes a complete index first
+        shutil.copytree(scratch, path)
+
+    monkeypatch.setattr(
+        round9a.similarity, "ivf_index_write", write_and_simulate_winner
+    )
+    got = round9a._ensure_index(spark, sf)
+    assert got == path
+    assert _markers_ok(path)
+    assert len(scratches) == 1
+    assert not os.path.exists(scratches[0]), "loser scratch must be removed"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_fingerprint_missing_corpus(tmp_path):
+    """A missing embeddings table fingerprints as a sentinel rather than
+    raising — _ensure_index will then fail in the build with Spark's own
+    missing-path error, not a confusing os.stat one."""
+    assert round9a._corpus_fingerprint(str(tmp_path)) == "missing"
