@@ -665,7 +665,15 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalized by the same (degree, id) comparator the orientation
     uses, so the closing edge matches on equality — no OR-join/BNLJ);
     counts are integers; one three-scalar output row assembled from
-    one-row broadcast aggregates."""
+    one-row broadcast aggregates.
+
+    SCALE CAVEAT (r9, measured sf1 exponent 1.53): this UNCAPPED form
+    is the oracle / recall surface, not the production default — bucket
+    self-join volume is sum-of-squared bucket occupancy and wedge
+    volume is out-degree^2. Reach for
+    operators/graphs.co_activity_triangles (caps applied by default;
+    registered as events_user_triangles_capped, exponent 0.16) unless
+    the exact unbounded count is the requirement."""
     ev = events_table(spark, sf_dir)
     support = ev.select(
         F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("t"),

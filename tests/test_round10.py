@@ -103,3 +103,46 @@ def test_ivf_fingerprint_missing_corpus(tmp_path):
     raising — _ensure_index will then fail in the build with Spark's own
     missing-path error, not a confusing os.stat one."""
     assert round9a._corpus_fingerprint(str(tmp_path)) == "missing"
+
+
+def test_triangles_default_entry_point_is_capped(spark):
+    """r9 verdict item 2: omitting the cap args must apply the bounded
+    production form (both row_number cap windows present in the plan);
+    the exact unbounded form requires explicit None for both. On the
+    fixture graph the default caps exceed the true maxima, so the
+    default-capped count equals the exact count — bounded by default,
+    exact where the caps don't bind."""
+    from laposte_data_engineering_jedha_spark.operators import graphs
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    capped_df = graphs.co_activity_triangles(ev, min_w=2)
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "__br" in plan and "__or" in plan  # both caps applied
+    exact_df = graphs.co_activity_triangles(
+        ev, min_w=2, bucket_cap=None, max_out_deg=None
+    )
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    assert "__br" not in exact_plan and "__or" not in exact_plan
+    capped, exact = capped_df.collect()[0], exact_df.collect()[0]
+    assert capped["n_triangles"] == exact["n_triangles"] > 0
+    assert (capped["n_edges"], capped["n_nodes"]) == (
+        exact["n_edges"], exact["n_nodes"],
+    )
+
+
+def test_triangles_tight_caps_undercount_never_overcount(spark):
+    """Binding caps must only ever drop triangles (monotone undercount —
+    the documented error contract)."""
+    from laposte_data_engineering_jedha_spark.operators import graphs
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    exact = graphs.co_activity_triangles(
+        ev, min_w=2, bucket_cap=None, max_out_deg=None
+    ).collect()[0]
+    tight = graphs.co_activity_triangles(
+        ev, min_w=2, bucket_cap=8, max_out_deg=3
+    ).collect()[0]
+    assert tight["n_triangles"] < exact["n_triangles"]
+    assert tight["n_edges"] <= exact["n_edges"]
