@@ -1,0 +1,169 @@
+"""Anti-entropy reconciliation between two table snapshots ("replicas")
+via hierarchical Merkle bucket digests — the incremental-reconcile
+operator promised by the registered `dq_merkle_bucket_diff` oracle
+(queries/round9g.py, whose fixed one-mutation shape stays the external
+hash surface; this module is the general API over ARBITRARY snapshots).
+
+The 100 TB shape: two replicas of a table diverge by a handful of rows.
+Shipping either table to compare is off the table; the Merkle ladder
+ships DIGESTS instead:
+
+1. level 1 — one scan per side producing `n_coarse` (bit_xor of 52-bit
+   md5 row digests, row count) pairs: a few KB crossing the wire. The
+   xor fold is order-free and mergeable, so it partial-aggregates
+   map-side and never shuffles rows, only bucket digests. Counts ride
+   along to catch xor-cancelling pair anomalies (two rows swapping
+   digests xor to the same bucket value; their counts usually differ —
+   and a same-count swap still flips the fine level below).
+2. level 2 — only buckets whose (digest, count) disagree (including
+   buckets missing entirely on one side: the compare is a full outer
+   join) are re-digested at `n_fine`-way granularity. The scan is
+   filtered by a BROADCAST of the dirty coarse ids — at sane divergence
+   rates that is a handful of ids against a full scan's worth of data.
+3. row pulls — rows of both sides restricted (again by broadcast) to
+   the dirty fine buckets are outer-joined on the key: rows missing on
+   one side are inserts/deletes, equal keys with different value
+   digests are updates. Only the divergent slice of the table is ever
+   joined row-by-row.
+
+Buckets are assigned by the digest of the KEY alone, so a value update
+stays in its bucket (one dirty fine bucket), while inserts/deletes also
+perturb the bucket counts. All digests are md5-based and deterministic,
+so any other engine (the DuckDB oracles) reproduces them bit-for-bit.
+
+Collision note: a mutated row is missed only if its 52-bit row digest
+collides on the same key, p = 2^-52 per row — the standard Merkle
+anti-entropy trade (Dynamo/Cassandra replica repair use the same
+construction with wider hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KH = "__mrk_kh"  # 52-bit key digest (bucket routing)
+_H = "__mrk_h"  # 52-bit row digest (key + values)
+
+
+def _digest52(cols: list[str]) -> Column:
+    """Deterministic 52-bit digest of the named columns: md5 over a
+    '|'-joined string payload with an explicit NUL sentinel for NULLs
+    (concat_ws would silently skip them, making ('a', NULL) collide
+    with ('a',)). 13 hex chars = 52 bits — inside a BIGINT and inside
+    DuckDB's exact integer range, so oracles reproduce it."""
+    payload = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
+
+
+def _bucketed(
+    df: DataFrame, key_cols: list[str], value_cols: list[str],
+    n_coarse: int, n_fine: int,
+) -> DataFrame:
+    return df.select(
+        *key_cols,
+        _digest52(list(key_cols)).alias(_KH),
+        _digest52(list(key_cols) + list(value_cols)).alias(_H),
+    ).select(
+        *key_cols,
+        F.pmod(F.col(_KH), F.lit(n_coarse)).cast("int").alias("coarse"),
+        F.expr(f"CAST(pmod({_KH} div {n_coarse}, {n_fine}) AS INT)").alias("fine"),
+        F.col(_H),
+    )
+
+
+def _bucket_digests(d: DataFrame, grain: list[str], side: str) -> DataFrame:
+    return d.groupBy(*grain).agg(
+        F.expr(f"bit_xor({_H})").cast("long").alias(f"dig_{side}"),
+        F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+    )
+
+
+def _dirty(a: DataFrame, b: DataFrame, grain: list[str]) -> DataFrame:
+    """Full-outer digest compare at a grain: a bucket is dirty when the
+    digests or counts differ, INCLUDING buckets present on one side
+    only (missing side compares as NULL — never null-safe-equal)."""
+    return (
+        a.join(b, grain, "full_outer")
+        .where(
+            ~F.col("dig_left").eqNullSafe(F.col("dig_right"))
+            | ~F.col("n_left").eqNullSafe(F.col("n_right"))
+        )
+    )
+
+
+def merkle_bucket_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    n_coarse: int = 64,
+    n_fine: int = 256,
+) -> DataFrame:
+    """Locate WHERE two snapshots differ: returns the dirty FINE buckets
+    as (coarse, fine, dig_left, dig_right, n_left, n_right) — digests /
+    counts are NULL for a side with no rows in that bucket. Two digest
+    scans per side; rows never cross the wire. `value_cols` defaults to
+    every non-key column of `left` (both sides must share the schema)."""
+    if value_cols is None:
+        value_cols = [c for c in left.columns if c not in set(key_cols)]
+    missing = [c for c in key_cols + value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"right snapshot lacks columns {missing}")
+    da = _bucketed(left, key_cols, value_cols, n_coarse, n_fine)
+    db = _bucketed(right, key_cols, value_cols, n_coarse, n_fine)
+    dirty_coarse = _dirty(
+        _bucket_digests(da, ["coarse"], "left"),
+        _bucket_digests(db, ["coarse"], "right"),
+        ["coarse"],
+    ).select("coarse")
+    return _dirty(
+        _bucket_digests(da.join(F.broadcast(dirty_coarse), "coarse"),
+                        ["coarse", "fine"], "left"),
+        _bucket_digests(db.join(F.broadcast(dirty_coarse), "coarse"),
+                        ["coarse", "fine"], "right"),
+        ["coarse", "fine"],
+    ).select("coarse", "fine", "dig_left", "dig_right", "n_left", "n_right")
+
+
+def merkle_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    n_coarse: int = 64,
+    n_fine: int = 256,
+) -> DataFrame:
+    """Row-level divergence between two snapshots, computed WITHOUT a
+    full row-level compare: the Merkle ladder (merkle_bucket_diff)
+    narrows to dirty fine buckets, then only rows in those buckets are
+    outer-joined on the key. Returns one row per divergent key:
+    (*key_cols, change) with change in
+    {'missing_in_right', 'missing_in_left', 'changed'} — i.e. the rows a
+    repair job would pull/push/overwrite. Empty when the snapshots
+    agree."""
+    if value_cols is None:
+        value_cols = [c for c in left.columns if c not in set(key_cols)]
+    dirty_fine = merkle_bucket_diff(
+        left, right, key_cols, value_cols, n_coarse, n_fine
+    ).select("coarse", "fine")
+    da = _bucketed(left, key_cols, value_cols, n_coarse, n_fine)
+    db = _bucketed(right, key_cols, value_cols, n_coarse, n_fine)
+    la = da.join(F.broadcast(dirty_fine), ["coarse", "fine"]).select(
+        *key_cols, F.col(_H).alias("__h_l")
+    )
+    lb = db.join(F.broadcast(dirty_fine), ["coarse", "fine"]).select(
+        *key_cols, F.col(_H).alias("__h_r")
+    )
+    change = (
+        F.when(F.col("__h_r").isNull(), F.lit("missing_in_right"))
+        .when(F.col("__h_l").isNull(), F.lit("missing_in_left"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        la.join(lb, list(key_cols), "full_outer")
+        .where(~F.col("__h_l").eqNullSafe(F.col("__h_r")))
+        .select(*key_cols, change.alias("change"))
+    )

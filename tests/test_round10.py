@@ -131,6 +131,87 @@ def test_triangles_default_entry_point_is_capped(spark):
     )
 
 
+_REC_SCHEMA = "k long, name string, grp long, val double"
+
+
+def _base_rows(n=400):
+    return [(i, f"u{i % 37}", i * 3 % 101, float(i % 13)) for i in range(n)]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_merkle_reconcile_random_mutation_sets(spark, seed):
+    """Property test (r9 verdict item 5): for a random mutation set
+    (updates + deletes + inserts), merkle_reconcile must return EXACTLY
+    the mutated keys with the right change kinds, and the dirty-bucket
+    ladder must stay bounded by the mutation count (each mutation dirties
+    at most one fine bucket)."""
+    import random
+
+    from laposte_data_engineering_jedha_spark.operators import reconcile
+
+    rng = random.Random(seed)
+    n = 400
+    rows = _base_rows(n)
+    updates = set(rng.sample(range(n), rng.randint(1, 12)))
+    deletes = set(rng.sample([i for i in range(n) if i not in updates],
+                             rng.randint(1, 8)))
+    inserts = {n + j for j in range(rng.randint(1, 6))}
+    right_rows = [
+        (k, name, grp, val + 1.0 if k in updates else val)
+        for (k, name, grp, val) in rows
+        if k not in deletes
+    ] + [(k, "new", 0, 0.0) for k in sorted(inserts)]
+    left = spark.createDataFrame(rows, _REC_SCHEMA)
+    right = spark.createDataFrame(right_rows, _REC_SCHEMA)
+
+    got = {
+        (r["k"], r["change"])
+        for r in reconcile.merkle_reconcile(left, right, ["k"]).collect()
+    }
+    want = (
+        {(k, "changed") for k in updates}
+        | {(k, "missing_in_right") for k in deletes}
+        | {(k, "missing_in_left") for k in inserts}
+    )
+    assert got == want
+    n_dirty = reconcile.merkle_bucket_diff(left, right, ["k"]).count()
+    assert 0 < n_dirty <= len(updates) + len(deletes) + len(inserts)
+
+
+def test_merkle_identical_snapshots_are_clean(spark):
+    from laposte_data_engineering_jedha_spark.operators import reconcile
+
+    left = spark.createDataFrame(_base_rows(), _REC_SCHEMA)
+    right = spark.createDataFrame(_base_rows(), _REC_SCHEMA)
+    assert reconcile.merkle_bucket_diff(left, right, ["k"]).count() == 0
+    assert reconcile.merkle_reconcile(left, right, ["k"]).count() == 0
+
+
+def test_merkle_null_value_is_not_empty_string(spark):
+    """The digest payload uses a NUL sentinel for NULLs — a NULL value
+    and an empty string must be detected as a difference, and NULL==NULL
+    must be clean (concat_ws alone would collapse both)."""
+    from laposte_data_engineering_jedha_spark.operators import reconcile
+
+    schema = "k long, v string"
+    left = spark.createDataFrame([(1, None), (2, "x"), (3, None)], schema)
+    right = spark.createDataFrame([(1, ""), (2, "x"), (3, None)], schema)
+    got = {
+        (r["k"], r["change"])
+        for r in reconcile.merkle_reconcile(left, right, ["k"]).collect()
+    }
+    assert got == {(1, "changed")}
+
+
+def test_merkle_schema_mismatch_raises(spark):
+    from laposte_data_engineering_jedha_spark.operators import reconcile
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        reconcile.merkle_bucket_diff(left, right, ["k"])
+
+
 def test_triangles_tight_caps_undercount_never_overcount(spark):
     """Binding caps must only ever drop triangles (monotone undercount —
     the documented error contract)."""
