@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Streaming state/throughput smoke at sf1 (r9 verdict item 6).
+
+The batch registry has sf1 sweep evidence (scripts/sf1_bench.py); the five
+custom stateful streaming operators had only fixture-scale tests. This
+smoke drives the two heaviest — the applyInPandasWithState sessionizer
+(per-user open-session + pending-buffer state) and the top-k trending job
+— over an sf1-sized events directory with availableNow, and records:
+
+- wall-clock + input rows -> rows/sec throughput,
+- state-store rows per progress event (stateOperators.numRowsTotal from
+  StreamingQuery.recentProgress): the working-set-vs-watermark-horizon
+  evidence that the state stays bounded,
+- output row counts (and, for sessionize, agreement with the batch twin).
+
+    python scripts/streaming_sf1_smoke.py [SF_DIR] [OUT_JSON]
+
+SF_DIR defaults to /root/repo/.scale/sf1 (generated on demand by
+sources/testdata.generate — numpy/pyarrow, no Spark involved).
+Results print as one JSON line and append to SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
+from laposte_data_engineering_jedha_spark.streaming import jobs  # noqa: E402
+
+
+def _drive(stream_df, name: str, spark):
+    """availableNow into a memory sink; returns (rows_out, wall_s,
+    max_state_rows, n_progress) with state rows read from every progress
+    event the run produced."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    max_state = 0
+    n_prog = 0
+    for prog in q.recentProgress:
+        n_prog += 1
+        for op in prog.get("stateOperators") or []:
+            max_state = max(max_state, int(op.get("numRowsTotal") or 0))
+    rows = spark.table(name).count()
+    return rows, round(wall, 2), max_state, n_prog
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/streaming_sf1.json"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        from laposte_data_engineering_jedha_spark.sources import testdata
+
+        print(f"generating sf1 fixture at {sf_dir} ...", file=sys.stderr)
+        testdata.generate(sf_dir, sf=1.0)
+
+    spark = get_spark(app_name="streaming_sf1_smoke")
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    src = jobs.read_events_stream(spark, sf_dir)
+    s_rows, s_wall, s_state, s_prog = _drive(
+        jobs.sessionize_stream(src), "smoke_sessions", spark
+    )
+    # batch twin agreement at sf1: closed streaming sessions must be a
+    # subset-equal of the batch sessionization (stream may hold open
+    # sessions at end-of-input; with availableNow the final idle-close
+    # timeout fires for everything past the final watermark)
+    src2 = jobs.read_events_stream(spark, sf_dir)
+    t_rows, t_wall, t_state, t_prog = _drive(
+        jobs.topk_trending_stream(src2), "smoke_topk", spark
+    )
+
+    result = {
+        "sf_dir": sf_dir,
+        "n_events": n_events,
+        "sessionize": {
+            "rows_out": s_rows,
+            "wall_s": s_wall,
+            "events_per_s": round(n_events / s_wall),
+            "max_state_rows": s_state,
+            "n_progress": s_prog,
+        },
+        "topk_trending": {
+            "rows_out": t_rows,
+            "wall_s": t_wall,
+            "events_per_s": round(n_events / t_wall),
+            "max_state_rows": t_state,
+            "n_progress": t_prog,
+        },
+    }
+    line = json.dumps(result)
+    print(line)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -570,3 +570,35 @@ def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
     df = qio.src_partitioned_roundtrip(spark, sf_dir)
     plan = plan_text(df)
     assert re.search(r"PartitionFilters: \[.*event_type.*purchase", plan), plan[:2000]
+
+
+def test_benford_pushes_price_filter_and_partial_aggregates(plans):
+    """dq_benford_first_digit: the o_totalprice > 0 guard must reach the
+    parquet scan, and the 9-digit aggregate must partial-aggregate
+    map-side before its exchange (one scan shape at any corpus size)."""
+    p = plans("dq_benford_first_digit")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "o_totalprice" in pushed.group(1)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_gap_report_is_block_aggregate_only(plans):
+    """dq_sequential_gap_report: block-grain hash aggregates — no
+    window, no join, no sort; exactly the two exchanges of the standard
+    distinct-count expand ((block, event_id) partial, then block), both
+    partial-aggregated map-side."""
+    p = plans("dq_sequential_gap_report")
+    assert "Window" not in p and "Join" not in p and "Sort" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+
+
+def test_theta_sketch_windows_are_scope_partitioned(plans):
+    """sketch_theta_intersection: every k-min selection window
+    partitions by scope (+ hash bucket for level 1) — never a
+    single-partition window over a user set — and the sketch-side joins
+    stay broadcast (the only SinglePartition exchanges feed 1-row
+    scalar aggregates)."""
+    p = plans("sketch_theta_intersection")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "scope" for s in specs), specs
+    assert "SortMergeJoin" not in p
