@@ -262,6 +262,8 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             start, end, n, pending = 0, 0, 0, []
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]  # a NULL event time cannot be
+            # sessionized (and NaT would fold in as int64-min garbage)
             if len(rows):
                 pending.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -497,6 +499,7 @@ def funnel_detect_stream(events: DataFrame) -> DataFrame:
             t1, t2, t3, p_ts, p_id, p_ty = 0, 0, 0, [], [], []
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]  # NaT would fold as garbage
             if len(rows):
                 p_ts.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
                 p_id.extend(int(i) for i in rows["event_id"].astype("int64"))
@@ -612,6 +615,7 @@ def pattern_completions_stream(events: DataFrame) -> DataFrame:
             started, p_ts, p_id, p_ty = 0, [], [], []
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]  # NaT would fold as garbage
             if len(rows):
                 p_ts.extend(int(t) for t in (rows["ts"].astype("int64") // 1000))
                 p_id.extend(int(i) for i in rows["event_id"].astype("int64"))
@@ -800,6 +804,7 @@ def rate_alert_stream(events: DataFrame) -> DataFrame:
             recent, pending = [], []
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]  # NaT would fold as garbage
             if len(rows):
                 # no sort needed here: arriving events only ever join the
                 # pending buffer (they are >= the current watermark by the
@@ -981,6 +986,8 @@ def topk_trending_stream(events: DataFrame, k: int = TREND_K) -> DataFrame:
 
     def fold(key, pdfs, state: GroupState):
         (window_us,) = key
+        if window_us is None or pd.isna(window_us):
+            return  # NULL event time -> NULL window key: not countable
         window_us = int(window_us)  # numpy int64 breaks the JSON state codec
         end_ms = (window_us + TREND_WINDOW_US) // 1000
         wm_ms = state.getCurrentWatermarkMs()

@@ -66,10 +66,35 @@ def main() -> None:
         print(f"generating sf1 fixture at {sf_dir} ...", file=sys.stderr)
         testdata.generate(sf_dir, sf=1.0)
 
+    # The file-stream source reads a DIRECTORY with the events schema, so
+    # isolate events from the other nine tables — AND split it into one
+    # file per day, each sorted by ts, cast to timestamp[us] (the
+    # generator writes TIMESTAMP(NANOS), which the explicit streaming
+    # schema can't read). maxFilesPerTrigger=1 then yields ~30 ordered
+    # micro-batches, so the WATERMARK ADVANCES through the corpus and the
+    # state-store working set is the horizon, not the whole table — the
+    # property this smoke exists to measure.
+    events_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf1_events")
+    if not os.path.isdir(events_dir) or not os.listdir(events_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(events_dir, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts_us = tbl.column("ts").cast(pa.timestamp("us"), safe=False)
+        tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
+        tbl = tbl.sort_by("ts")
+        days = pc.strftime(tbl.column("ts"), format="%Y%m%d")
+        tbl = tbl.append_column("__day", days)
+        for day in sorted(set(days.to_pylist())):
+            part = tbl.filter(pc.equal(tbl.column("__day"), day)).drop(["__day"])
+            pq.write_table(part, os.path.join(events_dir, f"day-{day}.parquet"))
+
     spark = get_spark(app_name="streaming_sf1_smoke")
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
-    src = jobs.read_events_stream(spark, sf_dir)
+    src = jobs.read_events_stream(spark, events_dir)
     s_rows, s_wall, s_state, s_prog = _drive(
         jobs.sessionize_stream(src), "smoke_sessions", spark
     )
@@ -77,7 +102,7 @@ def main() -> None:
     # subset-equal of the batch sessionization (stream may hold open
     # sessions at end-of-input; with availableNow the final idle-close
     # timeout fires for everything past the final watermark)
-    src2 = jobs.read_events_stream(spark, sf_dir)
+    src2 = jobs.read_events_stream(spark, events_dir)
     t_rows, t_wall, t_state, t_prog = _drive(
         jobs.topk_trending_stream(src2), "smoke_topk", spark
     )

@@ -212,6 +212,46 @@ def test_merkle_schema_mismatch_raises(spark):
         reconcile.merkle_bucket_diff(left, right, ["k"])
 
 
+def test_sessionize_stream_survives_null_event_times(spark, tmp_path):
+    """Found by the sf1 streaming smoke: a NULL ts (NaT after the Arrow
+    hop) folded into the pending buffer as int64-min garbage and crashed
+    session emission with OutOfBoundsDatetime. Null-ts rows carry no
+    event time and must be DROPPED by the fold; the non-null rows still
+    sessionize normally."""
+    import datetime as dt
+    import time
+
+    from laposte_data_engineering_jedha_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    stream_dir = str(tmp_path / "stream")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batches = [
+        [
+            (1, t0, 1, "view", 1.0, "{}"),
+            (2, None, 1, "view", 1.0, "{}"),  # the poison row
+            (3, t0 + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        ],
+        # sentinel far enough out to close user 1's session
+        [(4, t0 + dt.timedelta(hours=2), 99, "noise", 0.0, "{}")],
+    ]
+    for batch in batches:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        time.sleep(0.05)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in jobs.run_sessionize_available_now(
+            spark, stream_dir, query_name="sessions_null_ts"
+        ).collect()
+    }
+    assert (1, 2) in got  # the two timestamped events, poison row dropped
+
+
 def test_triangles_tight_caps_undercount_never_overcount(spark):
     """Binding caps must only ever drop triangles (monotone undercount —
     the documented error contract)."""
