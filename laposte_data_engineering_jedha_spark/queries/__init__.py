@@ -763,7 +763,7 @@ ROUND10_ADDED: list[str] = [
     "dq_merkle_row_pulls",
     # round-10 session batch 2 (queries/round10b.py)
     "sketch_theta_intersection",
-    "dq_benford_first_digit",
+    "olap_bloom_join_prune",
     "dq_sequential_gap_report",
 ]
 

@@ -6,9 +6,13 @@
   count common hashes below the joint threshold, scale by 1/theta). At
   100 TB the two user sets never materialize: each side ships k 52-bit
   mins, the estimate is computed from 2k values.
-- dq_benford_first_digit: Benford's-law first-digit profile of order
-  totals next to the theoretical log10(1 + 1/d) shares — the classic
-  bulk fraud / synthetic-data forensic, one scan + a 9-row aggregate.
+- olap_bloom_join_prune: Bloom-filter semi-join pruning — hash the
+  selective dim side into a broadcastable m-bit filter and pre-filter
+  the fact scan before any shuffle, reporting the filter's measured
+  operating point (passes vs true matches vs false-positive rate). The
+  runtime-filter primitive large engines apply at the 100 TB join.
+  (A Benford first-digit query was built here first and then REMOVED as
+  a near-duplicate of round7l.py:dq_value_first_digit.)
 - dq_sequential_gap_report: per-block integrity audit of a supposedly
   dense id sequence (missing ids + duplicate ids per fixed-width id
   block, computed from span vs distinct-count arithmetic — no global
@@ -147,54 +151,107 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===================== Benford first-digit profile ============================
+# ===================== Bloom-filter join pruning ==============================
+
+_BLM_M = 4096  # bits
+_BLM_K = 3  # hash functions
+_BLM_PRED_SQL = "c_acctbal > 9000"  # ~10% of customers: a selective dim
+
+
+def _sql_bit(key: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{i}'), 1, 13)"
+        f" AS BIGINT) % {_BLM_M}"
+    )
 
 
 @query(
-    "dq_benford_first_digit",
+    "olap_bloom_join_prune",
     f"""
-WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders WHERE o_totalprice > 0),
-d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM c),
-t AS (SELECT count(*) AS n_total FROM d)
-SELECT digit, CAST(count(*) AS BIGINT) AS n,
-       {sql_round("count(*) * 1.0 / n_total", 6)} AS share,
-       {sql_round("log10(1 + 1.0 / digit)", 6)} AS benford_share
-FROM d, t GROUP BY digit, n_total
+WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+             WHERE {_BLM_PRED_SQL}),
+bits AS ({" UNION ".join(f"SELECT DISTINCT {_sql_bit('k', i)} AS b FROM dim"
+                          for i in range(1, _BLM_K + 1))}),
+barr AS (SELECT list(b) AS arr FROM bits),
+probe AS (
+  SELECT CASE WHEN {" AND ".join(f"list_contains(arr, {_sql_bit('o_custkey', i)})"
+                                  for i in range(1, _BLM_K + 1))}
+              THEN 1 ELSE 0 END AS pass,
+         CASE WHEN o_custkey IN (SELECT k FROM dim) THEN 1 ELSE 0 END AS hit
+  FROM orders, barr)
+SELECT CAST(count(*) AS BIGINT) AS n_fact,
+       CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(hit) AS BIGINT) AS n_true_match,
+       {sql_round("(sum(pass) - sum(hit)) * 1.0 / (count(*) - sum(hit))", 6)}
+         AS false_positive_rate
+FROM probe
 """,
 )
-def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-significant-digit distribution of order totals vs the
-    Benford expectation log10(1 + 1/d) — the standard forensic screen
-    for fabricated or synthesized monetary data (real multiplicative
-    processes are Benford-ish; uniform generators are flat). Digit
-    extraction goes through exact integer cents -> string, never
-    float-log bucketing, so both engines bin identically. One scan, one
-    9-row aggregate, a broadcast total."""
-    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("digit")
+def olap_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, the 100 TB join-pushdown
+    primitive: hash the SELECTIVE dim side's keys into an m={_BLM_M}-bit
+    k={_BLM_K} Bloom filter (a KB-scale bit set), broadcast it, and
+    pre-filter the fact scan before any shuffle — the runtime-filter
+    trick engines apply when the dim predicate survives far fewer keys
+    than the fact has rows. Reports the filter's real operating point:
+    fact rows, Bloom passes, true matches, and the measured
+    false-positive rate (never a false negative — asserted by
+    n_bloom_pass >= n_true_match in the oracle equality itself).
+    Deterministic md5 bit positions, so both engines build the identical
+    filter. The Bloom set rides a broadcast; the fact side never
+    shuffles."""
+    dim = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
     )
-    t = d.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .crossJoin(F.broadcast(t))
-        .select(
-            "digit",
-            "n",
-            (F.round(F.col("n") * 1.0 / F.col("n_total") * 1e6) / 1e6).alias(
-                "share"
-            ),
-            (F.round(F.log10(1 + 1.0 / F.col("digit")) * 1e6) / 1e6).alias(
-                "benford_share"
-            ),
+
+    def bit(key: str, i: int):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#{i}"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_BLM_M),
         )
+
+    bits = None
+    for i in range(1, _BLM_K + 1):
+        sel = dim.select(bit("k", i).alias("b"))
+        bits = sel if bits is None else bits.unionAll(sel)
+    barr = bits.distinct().agg(F.collect_list("b").alias("arr"))
+    fact = table(spark, sf_dir, "orders").select("o_custkey")
+    passed = None
+    for i in range(1, _BLM_K + 1):
+        cond = F.array_contains(F.col("arr"), bit("o_custkey", i))
+        passed = cond if passed is None else (passed & cond)
+    probe = fact.crossJoin(F.broadcast(barr)).join(
+        F.broadcast(dim.withColumn("__hit", F.lit(1))),
+        F.col("o_custkey") == F.col("k"),
+        "left",
+    ).select(
+        F.when(passed, 1).otherwise(0).alias("pass"),
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("hit"),
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum("pass").cast("long").alias("n_bloom_pass"),
+        F.sum("hit").cast("long").alias("n_true_match"),
+        (
+            F.round(
+                (F.sum("pass") - F.sum("hit"))
+                * 1.0
+                / (F.count(F.lit(1)) - F.sum("hit"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("false_positive_rate"),
     )
 
 

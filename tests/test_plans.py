@@ -572,14 +572,15 @@ def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
     assert re.search(r"PartitionFilters: \[.*event_type.*purchase", plan), plan[:2000]
 
 
-def test_benford_pushes_price_filter_and_partial_aggregates(plans):
-    """dq_benford_first_digit: the o_totalprice > 0 guard must reach the
-    parquet scan, and the 9-digit aggregate must partial-aggregate
-    map-side before its exchange (one scan shape at any corpus size)."""
-    p = plans("dq_benford_first_digit")
-    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
-    assert pushed and "o_totalprice" in pushed.group(1)
-    assert p.count("HashAggregate") >= 2
+def test_bloom_prune_fact_side_never_shuffles(plans):
+    """olap_bloom_join_prune: the Bloom bit set and the dim key set ride
+    broadcasts — the orders fact side must join without a SortMergeJoin
+    and the selective c_acctbal predicate must reach the customer scan."""
+    p = plans("olap_bloom_join_prune")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("c_acctbal" in s for s in pushed)
 
 
 def test_gap_report_is_block_aggregate_only(plans):
