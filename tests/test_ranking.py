@@ -16,12 +16,19 @@ from pyspark.sql import functions as F
 from laposte_data_engineering_jedha_spark.operators import caches, ranking
 
 
-@pytest.fixture()
-def spend_df(spark):
+@pytest.fixture(scope="module")
+def spend_df(spark, tmp_path_factory):
     # 997 rows, values collide heavily (mod 53) so band boundaries cross
-    # tie groups; key breaks ties deterministically
+    # tie groups; key breaks ties deterministically. PARQUET-BACKED on
+    # purpose: createDataFrame relations carry UNKNOWN Catalyst stats
+    # (Long.MaxValue), which the auto gate conservatively treats as big
+    # (offsets form) — the gate's window branch is reachable only for
+    # relations with known, small size estimates, as in the registered
+    # queries (all parquet-derived).
     rows = [(i, float((i * 7919) % 53)) for i in range(1, 998)]
-    return spark.createDataFrame(rows, "key long, spend double")
+    path = str(tmp_path_factory.mktemp("ranking") / "spend.parquet")
+    spark.createDataFrame(rows, "key long, spend double").write.parquet(path)
+    return spark.read.parquet(path)
 
 
 def _window_ranks(df):
@@ -63,6 +70,57 @@ def test_strategy_gate_picks_form_by_row_count(spark, spend_df, monkeypatch):
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     caches.release_all()
     assert "__rank_pid" in plan
+
+
+def test_stats_pregate_skips_count_for_big_estimates(spark, spend_df, monkeypatch):
+    """At 100 TB the gate must never materialize the input to decide:
+    when Catalyst's size estimate exceeds GATE_MAX_EST_BYTES, auto takes
+    the offsets form with no persist+count of the input (only the
+    offsets machinery's own pinned persist is tracked)."""
+    caches.release_all()
+    monkeypatch.setattr(ranking, "GATE_MAX_EST_BYTES", 0)
+    ranked, total = ranking.global_ranks(
+        spend_df, F.col("spend").desc(), "key", rank_col="rn"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "__rank_pid" in plan  # offsets form chosen
+    assert [pinned for _, pinned in caches._TRACKED] == [True]  # no input cache
+    assert total == 997
+    caches.release_all()
+
+
+def test_auto_window_branch_reads_persisted_input(spark, spend_df):
+    """The small-estimate auto path persists the input and counts it
+    once, so the window branch must read the tracked cache rather than
+    recompute upstream (the naive count-then-window paid 2x upstream)."""
+    caches.release_all()
+    ranked, total = ranking.global_ranks(
+        spend_df, F.col("spend").desc(), "key", rank_col="rn"
+    )
+    assert total == 997
+    tracked = [(d, p) for d, p in caches._TRACKED]
+    assert len(tracked) == 1 and tracked[0][1] is False  # unpinned input cache
+    assert tracked[0][0].storageLevel.useMemory is True
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    caches.release_all()
+
+
+def test_unknown_stats_choose_offsets_conservatively(spark):
+    """A relation with UNKNOWN Catalyst stats (createDataFrame -> RDD-
+    backed, sizeInBytes = Long.MaxValue) must take the scale-safe
+    offsets form — auto must never risk a single-task sort on a
+    relation it cannot size."""
+    caches.release_all()
+    rows = [(i, float(i % 13)) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "key long, spend double")
+    ranked, total = ranking.global_ranks(
+        df, F.col("spend").desc(), "key", rank_col="rn"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    caches.release_all()
+    assert "__rank_pid" in plan
+    assert total == 199
 
 
 def test_invalid_strategy_raises(spark, spend_df):
