@@ -42,6 +42,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import caches
+from .ranking import GATE_MAX_EST_BYTES, _estimated_bytes
+
 _KH = "__mrk_kh"  # 52-bit key digest (bucket routing)
 _H = "__mrk_h"  # 52-bit row digest (key + values)
 
@@ -94,6 +97,45 @@ def _dirty(a: DataFrame, b: DataFrame, grain: list[str]) -> DataFrame:
     )
 
 
+def _resolve_value_cols(
+    left: DataFrame, right: DataFrame, key_cols: list[str],
+    value_cols: list[str] | None,
+) -> list[str]:
+    if value_cols is None:
+        value_cols = [c for c in left.columns if c not in set(key_cols)]
+    missing = [c for c in key_cols + value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"right snapshot lacks columns {missing}")
+    return value_cols
+
+
+def _maybe_cached(df: DataFrame) -> DataFrame:
+    """The bucketed digest relation is consumed 2-3 times per ladder.
+    Persist it ONLY when Catalyst's size estimate is small (same
+    stats-gate as operators/ranking.py): at bench scale the cache
+    collapses repeat scans; at 100 TB caching an O(corpus) relation
+    would write the corpus to local disk, and sequential recompute scans
+    are the right trade. Tracked unpinned — eviction only recomputes."""
+    if _estimated_bytes(df) <= GATE_MAX_EST_BYTES:
+        return caches.track(df.persist())
+    return df
+
+
+def _dirty_fine_buckets(da: DataFrame, db: DataFrame) -> DataFrame:
+    dirty_coarse = _dirty(
+        _bucket_digests(da, ["coarse"], "left"),
+        _bucket_digests(db, ["coarse"], "right"),
+        ["coarse"],
+    ).select("coarse")
+    return _dirty(
+        _bucket_digests(da.join(F.broadcast(dirty_coarse), "coarse"),
+                        ["coarse", "fine"], "left"),
+        _bucket_digests(db.join(F.broadcast(dirty_coarse), "coarse"),
+                        ["coarse", "fine"], "right"),
+        ["coarse", "fine"],
+    ).select("coarse", "fine", "dig_left", "dig_right", "n_left", "n_right")
+
+
 def merkle_bucket_diff(
     left: DataFrame,
     right: DataFrame,
@@ -107,25 +149,10 @@ def merkle_bucket_diff(
     counts are NULL for a side with no rows in that bucket. Two digest
     scans per side; rows never cross the wire. `value_cols` defaults to
     every non-key column of `left` (both sides must share the schema)."""
-    if value_cols is None:
-        value_cols = [c for c in left.columns if c not in set(key_cols)]
-    missing = [c for c in key_cols + value_cols if c not in right.columns]
-    if missing:
-        raise ValueError(f"right snapshot lacks columns {missing}")
-    da = _bucketed(left, key_cols, value_cols, n_coarse, n_fine)
-    db = _bucketed(right, key_cols, value_cols, n_coarse, n_fine)
-    dirty_coarse = _dirty(
-        _bucket_digests(da, ["coarse"], "left"),
-        _bucket_digests(db, ["coarse"], "right"),
-        ["coarse"],
-    ).select("coarse")
-    return _dirty(
-        _bucket_digests(da.join(F.broadcast(dirty_coarse), "coarse"),
-                        ["coarse", "fine"], "left"),
-        _bucket_digests(db.join(F.broadcast(dirty_coarse), "coarse"),
-                        ["coarse", "fine"], "right"),
-        ["coarse", "fine"],
-    ).select("coarse", "fine", "dig_left", "dig_right", "n_left", "n_right")
+    value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
+    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine))
+    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine))
+    return _dirty_fine_buckets(da, db)
 
 
 def merkle_reconcile(
@@ -143,14 +170,13 @@ def merkle_reconcile(
     (*key_cols, change) with change in
     {'missing_in_right', 'missing_in_left', 'changed'} — i.e. the rows a
     repair job would pull/push/overwrite. Empty when the snapshots
-    agree."""
-    if value_cols is None:
-        value_cols = [c for c in left.columns if c not in set(key_cols)]
-    dirty_fine = merkle_bucket_diff(
-        left, right, key_cols, value_cols, n_coarse, n_fine
-    ).select("coarse", "fine")
-    da = _bucketed(left, key_cols, value_cols, n_coarse, n_fine)
-    db = _bucketed(right, key_cols, value_cols, n_coarse, n_fine)
+    agree. The bucketed digest relations are shared between the ladder
+    and the row-pull stage (one construction per side, stats-gate
+    persisted at small scale)."""
+    value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
+    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine))
+    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine))
+    dirty_fine = _dirty_fine_buckets(da, db).select("coarse", "fine")
     la = da.join(F.broadcast(dirty_fine), ["coarse", "fine"]).select(
         *key_cols, F.col(_H).alias("__h_l")
     )
