@@ -153,7 +153,12 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===================== Bloom-filter join pruning ==============================
 
-_BLM_M = 4096  # bits
+# m sized for the key population, not the fixture: ~15k dim keys at sf1
+# put ~45k bits in 2^17 (fill 0.29, fp ~2.4%); the round-10 sf1 sweep
+# caught the original m=4096 saturating at sf1 (fp -> 1, and the per-row
+# array_contains probe scanning the whole bits array made the query
+# superlinear — the probe is now a broadcast hash join, O(1) per bit).
+_BLM_M = 1 << 17  # bits
 _BLM_K = 3  # hash functions
 _BLM_PRED_SQL = "c_acctbal > 9000"  # ~10% of customers: a selective dim
 
@@ -225,13 +230,29 @@ def olap_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _BLM_K + 1):
         sel = dim.select(bit("k", i).alias("b"))
         bits = sel if bits is None else bits.unionAll(sel)
-    barr = bits.distinct().agg(F.collect_list("b").alias("arr"))
+    bloom = bits.distinct()
     fact = table(spark, sf_dir, "orders").select("o_custkey")
-    passed = None
+    # probe = one broadcast HASH-join lookup per hash function: O(1) per
+    # probed bit and ZERO fact-side shuffle (array_contains would scan
+    # the whole bits array per row — the sf1 sweep measured that
+    # superlinear). AND of the k membership markers == the oracle's AND
+    # of list_contains.
+    probe = fact
+    markers = []
     for i in range(1, _BLM_K + 1):
-        cond = F.array_contains(F.col("arr"), bit("o_custkey", i))
-        passed = cond if passed is None else (passed & cond)
-    probe = fact.crossJoin(F.broadcast(barr)).join(
+        side = F.broadcast(
+            bloom.select(
+                F.col("b").alias(f"__b{i}"), F.lit(1).alias(f"__m{i}")
+            )
+        )
+        probe = probe.join(
+            side, bit("o_custkey", i) == F.col(f"__b{i}"), "left"
+        )
+        markers.append(F.col(f"__m{i}") == 1)
+    passed = markers[0]
+    for m in markers[1:]:
+        passed = passed & m
+    probe = probe.join(
         F.broadcast(dim.withColumn("__hit", F.lit(1))),
         F.col("o_custkey") == F.col("k"),
         "left",
