@@ -54,10 +54,13 @@ close needed a second full run plus targeted re-measures to refute a
 phantom x1.13 on untouched queries — bench-ORDER-dependent noise): after
 the main loop, the prev-intersection queries are re-timed ONCE each in a
 deterministically shuffled order and the headline gains
-`prev_intersection_ratio_shuffled`. Reading rule: if the raw and shuffled
-ratios disagree by more than a few percent, the difference is ordering /
-cache-state noise, not plans — re-measure the outliers fresh-process
-before believing either number.
+`prev_intersection_ratio_shuffled`. Reading rule: the shuffled pass has
+NO per-query warm-up (one cold-ish run each), so it is a systematically
+SLOWER upper bound, not a symmetric error bar — at round-10 close it
+measured x0.907 vs the warmed x0.671 on identical code. Use it as a
+bracket: a cross-round claim that holds under BOTH protocols (both
+ratios on the same side of 1.0) is real; a delta smaller than the
+warmed-vs-shuffled gap is protocol/cache state, not plans.
 """
 
 from __future__ import annotations
