@@ -81,7 +81,7 @@ from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
 _HERE = os.path.dirname(os.path.abspath(__file__))
 # bump once per round after the driver records BENCH_r{N}: the snapshot the
 # prev_intersection_* fields compare against
-_PREV_DETAIL = "BENCH_DETAIL_r10start.json"
+_PREV_DETAIL = "BENCH_DETAIL_r11start.json"
 
 
 def run_query(fn, spark, sf_dir) -> None:
