@@ -34,14 +34,22 @@ materialization of a `repartitionByRange` relation into a lazy plan. If
 that persist is dropped before the consumer materializes, the range
 boundaries are RESAMPLED on recompute and the baked offsets silently
 corrupt ranks. Such relations are registered with `track(df, pin=True)`:
-pinned entries are exempt from MAX_TRACKED eviction and only released by
+pinned entries are exempt from MAX_TRACKED eviction and released by
 `release_all()` — which batch runners call strictly AFTER materializing
 each query's result, so the constructed-plan window is never evicted.
+To keep a never-releasing session bounded on the pinned side too
+(ADVICE r10), pins carry their own `MAX_PINNED` cap: once more than
+MAX_PINNED pins are alive the oldest is evicted WITH a RuntimeWarning —
+by then its consumer has been materialized in any runner that executes
+queries as it goes, and a session that stockpiles unmaterialized ranking
+plans is outside the contract and now told so loudly.
 Long-lived sessions that build ranking plans but defer materialization
 past their own `release_all()` call are outside the contract.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -53,20 +61,50 @@ _TRACKED: list[tuple[DataFrame, bool]] = []
 # JVM cache footprint it pins — bounded.
 MAX_TRACKED = 32
 
+# Separate, smaller cap for PINNED entries (ADVICE r10: exempting pins
+# from eviction entirely reintroduced the unbounded-handle leak for a
+# never-releasing session that keeps building ranking plans). A pin's
+# consumer is the query result built around it; every sane runner
+# (external driver, bench.py, the replica gate) materializes each query
+# before constructing the next, so by the time MAX_PINNED NEWER pins have
+# registered, the oldest pin's consumer has long been materialized and
+# eviction costs at most a recompute. A session that builds >MAX_PINNED
+# ranking plans and defers ALL materialization is outside the documented
+# contract — the eviction warns loudly so that misuse is visible instead
+# of silently corrupting ranks.
+MAX_PINNED = 8
+
 
 def track(df: DataFrame, pin: bool = False) -> DataFrame:
     """Register a persisted relation for batch-runner cleanup; returns it.
     Evicts (unpersists + drops) the oldest UNPINNED relations beyond
     `MAX_TRACKED`, so sessions that never call release_all stay bounded.
     Pass `pin=True` for relations whose eviction before materialization
-    would be a correctness hazard (see module docstring): they are only
-    released by `release_all()`."""
+    would be a correctness hazard (see module docstring): they are exempt
+    from the LRU cap, released by `release_all()`, and bounded only by
+    the separate `MAX_PINNED` cap (evicting the oldest pin, with a
+    warning, once more than MAX_PINNED are alive)."""
     _TRACKED.append((df, pin))
+    while sum(1 for _, pinned in _TRACKED if pinned) > MAX_PINNED:
+        evict_idx = next(i for i, (_, pinned) in enumerate(_TRACKED) if pinned)
+        old, _ = _TRACKED.pop(evict_idx)
+        warnings.warn(
+            "caches.track: more than MAX_PINNED pinned relations alive in a "
+            "session that has not called release_all(); evicting the oldest "
+            "pin. If its consuming plan was never materialized its baked "
+            "partition offsets are now stale (see module docstring).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        try:
+            old.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     while len(_TRACKED) > MAX_TRACKED:
         evict_idx = next(
             (i for i, (_, pinned) in enumerate(_TRACKED) if not pinned), None
         )
-        if evict_idx is None:  # all pinned: never evict a correctness pin
+        if evict_idx is None:  # all pinned: bounded by MAX_PINNED above
             break
         old, _ = _TRACKED.pop(evict_idx)
         try:

@@ -50,13 +50,21 @@ _H = "__mrk_h"  # 52-bit row digest (key + values)
 
 
 def _digest52(cols: list[str]) -> Column:
-    """Deterministic 52-bit digest of the named columns: md5 over a
-    '|'-joined string payload with an explicit NUL sentinel for NULLs
-    (concat_ws would silently skip them, making ('a', NULL) collide
-    with ('a',)). 13 hex chars = 52 bits — inside a BIGINT and inside
-    DuckDB's exact integer range, so oracles reproduce it."""
-    payload = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    """Deterministic 52-bit digest of the named columns with an
+    INJECTIVE field encoding (ADVICE r10): each field is first hashed
+    to a fixed-width 32-hex md5 token (NULL becomes the literal token
+    'NULL', which contains non-hex characters so it can never equal or
+    prefix an md5 token), and the row digest is md5 over the token
+    concatenation. A separator join ('|'-concat) is NOT injective — a
+    literal '|' inside a value shifts content across field boundaries
+    (('a|','b') and ('a','|b') both encode as 'a||b'), turning two
+    different rows into a deterministic digest collision instead of
+    the documented 2^-52 random one. Fixed-width tokens cannot shift.
+    13 hex chars = 52 bits — inside a BIGINT and inside DuckDB's exact
+    integer range; the construction (md5 of concatenated per-column
+    md5s) is reproducible by any engine with md5."""
+    payload = F.concat(
+        *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols]
     )
     return F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
 

@@ -187,7 +187,9 @@ probe AS (
 SELECT CAST(count(*) AS BIGINT) AS n_fact,
        CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
        CAST(sum(hit) AS BIGINT) AS n_true_match,
-       {sql_round("(sum(pass) - sum(hit)) * 1.0 / (count(*) - sum(hit))", 6)}
+       {sql_round(
+           "(sum(pass) - sum(hit)) * 1.0 / NULLIF(count(*) - sum(hit), 0)", 6
+       )}
          AS false_positive_rate
 FROM probe
 """,
@@ -265,10 +267,17 @@ def olap_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pass").cast("long").alias("n_bloom_pass"),
         F.sum("hit").cast("long").alias("n_true_match"),
         (
+            # NULLIF-guarded denominator (ADVICE r10): if the dim
+            # predicate ever covered EVERY fact key there are zero
+            # true negatives and the FPR is undefined — both engines
+            # must agree on NULL rather than DuckDB erroring while
+            # Spark yields NULL-by-division.
             F.round(
                 (F.sum("pass") - F.sum("hit"))
                 * 1.0
-                / (F.count(F.lit(1)) - F.sum("hit"))
+                / F.nullif(
+                    (F.count(F.lit(1)) - F.sum("hit")).cast("double"), F.lit(0.0)
+                )
                 * 1e6
             )
             / 1e6

@@ -120,8 +120,24 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(scratch, path)  # atomic publish (same filesystem)
         except OSError:
-            # a concurrent builder published first: serve theirs
-            shutil.rmtree(scratch, ignore_errors=True)
+            # Two distinct causes land here (ADVICE r10): a concurrent
+            # builder published first (the common, benign race), or the
+            # rename failed for an unrelated reason — permissions, a
+            # torn destination created outside the rename protocol.
+            # Don't assume the race: re-verify the destination's
+            # _SUCCESS markers before serving it.
+            published = all(
+                os.path.exists(os.path.join(path, part, "_SUCCESS"))
+                for part in ("centroids.parquet", "postings.parquet")
+            )
+            if published:
+                shutil.rmtree(scratch, ignore_errors=True)
+            else:
+                # torn/absent destination: clear it and retry the
+                # publish once; a second failure raises rather than
+                # silently serving a torn index.
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(scratch, path)
     return path
 
 

@@ -72,16 +72,59 @@ def test_pinned_entries_survive_eviction_pressure(spark):
     assert pinned.storageLevel.useMemory is False
 
 
-def test_all_pinned_never_evicts(spark):
-    """If every tracked relation is pinned, track() must keep them all
-    (correctness beats the bound) rather than evict a pin."""
+def test_pinned_cap_evicts_oldest_pin_with_warning(spark):
+    """ADVICE r10: fully exempt pins reintroduced the unbounded-handle
+    leak for never-releasing sessions. Pins now carry their own
+    MAX_PINNED cap — the oldest pin is evicted (and unpersisted) with a
+    loud RuntimeWarning once more than MAX_PINNED are alive, keeping a
+    run-forever offsets-ranking session bounded on both sides."""
+    import warnings as _w
+
     caches.release_all()
     dfs = [
         spark.range(3).select((F.col("id") + i).alias("v")).persist()
-        for i in range(caches.MAX_TRACKED + 2)
+        for i in range(caches.MAX_PINNED + 3)
     ]
-    for df in dfs:
-        caches.track(df, pin=True)
-    assert len(caches._TRACKED) == caches.MAX_TRACKED + 2
-    assert all(d.storageLevel.useMemory is True for d in dfs)
-    assert caches.release_all() == caches.MAX_TRACKED + 2
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        for df in dfs:
+            caches.track(df, pin=True)
+    pinned_alive = [d for d, p in caches._TRACKED if p]
+    assert len(pinned_alive) == caches.MAX_PINNED
+    # oldest pins evicted and unpersisted; newest retained and persisted
+    assert all(d not in pinned_alive for d in dfs[:3])
+    assert all(d.storageLevel.useMemory is False for d in dfs[:3])
+    assert pinned_alive[-1] is dfs[-1]
+    assert dfs[-1].storageLevel.useMemory is True
+    assert sum("MAX_PINNED" in str(w.message) for w in caught) == 3
+    assert caches.release_all() == caches.MAX_PINNED
+
+
+def test_pinned_cap_not_triggered_by_unpinned_pressure(spark):
+    """Unpinned churn must never count against the pinned cap: a session
+    inside the contract (a few pins, lots of unpinned internals) sees no
+    warning and no pin eviction."""
+    import warnings as _w
+
+    caches.release_all()
+    pins = [
+        spark.range(2).select((F.col("id") + i).alias("p")).persist()
+        for i in range(caches.MAX_PINNED)
+    ]
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        for df in pins:
+            caches.track(df, pin=True)
+        # offset keeps these plans canonically DISTINCT from the pins:
+        # the cache manager matches on canonicalized plans (aliases
+        # ignored), so an identical-plan twin would share — and its
+        # eviction would drop — the pin's cache entry
+        for i in range(caches.MAX_TRACKED + 5):
+            caches.track(
+                spark.range(2)
+                .select((F.col("id") + (1000 + i)).alias("v"))
+                .persist()
+            )
+    assert not any("MAX_PINNED" in str(w.message) for w in caught)
+    assert all(d.storageLevel.useMemory is True for d in pins)
+    caches.release_all()

@@ -188,9 +188,9 @@ def test_merkle_identical_snapshots_are_clean(spark):
 
 
 def test_merkle_null_value_is_not_empty_string(spark):
-    """The digest payload uses a NUL sentinel for NULLs — a NULL value
-    and an empty string must be detected as a difference, and NULL==NULL
-    must be clean (concat_ws alone would collapse both)."""
+    """The digest payload uses a distinct non-hex token for NULLs — a
+    NULL value and an empty string must be detected as a difference, and
+    NULL==NULL must be clean (concat_ws alone would collapse both)."""
     from laposte_data_engineering_jedha_spark.operators import reconcile
 
     schema = "k long, v string"
@@ -201,6 +201,32 @@ def test_merkle_null_value_is_not_empty_string(spark):
         for r in reconcile.merkle_reconcile(left, right, ["k"]).collect()
     }
     assert got == {(1, "changed")}
+
+
+def test_merkle_separator_in_value_is_not_a_collision(spark):
+    """ADVICE r10 (medium): with a '|'-joined digest payload, values
+    ('a|', 'b') and ('a', '|b') encode identically and a genuinely
+    different row pair is silently reported clean — a deterministic
+    false negative in a data-quality operator. The injective per-column
+    md5-token encoding must flag the row as changed, across every
+    boundary-shifting variant."""
+    from laposte_data_engineering_jedha_spark.operators import reconcile
+
+    schema = "k long, v1 string, v2 string"
+    left = spark.createDataFrame(
+        [(1, "a|", "b"), (2, "x|", "|y"), (3, "", "|"), (4, "same", "same")],
+        schema,
+    )
+    right = spark.createDataFrame(
+        [(1, "a", "|b"), (2, "x||", "y"), (3, "|", ""), (4, "same", "same")],
+        schema,
+    )
+    got = {
+        (r["k"], r["change"])
+        for r in reconcile.merkle_reconcile(left, right, ["k"]).collect()
+    }
+    assert got == {(1, "changed"), (2, "changed"), (3, "changed")}
+    assert reconcile.merkle_bucket_diff(left, right, ["k"]).count() >= 1
 
 
 def test_merkle_schema_mismatch_raises(spark):
