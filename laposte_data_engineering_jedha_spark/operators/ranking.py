@@ -285,6 +285,70 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: Column | str,
+    out_col: str = "runmax",
+    inclusive: bool = True,
+    n_partitions: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact running `max(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])` without a fat single-partition window:
+    the global_prefix_sum construction with max as the fold — and simpler,
+    because max is exact and associative for EVERY comparable type (no
+    double-grouping caveat) and the offset is just the running max of the
+    per-partition maxima. `inclusive=False` gives the STRICT-prefix max
+    (frame ends at 1 PRECEDING): NULL/absent for the globally first row,
+    which is the form dominance tests (Pareto frontiers, high-watermark
+    breach detection) need. NULL semantics match the global window: max
+    skips NULL values, so out_col is NULL only when no non-null value
+    precedes. `strategy` gates the form exactly as in `global_ranks`."""
+    if strategy not in ("auto", "window", "offsets"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = df.sparkSession
+    val_type = df.schema[value_col].dataType.simpleString()
+    hi = 0 if inclusive else -1
+    if strategy == "auto":
+        strategy, df, _ = _auto_pick(df)
+    if strategy == "window":
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, hi)
+        return df.withColumn(out_col, F.max(value_col).over(w))
+    n_part = n_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    parted = caches.track(
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(),
+        pin=True,  # offsets below are only valid for THIS materialization
+    )
+    pmaxes = parted.groupBy(_PID).agg(F.max(value_col).alias("m")).collect()
+    offsets = []  # per partition: max over ALL PRIOR partitions (strict)
+    acc = None
+    for row in sorted(pmaxes, key=lambda r: r[_PID]):
+        offsets.append((row[_PID], acc))
+        m = row["m"]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+    if not offsets:
+        return parted.withColumn(out_col, F.lit(None).cast(val_type)).drop(_PID)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets],
+            spark.createDataFrame([], f"{_PID} int, {_OFF} {val_type}").schema,
+        )
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, hi
+    )
+    # greatest() skips NULLs (returns NULL only when every input is NULL)
+    # — exactly the global window's max-over-prefix NULL contract
+    running = F.greatest(F.max(value_col).over(w), F.col(_OFF))
+    return parted.join(off_df, _PID).withColumn(out_col, running).drop(_PID, _OFF)
+
+
 def percentile_bands(
     df: DataFrame,
     n: int,

@@ -779,29 +779,50 @@ ROUND10_ADDED: list[str] = [
 # three ROUND5_DEFERRED rows): the oldest fill pool for window rotation.
 _R4_FILL = [name for name in ROUND4_ADDED if name not in ROUND5_DEFERRED]
 
-# Round-10 window (first 50), per the rotation staged at round-9 close:
-# the 3 remaining r03 rows ROUND3_VERIFIED[47:] (oldest external
-# evidence in the registry) + the 17 round-9 additions (replica-gate-only
-# until now — their first external hash rows) + the 30 next-oldest
-# r05-verified fill rows (_R4_FILL[:30]).
+# Round-11 additions: registered as the session progresses; staged AFTER
+# the 50-query window (round-12 window candidates), per the standing
+# rotation protocol.
+ROUND11_ADDED: list[str] = [
+    # round-11 session batch 1 (queries/round11a.py): the physical-layout
+    # operators' oracle surface (r10 verdict item 4)
+    "layout_compact_identity",
+    "layout_zorder_identity",
+    "layout_bucketed_join",
+    # round-11 session batch 2 (queries/round11b.py)
+    "olap_pareto_frontier",
+    "dedup_fuzzy_blocked",
+    "corpus_priority_sample",
+    "dq_benford_first_digit",
+    # round-11 session batch 3 (queries/round11c.py)
+    "eval_ndcg_truncated",
+]
+
+# Round-11 window (first 50), per the rotation staged at round-10 close
+# AS AMENDED by the round-10 verdict (next-round item 1): the 9 round-10
+# additions (replica-gate-only until now — their first external hash
+# rows) + `embedding_pq_codes` pulled to the HEAD of the fill (its only
+# external row on file is the r06 canonicalizer FAIL, the one
+# contradiction between driver evidence and current claims; it graduated
+# to a full canon-safe oracle in r8) + the next-oldest r05-verified fill
+# rows (_R4_FILL[30:] then ROUND4_VERIFIED[:20]) to reach exactly 50.
 #
-# ROUND-11 ROTATION (stage at round-11 start): window = ROUND10_ADDED
+# ROUND-12 ROTATION (stage at round-12 start): window = ROUND11_ADDED
 # (whatever lands this round) + as many of the next-oldest r05-verified
-# rows (_R4_FILL[30:], then ROUND4_VERIFIED, then ROUND5_DEFERRED /
+# rows (ROUND4_VERIFIED[20:], then the ROUND5_DEFERRED remainder /
 # ROUND5_ADDED, in listed order) as needed to reach exactly 50. Move that
 # slice to the head of DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
-# stage ROUND11_ADDED after the window as this round did.
+# stage ROUND12_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND3_VERIFIED[47:],
-    *ROUND9_ADDED,
-    *_R4_FILL[:30],
+    *ROUND10_ADDED,
+    "embedding_pq_codes",
+    *_R4_FILL[30:],
+    *ROUND4_VERIFIED[:20],
     # --- past the 50-query window: externally verified in earlier rounds,
     # kept on the in-repo replica gate; oldest remaining rows first (next
     # in the rotation) ---
-    *_R4_FILL[30:],
-    *ROUND4_VERIFIED,
-    *ROUND5_DEFERRED,
+    *ROUND4_VERIFIED[20:],
+    *[n for n in ROUND5_DEFERRED if n != "embedding_pq_codes"],
     *ROUND5_ADDED,
     *ROUND6_GRADUATED,
     *ROUND3_VERIFIED[:17],
@@ -809,11 +830,14 @@ DRIVER_WINDOW_PRIORITY = [
     *ROUND7_GRADUATED,
     *ROUND7_ADDED,
     *ROUND3_VERIFIED[17:24],
-    # --- re-verified in the round-9 window (freshest external rows) ---
     *ROUND8_ADDED,
     *ROUND3_VERIFIED[24:47],
-    # --- round-11 window queue: this round's additions ---
-    *ROUND10_ADDED,
+    # --- re-verified in the round-10 window (freshest external rows) ---
+    *ROUND3_VERIFIED[47:],
+    *ROUND9_ADDED,
+    *_R4_FILL[:30],
+    # --- round-12 window queue: this round's additions ---
+    *ROUND11_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}
@@ -835,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e, round11a, round11b, round11c  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -1,0 +1,214 @@
+"""Round-11 session batch 1 — the physical-layout operators get an
+oracle surface (r10 verdict item 4: operators/layout.py was the one
+operator family with no CORRECTNESS row of any kind; its zero-Exchange /
+disjoint-footer / exact-file-count guarantees stay plan- and
+footer-pinned in tests/test_layout.py, and these queries add the
+complementary CONTENT guarantee to the oracle registry):
+
+- layout_compact_identity: compaction (many small files -> exactly N
+  size-targeted files) must be a pure rewrite — read-back of the
+  compacted table must carry the exact same multiset of rows. The
+  oracle computes the same order-free content digest over the ORIGINAL
+  table; equality proves the rewrite lost/duplicated/mutated nothing,
+  and the emitted file count proves the exactly-N contract.
+- layout_bucketed_join: write both join sides bucketed on the join key
+  (the one-time shuffle that every later join amortizes), join through
+  the bucketed catalog tables, and aggregate — the oracle is the plain
+  join+aggregate over the original parquet, so the bucketed path must
+  be semantically invisible.
+- layout_zorder_identity: the multi-dimension Z-order clustered write
+  (Morton-interleaved quantile buckets, operators/layout.py:zorder_value)
+  must also be a pure rewrite: same digest construction, proving the
+  _z machinery (approxQuantile cut points, bit interleave, range
+  repartition, drop) never touches row content.
+
+All scratch output lands under the system temp dir keyed by the
+absolute sf_dir, mode=overwrite — repeat runs (bench warm + timed) reuse
+the same location, and different scale factors never collide.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exprs
+from ..operators import layout
+from . import events_table, query, sql_round2, table
+
+_LC_N_FILES = 8
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"laposte_layout_{kind}_{tag}")
+
+
+# Injective per-column md5-token row digest (same construction as
+# operators/reconcile._digest52, ADVICE r10): fixed-width 32-hex tokens
+# cannot shift across field boundaries, and the 'NULL' token contains
+# non-hex characters so it can never collide with real content. bit_xor
+# of the per-row 52-bit digests is order-free and overflow-free — the
+# multiset content fingerprint both engines reproduce bit-for-bit.
+_EV_COLS = ["event_id", "ts_us", "user_id", "event_type", "cents", "props"]
+
+
+def _row_digest52(cols: list[str]) -> Column:
+    payload = F.concat(
+        *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols]
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
+
+
+_SQL_EV_DIGEST = (
+    "CAST('0x' || substr(md5("
+    + " || ".join(f"COALESCE(md5(CAST({c} AS VARCHAR)), 'NULL')" for c in _EV_COLS)
+    + "), 1, 13) AS BIGINT)"
+)
+
+_SQL_EV_PROJ = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS cents, props
+FROM events
+"""
+
+
+def _events_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_table(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "props",
+    )
+
+
+def _content_summary(back: DataFrame, n_files: int | None) -> DataFrame:
+    out = back.withColumn("__dig", _row_digest52(_EV_COLS)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(__dig)").cast("long").alias("content_digest"),
+    )
+    if n_files is not None:
+        out = out.select(
+            F.lit(n_files).cast("long").alias("n_files"), "n_rows", "content_digest"
+        )
+    return out
+
+
+@query(
+    "layout_compact_identity",
+    f"""
+WITH src AS ({_SQL_EV_PROJ})
+SELECT CAST({_LC_N_FILES} AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({_SQL_EV_DIGEST}) AS BIGINT) AS content_digest
+FROM src
+""",
+)
+def layout_compact_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a REGISTERED identity check: rewrite the
+    events table into exactly {_LC_N_FILES} round-robin-balanced parquet
+    files (operators/layout.compact_to_files — repartition, not coalesce,
+    so upstream parallelism survives and file sizes stay uniform), read
+    the compacted result BACK, and fingerprint it with an order-free
+    bit_xor of injective per-row 52-bit md5 digests. The oracle computes
+    the identical digest over the ORIGINAL rows: hash equality == the
+    rewrite preserved the exact row multiset, and n_files (counted from
+    the actual output listing) == the exactly-N file contract. At 100 TB
+    this is the nightly compaction job plus the cheap invariant you'd
+    alert on; one shuffle in, one scan back."""
+    path = _scratch(sf_dir, "compact")
+    layout.compact_to_files(_events_projected(spark, sf_dir), path, _LC_N_FILES)
+    n_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    return _content_summary(spark.read.parquet(path), n_files)
+
+
+@query(
+    "layout_zorder_identity",
+    f"""
+WITH src AS ({_SQL_EV_PROJ})
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({_SQL_EV_DIGEST}) AS BIGINT) AS content_digest
+FROM src
+""",
+)
+def layout_zorder_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite as a registered identity check: cluster
+    the events table on (user_id, cents) via Morton-interleaved quantile
+    buckets (operators/layout.write_zorder_clustered), read it back, and
+    prove the row multiset survived bit-for-bit with the same order-free
+    digest as layout_compact_identity. The clustering machinery —
+    approxQuantile cut points, bit interleave, repartitionByRange on _z,
+    the dropped sort key — must be content-invisible; only the file-level
+    min/max geometry may change (THAT property is footer-asserted in
+    tests/test_layout.py). File count is layout-dependent (empty range
+    partitions emit no file), so the identity here is rows+digest only."""
+    path = _scratch(sf_dir, "zorder")
+    layout.write_zorder_clustered(
+        _events_projected(spark, sf_dir), path, ["user_id", "cents"],
+        n_files=_LC_N_FILES, bits=4,
+    )
+    return _content_summary(spark.read.parquet(path), None).select(
+        "n_rows", "content_digest"
+    )
+
+
+@query(
+    "layout_bucketed_join",
+    f"""
+SELECT c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round2("sum(o_totalprice)")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+""",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through BUCKETED catalog tables: both
+    sides are written bucketed on the join key (8 buckets, sorted within
+    buckets — the one-time write shuffle that converts every later join
+    on the key into a zero-Exchange bucket zip; plan pinned in
+    tests/test_layout.py::test_bucketed_join_has_no_exchange), then
+    joined via operators/layout.bucketed_equi_join. The oracle is the
+    plain join+aggregate over the original parquet — the bucketed
+    layout must be semantically invisible. Table names and paths are
+    keyed by sf_dir so concurrent scale factors never collide."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = _scratch(sf_dir, "bucketed")
+    orders_name, cust_name = f"lyt_orders_{tag}", f"lyt_customer_{tag}"
+    layout.write_bucketed(
+        table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
+        ),
+        orders_name,
+        ["custkey"],
+        8,
+        os.path.join(base, "orders"),
+        sort_cols=["custkey"],
+    )
+    layout.write_bucketed(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+        cust_name,
+        ["custkey"],
+        8,
+        os.path.join(base, "customer"),
+        sort_cols=["custkey"],
+    )
+    return (
+        layout.bucketed_equi_join(spark, orders_name, cust_name, ["custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            exprs.round2(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("mktsegment")
+    )

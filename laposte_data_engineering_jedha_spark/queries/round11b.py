@@ -1,0 +1,341 @@
+"""Round-11 session batch 2 — four new operator families:
+
+- olap_pareto_frontier: the 2-D skyline (non-dominated set) computed
+  WITHOUT an all-pairs dominance join: per-price maxima (distributed
+  agg) + the new strict-prefix global_prefix_max
+  (operators/ranking.py) — the same gated offsets machinery as the
+  ranking family, so no single-partition window above the gate.
+- dedup_fuzzy_blocked: record-linkage fuzzy dedup — blocked
+  Levenshtein pairs, the classic entity-resolution primitive (block on
+  a cheap deterministic key, edit-distance only within blocks — never
+  all-pairs).
+- corpus_priority_sample: Duffield-Lund-Thorup priority sampling — a
+  deterministic weighted sample of documents where the priority
+  w/u uses ONLY exactly-rounded IEEE division on an md5-derived
+  uniform, so both engines produce bit-identical keys (no libm pow/ln
+  whose last ulp could differ across engines).
+- dq_benford_first_digit: Benford's-law audit of order totals —
+  per-digit observed vs expected share and the chi-square component,
+  emitted PER DIGIT so every float op is a scalar on identical inputs
+  (no cross-row float summation whose association order could differ
+  between engines).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ranking
+from . import query, table
+from .llmops import sql_round
+
+# ========================= Pareto frontier (skyline) ==========================
+
+
+@query(
+    "olap_pareto_frontier",
+    r"""
+WITH pts AS (SELECT p_partkey, p_retailprice AS price,
+                    CAST(p_size AS BIGINT) AS size
+             FROM part),
+gm AS (SELECT price, max(size) AS gmax FROM pts GROUP BY price),
+rm AS (SELECT price, gmax,
+              max(gmax) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS runmax
+       FROM gm)
+SELECT p.p_partkey AS p_partkey, round(p.price * 100) / 100 AS price,
+       p.size AS size
+FROM pts p JOIN rm ON p.price = rm.price
+WHERE p.size = rm.gmax AND (rm.runmax IS NULL OR p.size > rm.runmax)
+ORDER BY price, p_partkey
+""",
+)
+def olap_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (minimize retail price,
+    maximize size) — a part is dominated iff some part is no more
+    expensive AND no smaller, with one strict. Computed in two
+    distributed passes instead of the O(n^2) dominance self-join: (1)
+    max size per distinct price (plain agg), (2) the STRICT-prefix
+    running max of those maxima ordered by price
+    (operators/ranking.global_prefix_max(inclusive=False) — the gated
+    offsets form above 1M distinct prices, so no single fat sort task
+    at 100 TB). A part survives iff it holds its price group's max size
+    and strictly beats every cheaper group's max — exactly the
+    dominance definition, including duplicate frontier points (neither
+    of two identical points dominates the other: dominance needs one
+    strict inequality). The oracle states the same two-pass form with a
+    plain window, over compressed per-price cardinality."""
+    pts = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    gm = pts.groupBy("price").agg(F.max("size").alias("gmax"))
+    rm = ranking.global_prefix_max(
+        gm, "gmax", "price", out_col="runmax", inclusive=False
+    )
+    return (
+        pts.join(rm, "price")
+        .where(
+            (F.col("size") == F.col("gmax"))
+            & (F.col("runmax").isNull() | (F.col("size") > F.col("runmax")))
+        )
+        .select(
+            "p_partkey",
+            (F.round(F.col("price") * 100) / 100).alias("price"),
+            "size",
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+# ==================== blocked Levenshtein fuzzy dedup =========================
+
+_FZ_MAX_DIST = 4
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    rf"""
+WITH p AS (SELECT p_partkey, p_name,
+                  regexp_extract(p_name, '(\S+)$', 1) AS noun
+           FROM part),
+names AS (SELECT noun, p_name, CAST(count(*) AS BIGINT) AS cnt
+          FROM p GROUP BY noun, p_name),
+blocks AS (SELECT noun, CAST(sum(cnt) AS BIGINT) AS n_parts
+           FROM names GROUP BY noun),
+near AS (
+  SELECT a.noun AS noun, a.cnt * b.cnt AS n_id_pairs,
+         levenshtein(a.p_name, b.p_name) AS d
+  FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {_FZ_MAX_DIST}
+  UNION ALL
+  SELECT noun, cnt * (cnt - 1) // 2 AS n_id_pairs, 0 AS d
+  FROM names WHERE cnt > 1)
+SELECT b.noun AS noun, b.n_parts AS n_parts,
+       CAST(coalesce(sum(nr.n_id_pairs), 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN nr.d = 0 THEN nr.n_id_pairs ELSE 0 END), 0)
+            AS BIGINT) AS n_exact,
+       CAST(min(nr.d) AS BIGINT) AS min_dist,
+       CAST(max(nr.d) AS BIGINT) AS max_dist
+FROM blocks b LEFT JOIN near nr ON b.noun = nr.noun
+GROUP BY b.noun, b.n_parts
+ORDER BY noun
+""",
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy dedup over part names: block on the final
+    token (the noun — a cheap deterministic key), compute Levenshtein
+    edit distance ONLY between DISTINCT names within a block, and
+    report per-block near-dup structure over part-ID pairs (pair count
+    at distance <= {_FZ_MAX_DIST}, exact-dup pairs, min/max distance).
+    Two scale levers, both essential at 100 TB: (1) blocking bounds
+    candidates by block size instead of n^2 (hot blocks salt like any
+    skewed join key — operators/skew.py patterns); (2) the edit
+    distance runs on the DISTINCT-NAME grain with multiplicity counts —
+    a corpus where names repeat heavily (the common entity-resolution
+    case) pays Levenshtein on the vocabulary, CONSTANT as the corpus
+    grows, while the ID-pair counts come from exact multiplicity
+    arithmetic (cnt_a*cnt_b across names, C(cnt,2) within a name — the
+    dist-0 exact-dup pairs). The naive id-level self-join was measured
+    quadratic (19k pairs/block at sf0.01) and rejected. Levenshtein is
+    JVM-side (F.levenshtein), never a Python UDF. Blocks with no close
+    pair report zero pairs with NULL distances (LEFT join in both
+    engines)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"(\S+)$", 1).alias("noun"),
+    )
+    names = p.groupBy("noun", "p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    blocks = names.groupBy("noun").agg(
+        F.sum("cnt").cast("long").alias("n_parts")
+    )
+    a = names.select(
+        "noun", F.col("p_name").alias("na"), F.col("cnt").alias("ca")
+    )
+    b = names.select(
+        "noun", F.col("p_name").alias("nb"), F.col("cnt").alias("cb")
+    )
+    cross = (
+        a.join(b, "noun")
+        .where(F.col("na") < F.col("nb"))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .where(F.col("d") <= _FZ_MAX_DIST)
+        .select("noun", (F.col("ca") * F.col("cb")).alias("n_id_pairs"), "d")
+    )
+    within = names.where(F.col("cnt") > 1).select(
+        "noun",
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_id_pairs"),
+        F.lit(0).alias("d"),
+    )
+    near = cross.unionByName(within)
+    return (
+        blocks.join(near, "noun", "left")
+        .groupBy("noun", "n_parts")
+        .agg(
+            F.coalesce(F.sum("n_id_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") == 0, F.col("n_id_pairs")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_exact"),
+            F.min("d").cast("long").alias("min_dist"),
+            F.max("d").cast("long").alias("max_dist"),
+        )
+        .orderBy("noun")
+    )
+
+
+# ===================== priority sampling (weighted top-k) =====================
+
+_PS_K = 100
+_PS_SCALE = float(1 << 52)
+
+
+@query(
+    "corpus_priority_sample",
+    f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+               AS BIGINT) + 1) / {_PS_SCALE!r} AS u
+  FROM documents),
+pri AS (SELECT doc_id, weight, weight / u AS q FROM w)
+SELECT doc_id, weight, {sql_round("q", 4)} AS priority
+FROM pri
+ORDER BY q DESC, doc_id
+LIMIT {_PS_K}
+""",
+)
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted document sample via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each document gets priority q = w/u with
+    w = n_chars and u an md5-derived uniform in (0,1]; the sample is
+    the top-{_PS_K} by priority. Inclusion probability ~ min(1, w/tau)
+    — long documents are proportionally favored, which is the
+    length-weighted sampling a token-budgeted corpus builder wants.
+    Cross-engine determinism by construction: u and q involve ONLY
+    IEEE-exact operations (integer-valued doubles and two divisions,
+    both correctly rounded by the standard) — no pow/ln whose last ulp
+    is libm-dependent, so DuckDB and the JVM produce bit-identical
+    priorities. At scale this is a global top-k (TakeOrdered — a
+    per-partition heap + driver merge of k rows), never a global
+    sort."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            )
+            / F.lit(_PS_SCALE)
+        ).alias("u"),
+    )
+    pri = w.select(
+        "doc_id", "weight", (F.col("weight") / F.col("u")).alias("q")
+    )
+    return (
+        pri.orderBy(F.desc("q"), "doc_id")
+        .limit(_PS_K)
+        .select(
+            "doc_id",
+            "weight",
+            (F.round(F.col("q") * 1e4) / 1e4).alias("priority"),
+        )
+    )
+
+
+# ========================= Benford first-digit audit ==========================
+
+# Expected Benford shares log10(1 + 1/d), fixed to 12 decimals in PYTHON
+# and embedded as identical literals in both engines — the only libm call
+# happens once here, not per-engine.
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+_SQL_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_first_digit",
+    f"""
+WITH src AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM src GROUP BY digit),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs)
+SELECT digit, n_obs,
+       {sql_round("n_obs * 1.0 / n_total", 6)} AS obs_share,
+       {sql_round(_SQL_BENFORD_CASE, 6)} AS exp_share,
+       {sql_round(
+           f"((n_obs - n_total * ({_SQL_BENFORD_CASE}))"
+           f" * (n_obs - n_total * ({_SQL_BENFORD_CASE})))"
+           f" / (n_total * ({_SQL_BENFORD_CASE}))", 6
+       )} AS chi2_term
+FROM obs, tot
+ORDER BY digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of order totals — the classic
+    fabricated-numbers detector: observed first-significant-digit share
+    vs the Benford expectation log10(1+1/d), plus the per-digit
+    chi-square component. Emitted PER DIGIT (9 rows) rather than as one
+    chi-square scalar: integer counts aggregate exactly in any order,
+    and every float op is then a scalar on identical inputs in both
+    engines — a cross-row float SUM's association order could differ
+    between engines and flip the last ulp. The expectation constants are
+    computed once in Python and embedded as identical literals in the
+    Spark plan and the oracle. One scan, one 9-group agg, one broadcast
+    of the total."""
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    exp_share = F.lit(None).cast("double")
+    for d, p in _BENFORD.items():
+        exp_share = F.when(F.col("digit") == d, F.lit(p)).otherwise(exp_share)
+    r6 = lambda c: F.round(c * 1e6) / 1e6  # noqa: E731 — sql_round twin
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            r6(F.col("n_obs") * 1.0 / F.col("n_total")).alias("obs_share"),
+            r6(exp_share).alias("exp_share"),
+            # squared via explicit self-product, NOT pow(x, 2): pow's
+            # integer-exponent shortcut is libm-dependent; a*a is one
+            # IEEE multiply, identical in both engines
+            r6(
+                (F.col("n_obs") - F.col("n_total") * exp_share)
+                * (F.col("n_obs") - F.col("n_total") * exp_share)
+                / (F.col("n_total") * exp_share)
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -1,0 +1,156 @@
+"""Round-11 session batch 3 — graded ranking-quality eval:
+
+- eval_ndcg_truncated: NDCG@k of truncated-dimension (Matryoshka-tier)
+  retrieval against full-dimension exact retrieval. Complements
+  eval_matryoshka_prefix_recall (round10c.py), which only counts set
+  overlap: NDCG grades WHERE in the list the right neighbors landed,
+  the metric retrieval tiers are actually tuned on. The DCG arithmetic
+  runs in INTEGER micro-units (position weights round(1e6/log2(i+1))
+  computed once in Python and embedded as identical literals), so the
+  per-query aggregation is an order-free exact integer sum — no
+  cross-row float summation whose association order could differ
+  between engines; the single float division by the constant IDCG
+  happens once per query on identical inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from . import query, table
+from .llmops import SQL_NORM, sql_dot, sql_round
+
+_NDCG_DIM = 16  # prefix dims (full = 64)
+_NDCG_K = 5
+_NDCG_Q_LO, _NDCG_Q_HI = 24, 32  # a query slice unused by the other eval rows
+
+# Integer micro-unit position weights: w_i = round(1e6 / log2(i+1)).
+# Graded relevance rel = K - gt_rank + 1 (top ground-truth neighbor is
+# worth K). IDCG is the ideal list's exact integer unit total.
+_NDCG_W = {i: round(1e6 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)}
+_NDCG_IDCG = sum((_NDCG_K - i + 1) * w for i, w in _NDCG_W.items())
+
+_SQL_W_CASE = (
+    "CASE r.rank "
+    + " ".join(f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items())
+    + " END"
+)
+
+_SQL_PRE_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    f"[CAST(embedding[i] AS DOUBLE) * embedding[i] for i in range(1, {_NDCG_DIM + 1})]), "
+    "(a, x) -> a + x))"
+)
+
+
+@query(
+    "eval_ndcg_truncated",
+    f"""
+WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm,
+                  {_SQL_PRE_NORM} AS nrmp
+           FROM embeddings WHERE {SQL_NORM} > 0 AND {_SQL_PRE_NORM} > 0),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, nrmp AS qnp FROM n
+      WHERE vec_id >= {_NDCG_Q_LO} AND vec_id < {_NDCG_Q_HI}),
+fp AS (SELECT query_id, c.vec_id AS cand_id,
+              {sql_round(f"{sql_dot('qe', 'c.e')} / (qn * c.nrm)", 6)} AS cosine
+       FROM n c CROSS JOIN q WHERE c.vec_id <> query_id),
+fr AS (SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+       FROM fp),
+gt AS (SELECT query_id, cand_id, {_NDCG_K} - rank + 1 AS rel
+       FROM fr WHERE rank <= {_NDCG_K}),
+pp AS (SELECT query_id, c.vec_id AS cand_id,
+              {sql_round(f"{sql_dot('qe', 'c.e', _NDCG_DIM)} / (qnp * c.nrmp)", 6)}
+                AS cosine
+       FROM n c CROSS JOIN q WHERE c.vec_id <> query_id),
+pr AS (SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+       FROM pp),
+ret AS (SELECT query_id, cand_id, rank FROM pr WHERE rank <= {_NDCG_K}),
+scored AS (
+  SELECT r.query_id AS query_id,
+         COALESCE(g.rel, 0) * ({_SQL_W_CASE}) AS units,
+         CASE WHEN g.cand_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM ret r LEFT JOIN gt g
+    ON r.query_id = g.query_id AND r.cand_id = g.cand_id)
+SELECT q.query_id AS query_id,
+       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(sum(units), 0) AS BIGINT) AS dcg_units,
+       {sql_round(f"COALESCE(sum(units), 0) * 1.0 / {_NDCG_IDCG}", 6)} AS ndcg
+FROM q LEFT JOIN scored s ON q.query_id = s.query_id
+GROUP BY q.query_id
+ORDER BY query_id
+""",
+)
+def eval_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} of {_NDCG_DIM}-dim prefix retrieval graded against
+    full-64-dim exact retrieval for the pinned query slice: ground-truth
+    relevance rel = {_NDCG_K}-gt_rank+1, position discount
+    1/log2(pos+1) as integer micro-units, NDCG = DCG/IDCG. This is the
+    position-aware companion to eval_matryoshka_prefix_recall — two
+    tiers with identical recall can differ badly on NDCG when one finds
+    the TOP neighbor late, and NDCG is what a 100 TB serving tier is
+    tuned on. Both rankings are exact brute-force top-k with broadcast
+    queries (the corpus never shuffles); the DCG sum is an exact
+    integer aggregate (order-free by construction), and the only float
+    op is one division by the constant IDCG per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    pre_norm = F.sqrt(
+        F.aggregate(
+            F.slice("embedding", 1, _NDCG_DIM),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = emb.withColumn("__pn", pre_norm).where(F.col("__pn") > 0)
+    q_pred = (F.col("vec_id") >= _NDCG_Q_LO) & (F.col("vec_id") < _NDCG_Q_HI)
+    gt = (
+        similarity.brute_force_knn(base, base.where(q_pred), k=_NDCG_K)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.lit(_NDCG_K) - F.col("rank") + 1).alias("rel"),
+        )
+    )
+    pre = base.select(
+        "vec_id", F.slice("embedding", 1, _NDCG_DIM).alias("embedding")
+    )
+    ret = similarity.brute_force_knn(pre, pre.where(q_pred), k=_NDCG_K).select(
+        "query_id", "cand_id", "rank"
+    )
+    w_expr = F.lit(None).cast("long")
+    for i, w in _NDCG_W.items():
+        w_expr = F.when(F.col("rank") == i, F.lit(w)).otherwise(w_expr)
+    scored = (
+        ret.join(gt, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce("rel", F.lit(0)) * w_expr).alias("units"),
+            F.when(F.col("rel").isNull(), 0).otherwise(1).alias("hit"),
+        )
+    )
+    queries = base.where(q_pred).select(F.col("vec_id").alias("query_id"))
+    return (
+        queries.join(scored, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.sum("units"), F.lit(0)).cast("long").alias("dcg_units"),
+            (
+                F.round(
+                    F.coalesce(F.sum("units"), F.lit(0))
+                    * 1.0
+                    / _NDCG_IDCG
+                    * 1e6
+                )
+                / 1e6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

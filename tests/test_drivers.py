@@ -247,18 +247,21 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-10 rotation (staged at round-9 close, executed this round):
-    # the 50-slot window = the 3 remaining r03 rows (oldest external
-    # evidence) + the 17 round-9 additions (replica-gate-only until now —
-    # first external hash rows) + the 30 next-oldest r05-verified fill
-    # rows (_R4_FILL[:30]).
+    # round-11 rotation (staged at round-10 close, amended per the
+    # round-10 verdict): the 50-slot window = the 9 round-10 additions
+    # (first external hash rows) + embedding_pq_codes at the head of the
+    # fill (its only driver row on file is the r06 canon FAIL) + the
+    # next-oldest r05-verified fill rows (_R4_FILL[30:] then
+    # ROUND4_VERIFIED[:20]).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND3_VERIFIED[47:]) == 3
-    assert len(q.ROUND9_ADDED) == 17
+    assert len(q.ROUND10_ADDED) == 9
     fill = [n for n in q.ROUND4_ADDED if n not in set(q.ROUND5_DEFERRED)]
     assert window == (
-        list(q.ROUND3_VERIFIED[47:]) + list(q.ROUND9_ADDED) + fill[:30]
+        list(q.ROUND10_ADDED)
+        + ["embedding_pq_codes"]
+        + fill[30:]
+        + list(q.ROUND4_VERIFIED[:20])
     )
     # every window slot carries a full hash (the whole round-10 window is
     # oracle-bearing — no rows-only entries; ADVICE r9: assert ORACLE_SQL
@@ -274,25 +277,28 @@ def test_driver_window_priority_matches_registry():
         q.ROUND5_ADDED
     ) | set(q.ROUND6_GRADUATED) | set(q.ROUND7_ADDED) | set(
         q.ROUND8_ADDED
-    ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) == set(q.SPARK_QUERIES)
-    # round-10 additions queue behind the window (round-11 candidates)
-    assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND10_ADDED
+    ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) | set(q.ROUND11_ADDED) == set(
+        q.SPARK_QUERIES
     )
-    # the staged ROUND-11 window arithmetic must already close: this
-    # round's additions + the oldest remaining fill rows (r05-verified
-    # remainder, then ROUND4_VERIFIED, then the round-5 batch) can
-    # compose exactly 50 oracle-bearing slots.
-    r11_head = list(q.ROUND10_ADDED)
-    r11_fill = (
-        fill[30:] + list(q.ROUND4_VERIFIED) + list(q.ROUND5_DEFERRED)
+    # round-11 additions queue behind the window (round-12 candidates)
+    assert all(
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND11_ADDED
+    )
+    # the staged ROUND-12 window arithmetic must already close: this
+    # round's additions + the oldest remaining fill rows (the
+    # ROUND4_VERIFIED remainder, then the round-5 batch) can compose
+    # exactly 50 oracle-bearing slots.
+    r12_head = list(q.ROUND11_ADDED)
+    r12_fill = (
+        list(q.ROUND4_VERIFIED[20:])
+        + [n for n in q.ROUND5_DEFERRED if n != "embedding_pq_codes"]
         + list(q.ROUND5_ADDED)
     )
-    assert len(r11_head) <= 50, "round-10 additions overflow the round-11 window"
-    assert len(r11_head) + len(r11_fill) >= 50, "not enough fill rows for round 11"
-    r11_window = r11_head + r11_fill[: 50 - len(r11_head)]
-    assert len(r11_window) == len(set(r11_window)) == 50
-    assert all(name in q.ORACLE_SQL for name in r11_window)
+    assert len(r12_head) <= 50, "round-11 additions overflow the round-12 window"
+    assert len(r12_head) + len(r12_fill) >= 50, "not enough fill rows for round 12"
+    r12_window = r12_head + r12_fill[: 50 - len(r12_head)]
+    assert len(r12_window) == len(set(r12_window)) == 50
+    assert all(name in q.ORACLE_SQL for name in r12_window)
 
 
 def test_webapi_serves_console_ui(webapp):

@@ -1,0 +1,206 @@
+"""Round-11 additions: layout oracle surface, strict-prefix global max,
+Pareto frontier semantics, blocked fuzzy dedup arithmetic, priority
+sampling, Benford audit, integer-unit NDCG.
+
+The cross-engine value checks live in the replica gate
+(tests/test_oracle_parity.py — parametrized over the whole registry);
+these tests pin the OPERATOR-level contracts: strategy equivalence for
+global_prefix_max, brute-force dominance agreement for the frontier,
+exact pair arithmetic for the multiplicity-grain fuzzy dedup, and the
+weighted-inclusion property of priority sampling.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from laposte_data_engineering_jedha_spark.operators import ranking
+
+
+# ---------------------------- global_prefix_max ------------------------------
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_global_prefix_max_strategies_agree(spark, inclusive):
+    rows = [(i, float((i * 37) % 19) if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got_w = {
+        (r["k"], r["runmax"])
+        for r in ranking.global_prefix_max(
+            df, "v", "k", inclusive=inclusive, strategy="window"
+        ).collect()
+    }
+    got_o = {
+        (r["k"], r["runmax"])
+        for r in ranking.global_prefix_max(
+            df, "v", "k", inclusive=inclusive, strategy="offsets", n_partitions=7
+        ).collect()
+    }
+    assert got_w == got_o
+    # brute-force twin
+    vals = dict(rows)
+    want = set()
+    for k, _ in rows:
+        prefix = [
+            vals[j]
+            for j in range(0, k + 1 if inclusive else k)
+            if vals[j] is not None
+        ]
+        want.add((k, max(prefix) if prefix else None))
+    assert got_w == want
+
+
+def test_global_prefix_max_all_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    out = ranking.global_prefix_max(df, "v", "k", strategy="offsets").collect()
+    assert all(r["runmax"] is None for r in out)
+    empty = spark.createDataFrame([], "k long, v double")
+    assert (
+        ranking.global_prefix_max(empty, "v", "k", strategy="offsets").count()
+        == 0
+    )
+
+
+# ------------------------------ Pareto frontier ------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.round11b import (
+        olap_pareto_frontier,
+    )
+
+    got = {r["p_partkey"] for r in olap_pareto_frontier(spark, sf_dir).collect()}
+    pts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    want = set()
+    for k, price, size in pts:
+        dominated = any(
+            (p2 <= price and s2 >= size and (p2 < price or s2 > size))
+            for _, p2, s2 in pts
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want and got
+
+
+# --------------------------- blocked fuzzy dedup -----------------------------
+
+
+def test_fuzzy_blocked_pair_arithmetic(spark, tmp_path):
+    """The multiplicity-grain pair counts must equal the naive id-level
+    self-join's: cnt_a*cnt_b across close distinct names + C(cnt,2)
+    within a name."""
+    rows = [
+        (1, "cold widget"),
+        (2, "cold widget"),
+        (3, "bold widget"),
+        (4, "small widget"),
+        (5, "large bolt"),
+        (6, "large bolt"),
+        (7, "large bolt"),
+    ]
+    spark.createDataFrame(rows, "p_partkey long, p_name string").withColumn(
+        "p_brand", F.lit("b")
+    ).withColumn("p_type", F.lit("t")).withColumn(
+        "p_size", F.lit(1)
+    ).withColumn("p_retailprice", F.lit(1.0)).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    from laposte_data_engineering_jedha_spark.queries.round11b import (
+        dedup_fuzzy_blocked,
+    )
+
+    got = {
+        r["noun"]: (r["n_parts"], r["n_pairs"], r["n_exact"], r["min_dist"], r["max_dist"])
+        for r in dedup_fuzzy_blocked(spark, str(tmp_path)).collect()
+    }
+    # widget block: names cold(2)/bold(1)/small(1); lev(cold,bold)=1 -> 2*1
+    # id-pairs, lev(cold,small)=4 -> 2*1, lev(bold,small)=4 -> 1*1, plus
+    # C(2,2)=1 exact pair = 6 pairs total, 1 exact
+    assert got["widget"] == (4, 6, 1, 0, 4)
+    # bolt block: one name x3 -> C(3,2)=3 exact pairs, dist 0 only
+    assert got["bolt"] == (3, 3, 3, 0, 0)
+
+
+# ----------------------------- priority sampling -----------------------------
+
+
+def test_priority_sample_is_deterministic_and_weighted(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.round11b import (
+        corpus_priority_sample,
+    )
+
+    a = corpus_priority_sample(spark, sf_dir).collect()
+    b = corpus_priority_sample(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == min(
+        100, spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    # weighted inclusion: the sampled mean weight must exceed the corpus
+    # mean (priority q = w/u strictly favors heavy documents)
+    sample_mean = sum(r["weight"] for r in a) / len(a)
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+# ------------------------------- Benford audit -------------------------------
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.round11b import (
+        dq_benford_first_digit,
+    )
+
+    rows = dq_benford_first_digit(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["exp_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+# ----------------------------------- NDCG ------------------------------------
+
+
+def test_ndcg_bounds_and_consistency(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.round11c import (
+        _NDCG_IDCG,
+        eval_ndcg_truncated,
+    )
+
+    rows = eval_ndcg_truncated(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ndcg"] <= 1.0
+        assert 0 <= r["dcg_units"] <= _NDCG_IDCG
+        assert 0 <= r["n_hits"] <= 5
+        # zero hits <=> zero gain
+        assert (r["n_hits"] == 0) == (r["dcg_units"] == 0)
+
+
+# ------------------------------ layout identity ------------------------------
+
+
+def test_layout_queries_are_pure_rewrites(spark, sf_dir):
+    """Identity digests equal across original and rewritten data, and the
+    compaction emits exactly the contracted file count (the oracle row
+    checks the same via DuckDB; this pins it in-process)."""
+    from laposte_data_engineering_jedha_spark.queries.round11a import (
+        _LC_N_FILES,
+        layout_compact_identity,
+        layout_zorder_identity,
+    )
+
+    c = layout_compact_identity(spark, sf_dir).collect()[0]
+    z = layout_zorder_identity(spark, sf_dir).collect()[0]
+    assert c["n_files"] == _LC_N_FILES
+    assert c["n_rows"] == z["n_rows"] > 0
+    assert c["content_digest"] == z["content_digest"]
