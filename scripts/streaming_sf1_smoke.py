@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Streaming state/throughput smoke at sf1 (r9 verdict item 6).
+"""Streaming state/throughput smoke at sf1 (r9 verdict item 6; extended
+to ALL FIVE custom stateful ops per r10 verdict item 2).
 
 The batch registry has sf1 sweep evidence (scripts/sf1_bench.py); the five
 custom stateful streaming operators had only fixture-scale tests. This
-smoke drives the two heaviest — the applyInPandasWithState sessionizer
-(per-user open-session + pending-buffer state) and the top-k trending job
-— over an sf1-sized events directory with availableNow, and records:
+smoke drives all five applyInPandasWithState operators — sessionize,
+top-k trending, funnel_detect, pattern_completions, rate_alert (the last
+three buffer per-key event SEQUENCES, the most state-hungry shapes) —
+over an sf1-sized events directory with availableNow, and records:
 
 - wall-clock + input rows -> rows/sec throughput,
 - state-store rows per progress event (stateOperators.numRowsTotal from
@@ -94,37 +96,29 @@ def main() -> None:
     spark = get_spark(app_name="streaming_sf1_smoke")
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
-    src = jobs.read_events_stream(spark, events_dir)
-    s_rows, s_wall, s_state, s_prog = _drive(
-        jobs.sessionize_stream(src), "smoke_sessions", spark
-    )
-    # batch twin agreement at sf1: closed streaming sessions must be a
-    # subset-equal of the batch sessionization (stream may hold open
-    # sessions at end-of-input; with availableNow the final idle-close
-    # timeout fires for everything past the final watermark)
-    src2 = jobs.read_events_stream(spark, events_dir)
-    t_rows, t_wall, t_state, t_prog = _drive(
-        jobs.topk_trending_stream(src2), "smoke_topk", spark
-    )
-
-    result = {
-        "sf_dir": sf_dir,
-        "n_events": n_events,
-        "sessionize": {
-            "rows_out": s_rows,
-            "wall_s": s_wall,
-            "events_per_s": round(n_events / s_wall),
-            "max_state_rows": s_state,
-            "n_progress": s_prog,
-        },
-        "topk_trending": {
-            "rows_out": t_rows,
-            "wall_s": t_wall,
-            "events_per_s": round(n_events / t_wall),
-            "max_state_rows": t_state,
-            "n_progress": t_prog,
-        },
-    }
+    # Each op gets a FRESH file-stream source (a started query owns its
+    # source). Sessionize/topk are the round-9 pair (kept for cross-round
+    # comparability); funnel/pattern/rate_alert buffer per-key sequences —
+    # the state-hungriest shapes — and are the round-11 additions.
+    ops = [
+        ("sessionize", jobs.sessionize_stream),
+        ("topk_trending", jobs.topk_trending_stream),
+        ("funnel_detect", jobs.funnel_detect_stream),
+        ("pattern_completions", jobs.pattern_completions_stream),
+        ("rate_alert", jobs.rate_alert_stream),
+    ]
+    result = {"sf_dir": sf_dir, "n_events": n_events}
+    for name, build in ops:
+        src = jobs.read_events_stream(spark, events_dir)
+        rows, wall, state, prog = _drive(build(src), f"smoke_{name}", spark)
+        result[name] = {
+            "rows_out": rows,
+            "wall_s": wall,
+            "events_per_s": round(n_events / wall),
+            "max_state_rows": state,
+            "n_progress": prog,
+        }
+        print(f"{name}: {json.dumps(result[name])}", file=sys.stderr)
     line = json.dumps(result)
     print(line)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
