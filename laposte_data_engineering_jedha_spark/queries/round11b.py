@@ -298,7 +298,13 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law conformance audit of order totals — the classic
     fabricated-numbers detector: observed first-significant-digit share
     vs the Benford expectation log10(1+1/d), plus the per-digit
-    chi-square component. Emitted PER DIGIT (9 rows) rather than as one
+    chi-square component. Deliberately distinct from
+    dq_value_first_digit (round7l.py), which is the raw digit HISTOGRAM
+    of event cents with no expectation model: this query is the
+    conformance TEST — embedded Benford constants, deviation, and the
+    chi-square decomposition an auditor thresholds on (the round-10
+    draft that duplicated the histogram was rightly dropped; this one
+    adds the model). Emitted PER DIGIT (9 rows) rather than as one
     chi-square scalar: integer counts aggregate exactly in any order,
     and every float op is then a scalar on identical inputs in both
     engines — a cross-row float SUM's association order could differ

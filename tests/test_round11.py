@@ -204,3 +204,80 @@ def test_layout_queries_are_pure_rewrites(spark, sf_dir):
     assert c["n_files"] == _LC_N_FILES
     assert c["n_rows"] == z["n_rows"] > 0
     assert c["content_digest"] == z["content_digest"]
+
+
+# --------------------------- CUSUM change-point ------------------------------
+
+
+def test_cusum_changepoint_detects_planted_shift(spark, tmp_path):
+    """A series with a deliberate level shift must report a change day at
+    the shift boundary, with the integer numerator matching the
+    brute-force deviation sum."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 10 if d < 10 else 50  # level shift after day 10
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 3, 1 + d, 12, 0, 0),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from laposte_data_engineering_jedha_spark.queries.round11d import (
+        events_cusum_changepoint,
+    )
+
+    got = events_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+    # max |CUSUM| of a single level shift sits at the last pre-shift day
+    assert got["change_day"] == datetime.date(2024, 3, 10)
+    # integer numerator == n_days*prefix - k*total computed by hand:
+    # prefix(day10) = 100, k = 10, total = 600, n_days = 20
+    assert got["cusum_num"] == 20 * 100 - 10 * 600
+    assert got["n_days"] == 20
+
+
+# --------------------------- weighted median ---------------------------------
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    from laposte_data_engineering_jedha_spark.queries.round11d import (
+        olap_weighted_median_price,
+    )
+
+    got = {
+        r["flag"]: r["weighted_median_price"]
+        for r in olap_weighted_median_price(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in li:
+        cents = round(r["l_extendedprice"] * 100)
+        groups[r["l_returnflag"]].append((cents, int(r["l_quantity"])))
+    for flag, items in groups.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        acc = 0
+        for cents, w in items:
+            acc += w
+            if 2 * acc >= total:
+                assert got[flag] == cents / 100, flag
+                break
