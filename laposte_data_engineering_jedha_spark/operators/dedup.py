@@ -541,13 +541,22 @@ def embedding_dup_pairs_lsh(
     """Embedding cosine near-dup pairs via banded hyperplane LSH — the
     100 TB path (no driver collect anywhere in the plan).
 
-    Shape mirrors `minhash_lsh_pairs`: per-row banded bucket ids are
-    map-side Arrow-kernel compute (`vectors.pd_lsh_buckets_banded`), the
-    candidate stage is a self-equi-join keyed on (band, bucket) whose
-    shuffle carries only (id, band, key), and candidates are verified with
-    the exact bit-deterministic cosine kernel. Both sides hash-partition on
-    the band key; AQE skew-join splitting (on in the session factory)
-    handles hot buckets.
+    Per-row banded bucket ids are map-side Arrow-kernel compute
+    (`vectors.pd_lsh_buckets_banded`); the candidate stage is a
+    self-equi-join keyed on (band, bucket) that CARRIES the vector and
+    its norm (round-11 rework: embeddings are small fixed-width
+    payloads, so the banded shuffle costs O(n*bands*dim) while the
+    previous narrow-candidates-plus-two-verify-joins plan paid
+    O(candidate_pairs*dim) through two more shuffles — the second-decade
+    ladder measured that as the entire cost at 200k vectors); the exact
+    bit-deterministic cosine kernel then runs MAP-SIDE on the join
+    output, and (id_a, id_b) duplicates across bands deduplicate after
+    the threshold filter, where only true near-dups remain. Both sides
+    hash-partition on the band key; AQE skew-join splitting (on in the
+    session factory) handles hot buckets. The text-MinHash twin
+    (`minhash_lsh_pairs`) deliberately keeps the narrow-candidates form:
+    its payload (shingle-hash arrays) is variable-width and large, the
+    opposite trade.
 
     Recall is the AND/OR amplification curve 1 - (1 - p^band_planes)^bands
     with p = 1 - theta/pi per plane: ~0.999 for true near-dups
@@ -569,40 +578,55 @@ def embedding_dup_pairs_lsh(
         # pipeline + shuffle. That is acceptable when `df` is a raw table
         # scan (the shuffled projection is slim and kernels Arrow-batched);
         # `persist_src` is the escalation for composed inputs — src is
-        # referenced FOUR times (both band sides + both verify sides), so
+        # referenced TWICE (the two sides of the banded self-join), so
         # when `df` is itself a join/filter chain (corpus_clean_pipeline_sem
-        # feeds the survivor set) the upstream would re-execute 4x. Handle
+        # feeds the survivor set) the upstream would re-execute 2x. Handle
         # registered with operators/caches.py for batch-runner release
         # (SCALE.md finding 11).
         .repartition("_id")
     )
     if persist_src:
         src = caches.track(src.persist())
+    # The banded relation CARRIES the vector and its norm: embeddings are
+    # small fixed-width payloads (dim floats), so shipping them through
+    # the (band, key) self-join costs O(n * bands * dim) shuffle — while
+    # the previous narrow-candidates-then-two-verify-joins plan shipped
+    # O(candidates * dim) through TWO more shuffles. Candidate volume is
+    # ~n * bucket_occupancy * bands (40M pairs at 200k vectors), so at
+    # the second scale decade those verify joins were the plan's whole
+    # cost (measured: 32-partition layout spilled at >600MB/task, median
+    # 158.5 s; this form needs no verify join at all — the cosine is
+    # computed MAP-SIDE on the join output inside the same stage).
+    # Duplicate (id_a, id_b) collisions across bands are deduplicated
+    # AFTER the threshold filter, when only true near-dups remain (a
+    # random collision appears in ~1 band; only near-dups repeat, so the
+    # redundant dot products are proportional to the OUTPUT, not the
+    # candidate mass). NOTE for text MinHash: this trade is wrong for
+    # variable-width payloads like shingle-hash arrays — there the
+    # narrow-candidates form stays (minhash_lsh_pairs).
     banded = src.select(
         "_id",
+        "_v",
+        "_n",
         F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
             "band", "key"
         ),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), "band", "key",
     )
-    va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
-    vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "band", "key",
+    )
     cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
     out = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return out
 
