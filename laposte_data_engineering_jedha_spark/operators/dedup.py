@@ -528,6 +528,35 @@ def auto_band_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> in
     return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+CARRY_MAX_OCCUPANCY = 256
+"""Plan gate for embedding_dup_pairs_lsh: expected bucket occupancy
+(est_rows / 2^band_planes) at or below which the carried-vector banded
+join wins. Low occupancy (the auto_band_planes regime, ~64) means a
+random collision appears in ~1 band, so computing the cosine per
+COLLISION costs ~one dot per candidate and the verify joins are pure
+overhead (second-decade ladder: 158.5 -> 27.6 s at 200k vectors). High
+occupancy (fixture-pinned planes on a 10x corpus) means pairs collide in
+MANY bands — there the narrow-candidates form's dedup-BEFORE-verify
+avoids up to `bands`x redundant dot products (sf1 sweep: the pinned
+dedup_embedding_cosine doubled under carried vectors, 53 -> 114 s)."""
+
+
+def _estimated_rows(df: DataFrame, row_bytes: int) -> int | None:
+    """Catalyst row estimate for the plan gate: exact rowCount when the
+    optimizer has one, else sizeInBytes / row_bytes. None = unknown."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(rc.get().toString())
+        size = int(stats.sizeInBytes())
+        if size >= (1 << 60):  # Catalyst's "unknown" sentinel magnitude
+            return None
+        return max(1, size // row_bytes)
+    except Exception:  # pragma: no cover - py4j/stats unavailable
+        return None
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -537,26 +566,33 @@ def embedding_dup_pairs_lsh(
     bands: int = 8,
     band_planes: int = 4,
     persist_src: bool = False,
+    carry_vectors: bool | None = None,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH — the
     100 TB path (no driver collect anywhere in the plan).
 
     Per-row banded bucket ids are map-side Arrow-kernel compute
     (`vectors.pd_lsh_buckets_banded`); the candidate stage is a
-    self-equi-join keyed on (band, bucket) that CARRIES the vector and
-    its norm (round-11 rework: embeddings are small fixed-width
-    payloads, so the banded shuffle costs O(n*bands*dim) while the
-    previous narrow-candidates-plus-two-verify-joins plan paid
-    O(candidate_pairs*dim) through two more shuffles — the second-decade
-    ladder measured that as the entire cost at 200k vectors); the exact
-    bit-deterministic cosine kernel then runs MAP-SIDE on the join
-    output, and (id_a, id_b) duplicates across bands deduplicate after
-    the threshold filter, where only true near-dups remain. Both sides
-    hash-partition on the band key; AQE skew-join splitting (on in the
-    session factory) handles hot buckets. The text-MinHash twin
-    (`minhash_lsh_pairs`) deliberately keeps the narrow-candidates form:
-    its payload (shingle-hash arrays) is variable-width and large, the
-    opposite trade.
+    self-equi-join keyed on (band, bucket). TWO verify plans, gated by
+    expected bucket occupancy (`carry_vectors=None` reads Catalyst's
+    size estimate — no action; pass True/False to force):
+
+    - CARRIED-VECTOR (occupancy <= CARRY_MAX_OCCUPANCY, the
+      auto_band_planes regime): the banded join carries (vector, norm)
+      — embeddings are small fixed-width payloads, so the shuffle is
+      O(n*bands*dim), there is NO verify join, the exact cosine kernel
+      runs map-side on the join output, and (id_a, id_b) duplicates
+      dedupe after the threshold filter where only true near-dups
+      remain. Second-decade ladder: 158.5 -> 27.6 s at 200k vectors.
+    - NARROW-CANDIDATES (high occupancy, e.g. fixture-pinned planes on
+      a grown corpus): candidates dedupe FIRST (ids only), then two
+      joins re-attach vectors — when pairs collide in many bands this
+      avoids up to `bands`x redundant dot products (sf1 sweep: the
+      pinned-parameter query pays 2x under carried vectors).
+
+    Both plans produce identical results by construction. The
+    text-MinHash twin (`minhash_lsh_pairs`) always uses the narrow form:
+    its payload (shingle-hash arrays) is variable-width and large.
 
     Recall is the AND/OR amplification curve 1 - (1 - p^band_planes)^bands
     with p = 1 - theta/pi per plane: ~0.999 for true near-dups
@@ -578,57 +614,74 @@ def embedding_dup_pairs_lsh(
         # pipeline + shuffle. That is acceptable when `df` is a raw table
         # scan (the shuffled projection is slim and kernels Arrow-batched);
         # `persist_src` is the escalation for composed inputs — src is
-        # referenced TWICE (the two sides of the banded self-join), so
-        # when `df` is itself a join/filter chain (corpus_clean_pipeline_sem
-        # feeds the survivor set) the upstream would re-execute 2x. Handle
-        # registered with operators/caches.py for batch-runner release
-        # (SCALE.md finding 11).
+        # referenced TWICE under the carried-vector plan (both banded
+        # sides) and FOUR times under the narrow plan (band sides +
+        # verify sides), so when `df` is itself a join/filter chain
+        # (corpus_clean_pipeline_sem feeds the survivor set) the upstream
+        # would re-execute per reference. Handle registered with
+        # operators/caches.py for batch-runner release (SCALE.md
+        # finding 11).
         .repartition("_id")
     )
     if persist_src:
         src = caches.track(src.persist())
-    # The banded relation CARRIES the vector and its norm: embeddings are
-    # small fixed-width payloads (dim floats), so shipping them through
-    # the (band, key) self-join costs O(n * bands * dim) shuffle — while
-    # the previous narrow-candidates-then-two-verify-joins plan shipped
-    # O(candidates * dim) through TWO more shuffles. Candidate volume is
-    # ~n * bucket_occupancy * bands (40M pairs at 200k vectors), so at
-    # the second scale decade those verify joins were the plan's whole
-    # cost (measured: 32-partition layout spilled at >600MB/task, median
-    # 158.5 s; this form needs no verify join at all — the cosine is
-    # computed MAP-SIDE on the join output inside the same stage).
-    # Duplicate (id_a, id_b) collisions across bands are deduplicated
-    # AFTER the threshold filter, when only true near-dups remain (a
-    # random collision appears in ~1 band; only near-dups repeat, so the
-    # redundant dot products are proportional to the OUTPUT, not the
-    # candidate mass). NOTE for text MinHash: this trade is wrong for
-    # variable-width payloads like shingle-hash arrays — there the
-    # narrow-candidates form stays (minhash_lsh_pairs).
+    if carry_vectors is None:
+        # stats-only gate (no action): unknown estimates take the narrow
+        # form — it is the conservative pre-round-11 plan
+        est = _estimated_rows(src, row_bytes=4 * dim + 48)
+        carry_vectors = (
+            est is not None and est / (1 << band_planes) <= CARRY_MAX_OCCUPANCY
+        )
+    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
+    if carry_vectors:
+        banded = src.select(
+            "_id",
+            "_v",
+            "_n",
+            F.posexplode(
+                vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)
+            ).alias("band", "key"),
+        )
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_n").alias("na"), "band", "key",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"), "band", "key",
+        )
+        return (
+            a.join(b, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     banded = src.select(
         "_id",
-        "_v",
-        "_n",
         F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
             "band", "key"
         ),
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-        F.col("_n").alias("na"), "band", "key",
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_n").alias("nb"), "band", "key",
-    )
-    cos = vectors.pd_dot("va", "vb") / (F.col("na") * F.col("nb"))
-    out = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return out
+    va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (F.round(cos * 10000) / 10000).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def _minhash_sigs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

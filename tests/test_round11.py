@@ -281,3 +281,42 @@ def test_weighted_median_matches_bruteforce(spark, sf_dir):
             if 2 * acc >= total:
                 assert got[flag] == cents / 100, flag
                 break
+
+
+# ----------------------- embedding LSH verify-plan gate ----------------------
+
+
+def test_embedding_lsh_carry_gate_plans_agree(spark, sf_dir):
+    """The occupancy-gated verify plans (carried-vector banded join vs
+    narrow-candidates + verify joins) must be result-identical; the gate
+    is a pure plan choice (second-decade ladder + sf1 sweep, round 11)."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {}
+    for carry in (True, False):
+        pairs = dedup.embedding_dup_pairs_lsh(
+            emb, threshold=0.4, carry_vectors=carry
+        )
+        got[carry] = {
+            (r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()
+        }
+    assert got[True] == got[False]
+
+
+def test_embedding_lsh_gate_reads_stats_only(spark, sf_dir):
+    """carry_vectors=None must decide from Catalyst's estimate without
+    running a job: a low-occupancy corpus picks carried (no verify
+    joins => exactly one Join in the plan), a high-occupancy parameter
+    set picks narrow (three Joins)."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fixture corpus, wide planes -> low occupancy -> carried: 1 join
+    carried = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, band_planes=12)
+    p1 = carried._jdf.queryExecution().optimizedPlan().toString()
+    assert p1.count("Join") == 1, p1
+    # planes=0 -> single bucket per band -> occupancy = n > cap -> narrow
+    narrow = dedup.embedding_dup_pairs_lsh(emb, threshold=0.4, band_planes=0)
+    p2 = narrow._jdf.queryExecution().optimizedPlan().toString()
+    assert p2.count("Join") == 3, p2
