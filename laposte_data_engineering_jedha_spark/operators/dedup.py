@@ -528,17 +528,21 @@ def auto_band_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> in
     return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
 
 
-CARRY_MAX_OCCUPANCY = 256
+CARRY_MAX_OCCUPANCY = 64
 """Plan gate for embedding_dup_pairs_lsh: expected bucket occupancy
 (est_rows / 2^band_planes) at or below which the carried-vector banded
-join wins. Low occupancy (the auto_band_planes regime, ~64) means a
-random collision appears in ~1 band, so computing the cosine per
-COLLISION costs ~one dot per candidate and the verify joins are pure
-overhead (second-decade ladder: 158.5 -> 27.6 s at 200k vectors). High
-occupancy (fixture-pinned planes on a 10x corpus) means pairs collide in
-MANY bands — there the narrow-candidates form's dedup-BEFORE-verify
-avoids up to `bands`x redundant dot products (sf1 sweep: the pinned
-dedup_embedding_cosine doubled under carried vectors, 53 -> 114 s)."""
+join wins. Low occupancy (the auto_band_planes regime — its
+target_bucket is exactly this 64) means a random collision appears in
+~1 band, so computing the cosine per COLLISION costs ~one dot per
+candidate and the verify joins are pure overhead (second-decade ladder:
+158.5 -> 27.6 s at 200k vectors, occupancy 49). High occupancy
+(fixture-pinned planes on a grown corpus) means pairs collide in MANY
+bands — there the narrow-candidates form's dedup-BEFORE-verify avoids
+up to `bands`x redundant dot products. The crossover was MEASURED, not
+guessed: occupancy 39/49 -> carried wins (9.4->4.3 s / 158->28 s),
+occupancy 125 (sf0.1 fixture banding) -> narrow wins (2.9 vs 5.8 s),
+occupancy ~1,200 (sf1 pinned) -> narrow wins (70 vs 114 s); the cap
+sits at the auto-banding design point between those regimes."""
 
 
 def _estimated_rows(df: DataFrame, row_bytes: int) -> int | None:

@@ -51,22 +51,28 @@ _H = "__mrk_h"  # 52-bit row digest (key + values)
 
 def _digest52(cols: list[str]) -> Column:
     """Deterministic 52-bit digest of the named columns with an
-    INJECTIVE field encoding (ADVICE r10): each field is first hashed
-    to a fixed-width 32-hex md5 token (NULL becomes the literal token
-    'NULL', which contains non-hex characters so it can never equal or
-    prefix an md5 token), and the row digest is md5 over the token
-    concatenation. A separator join ('|'-concat) is NOT injective — a
-    literal '|' inside a value shifts content across field boundaries
-    (('a|','b') and ('a','|b') both encode as 'a||b'), turning two
-    different rows into a deterministic digest collision instead of
-    the documented 2^-52 random one. Fixed-width tokens cannot shift.
-    13 hex chars = 52 bits — inside a BIGINT and inside DuckDB's exact
-    integer range; the construction (md5 of concatenated per-column
-    md5s) is reproducible by any engine with md5."""
-    payload = F.concat(
-        *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols]
-    )
-    return F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
+    INJECTIVE field encoding (ADVICE r10): each field is
+    LENGTH-PREFIXED — `len(value) ':' value '|'`, with NULL as the
+    distinct token `'N|'` (a length prefix always starts with a digit,
+    so 'N' cannot collide with real content). A plain separator join
+    ('|'-concat) is NOT injective — a literal '|' inside a value shifts
+    content across field boundaries (('a|','b') and ('a','|b') both
+    encode as 'a||b'), turning two different rows into a deterministic
+    digest collision instead of the documented 2^-52 random one; the
+    length prefix makes the parse unambiguous (read digits to ':',
+    consume exactly that many chars, expect '|'). One md5 per row —
+    the per-column-md5 alternative measured ~2x the digest cost on the
+    three-scan Merkle ladder. 13 hex chars = 52 bits — inside a BIGINT
+    and DuckDB's exact integer range, reproducible by any engine."""
+    tokens = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        tokens.append(
+            F.when(s.isNull(), F.lit("N|")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s, F.lit("|"))
+            )
+        )
+    return F.conv(F.substring(F.md5(F.concat(*tokens)), 1, 13), 16, 10).cast("long")
 
 
 def _bucketed(
