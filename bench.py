@@ -45,9 +45,12 @@ Cross-round comparability (round-6 verdict item 6): the headline carries
 the 67 queries recorded in BENCH_r01.json vs that round's 49.4 s) and
 `prev_intersection_sec` / `prev_intersection_ratio` (vs the previous
 round's committed BENCH_DETAIL snapshot) — the gate numbers the judge
-previously had to recompute by hand. Raw ratios; divide by the
-calib_shuffle_sec ratio between hosts before reading them as plan changes
-(BASELINE.md).
+previously had to recompute by hand. Raw ratios; where both hosts
+recorded a shuffle calibration the headline ALSO carries
+`{label}_intersection_ratio_normalized` = raw / (our calib_shuffle /
+reference calib_shuffle), the mechanical form of BASELINE.md's
+hand-applied divisor (r11 verdict item 7; BENCH_r01.json predates the
+probes, so the r01 ratio stays raw-only).
 
 Noise band for the prev comparison (round-9 verdict item 7: the round-9
 close needed a second full run plus targeted re-measures to refute a
@@ -81,7 +84,7 @@ from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
 _HERE = os.path.dirname(os.path.abspath(__file__))
 # bump once per round after the driver records BENCH_r{N}: the snapshot the
 # prev_intersection_* fields compare against
-_PREV_DETAIL = "BENCH_DETAIL_r11start.json"
+_PREV_DETAIL = "BENCH_DETAIL_r12start.json"
 
 
 def run_query(fn, spark, sf_dir) -> None:
@@ -102,7 +105,29 @@ def _reference_queries(path: str) -> dict[str, float]:
         return {}
 
 
-def intersection_metrics(times: dict[str, float]) -> dict[str, float]:
+def _reference_calib_shuffle(path: str) -> float | None:
+    """calib_shuffle_sec recorded in a committed bench artifact, or None
+    (BENCH_r01.json predates the calibration probes)."""
+    try:
+        with open(os.path.join(_HERE, path)) as fh:
+            doc = json.load(fh)
+        doc = doc.get("parsed") or doc
+        v = doc.get("calib_shuffle_sec")
+        return float(v) if v else None
+    except Exception:
+        return None
+
+
+def intersection_metrics(
+    times: dict[str, float], calib_shuffle: float | None = None
+) -> dict[str, float]:
+    """Raw intersection totals/ratios vs committed artifacts, plus —
+    when BOTH hosts recorded a shuffle calibration — the
+    calib-NORMALIZED ratio (raw ratio / (this host's calib_shuffle /
+    the reference host's)), so cross-round adjudication no longer
+    applies the divisor by hand (r11 verdict item 7). r01 has no
+    recorded calib, so r01_intersection_ratio stays raw-only; the prev
+    snapshot always carries one."""
     out: dict[str, float] = {}
     for label, path in [("r01", "BENCH_r01.json"), ("prev", _PREV_DETAIL)]:
         ref = _reference_queries(path)
@@ -114,6 +139,11 @@ def intersection_metrics(times: dict[str, float]) -> dict[str, float]:
         out[f"{label}_intersection_sec"] = ours
         out[f"{label}_intersection_ratio"] = round(ours / theirs, 3)
         out[f"{label}_intersection_n"] = len(common)
+        ref_calib = _reference_calib_shuffle(path)
+        if calib_shuffle and ref_calib:
+            out[f"{label}_intersection_ratio_normalized"] = round(
+                (ours / theirs) / (calib_shuffle / ref_calib), 3
+            )
     return out
 
 
@@ -229,6 +259,7 @@ def main() -> None:
     # totals are only comparable across rounds per-query or normalized by
     # n_queries — the registry grows every round, so a bigger total may
     # simply mean more operators benched (see BASELINE.md)
+    calib = machine_calibration(spark)
     headline = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -237,8 +268,8 @@ def main() -> None:
         "n_runs": n_runs,
         "n_queries": len(times),
         "n_errors": len(errors),
-        **machine_calibration(spark),
-        **intersection_metrics(times),
+        **calib,
+        **intersection_metrics(times, calib.get("calib_shuffle_sec")),
         **shuffled_metrics,
     }
     detail = {**headline, "queries": times, "spread": spread}

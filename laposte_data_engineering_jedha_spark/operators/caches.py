@@ -38,13 +38,16 @@ pinned entries are exempt from MAX_TRACKED eviction and released by
 `release_all()` — which batch runners call strictly AFTER materializing
 each query's result, so the constructed-plan window is never evicted.
 To keep a never-releasing session bounded on the pinned side too
-(ADVICE r10), pins carry their own `MAX_PINNED` cap: once more than
-MAX_PINNED pins are alive the oldest is evicted WITH a RuntimeWarning —
-by then its consumer has been materialized in any runner that executes
-queries as it goes, and a session that stockpiles unmaterialized ranking
-plans is outside the contract and now told so loudly.
-Long-lived sessions that build ranking plans but defer materialization
-past their own `release_all()` call are outside the contract.
+(ADVICE r10), pins carry their own `MAX_PINNED` cap. ADVICE r11 closed
+the remaining hole: evicting an unmaterialized pin with only a
+RuntimeWarning could still silently corrupt ranks (warnings rarely
+surface in batch logs), so exceeding MAX_PINNED now RAISES by default
+(`PIN_EVICTION_POLICY = "raise"`) — the hazard is loud and
+unmissable, and the fix on the caller side is always one of: call
+`release_all()` between queries (the documented contract), raise
+`MAX_PINNED` for a genuinely wider composed plan, or opt back into
+evict-with-warning (`PIN_EVICTION_POLICY = "warn"`) for sessions that
+knowingly stockpile already-consumed pins.
 """
 
 from __future__ import annotations
@@ -66,13 +69,19 @@ MAX_TRACKED = 32
 # never-releasing session that keeps building ranking plans). A pin's
 # consumer is the query result built around it; every sane runner
 # (external driver, bench.py, the replica gate) materializes each query
-# before constructing the next, so by the time MAX_PINNED NEWER pins have
-# registered, the oldest pin's consumer has long been materialized and
-# eviction costs at most a recompute. A session that builds >MAX_PINNED
-# ranking plans and defers ALL materialization is outside the documented
-# contract — the eviction warns loudly so that misuse is visible instead
-# of silently corrupting ranks.
+# before constructing the next, so MAX_PINNED live pins without a
+# release_all() call means the session is outside the documented
+# contract. ADVICE r11: because evicting a not-yet-consumed pin silently
+# corrupts ranks and a RuntimeWarning rarely surfaces in batch logs,
+# exceeding the cap now raises by default instead of evicting.
 MAX_PINNED = 8
+
+# "raise" (default): track(pin=True) raises RuntimeError when it would
+# push the live-pin count past MAX_PINNED — nothing is evicted, the
+# hazard can never be silent. "warn": restore the round-11 behavior
+# (evict the oldest pin with a RuntimeWarning) for sessions that
+# knowingly hold >MAX_PINNED already-consumed pins.
+PIN_EVICTION_POLICY = "raise"
 
 
 def track(df: DataFrame, pin: bool = False) -> DataFrame:
@@ -82,24 +91,38 @@ def track(df: DataFrame, pin: bool = False) -> DataFrame:
     Pass `pin=True` for relations whose eviction before materialization
     would be a correctness hazard (see module docstring): they are exempt
     from the LRU cap, released by `release_all()`, and bounded only by
-    the separate `MAX_PINNED` cap (evicting the oldest pin, with a
-    warning, once more than MAX_PINNED are alive)."""
+    the separate `MAX_PINNED` cap — exceeding it raises (default) or
+    evicts the oldest pin with a warning (`PIN_EVICTION_POLICY`)."""
+    if pin and sum(1 for _, pinned in _TRACKED if pinned) >= MAX_PINNED:
+        if PIN_EVICTION_POLICY == "raise":
+            raise RuntimeError(
+                "caches.track: more than MAX_PINNED "
+                f"(={MAX_PINNED}) pinned relations alive in a session that "
+                "has not called release_all(). Evicting a pin whose "
+                "consuming plan was never materialized would silently "
+                "corrupt its baked partition offsets (see module "
+                "docstring), so this is an error. Fix: call "
+                "caches.release_all() after materializing each query, "
+                "raise caches.MAX_PINNED for a wider composed plan, or "
+                "set caches.PIN_EVICTION_POLICY = 'warn' if every live "
+                "pin's consumer is known to be materialized already."
+            )
+        while sum(1 for _, pinned in _TRACKED if pinned) >= MAX_PINNED:
+            evict_idx = next(i for i, (_, pinned) in enumerate(_TRACKED) if pinned)
+            old, _ = _TRACKED.pop(evict_idx)
+            warnings.warn(
+                "caches.track: more than MAX_PINNED pinned relations alive in "
+                "a session that has not called release_all(); evicting the "
+                "oldest pin. If its consuming plan was never materialized its "
+                "baked partition offsets are now stale (see module docstring).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            try:
+                old.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
     _TRACKED.append((df, pin))
-    while sum(1 for _, pinned in _TRACKED if pinned) > MAX_PINNED:
-        evict_idx = next(i for i, (_, pinned) in enumerate(_TRACKED) if pinned)
-        old, _ = _TRACKED.pop(evict_idx)
-        warnings.warn(
-            "caches.track: more than MAX_PINNED pinned relations alive in a "
-            "session that has not called release_all(); evicting the oldest "
-            "pin. If its consuming plan was never materialized its baked "
-            "partition offsets are now stale (see module docstring).",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        try:
-            old.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
     while len(_TRACKED) > MAX_TRACKED:
         evict_idx = next(
             (i for i, (_, pinned) in enumerate(_TRACKED) if not pinned), None

@@ -49,9 +49,8 @@ _KH = "__mrk_kh"  # 52-bit key digest (bucket routing)
 _H = "__mrk_h"  # 52-bit row digest (key + values)
 
 
-def _digest52(cols: list[str]) -> Column:
-    """Deterministic 52-bit digest of the named columns with an
-    INJECTIVE field encoding (ADVICE r10): each field is
+def _tokens(cols: list[str]) -> list[Column]:
+    """INJECTIVE field encoding (ADVICE r10): each field is
     LENGTH-PREFIXED — `len(value) ':' value '|'`, with NULL as the
     distinct token `'N|'` (a length prefix always starts with a digit,
     so 'N' cannot collide with real content). A plain separator join
@@ -60,41 +59,62 @@ def _digest52(cols: list[str]) -> Column:
     encode as 'a||b'), turning two different rows into a deterministic
     digest collision instead of the documented 2^-52 random one; the
     length prefix makes the parse unambiguous (read digits to ':',
-    consume exactly that many chars, expect '|'). One md5 per row —
-    the per-column-md5 alternative measured ~2x the digest cost on the
-    three-scan Merkle ladder. 13 hex chars = 52 bits — inside a BIGINT
-    and DuckDB's exact integer range, reproducible by any engine."""
-    tokens = []
+    consume exactly that many chars, expect '|')."""
+    out = []
     for c in cols:
         s = F.col(c).cast("string")
-        tokens.append(
+        out.append(
             F.when(s.isNull(), F.lit("N|")).otherwise(
                 F.concat(F.length(s).cast("string"), F.lit(":"), s, F.lit("|"))
             )
         )
-    return F.conv(F.substring(F.md5(F.concat(*tokens)), 1, 13), 16, 10).cast("long")
+    return out
+
+
+def _digest52(cols: list[str]) -> Column:
+    """Deterministic 52-bit digest of the named columns over the
+    injective token encoding. One md5 per row — the per-column-md5
+    alternative measured ~2x the digest cost on the three-scan Merkle
+    ladder. 13 hex chars = 52 bits — inside a BIGINT and DuckDB's exact
+    integer range, reproducible by any engine."""
+    return F.conv(F.substring(F.md5(F.concat(*_tokens(cols))), 1, 13), 16, 10).cast(
+        "long"
+    )
 
 
 def _bucketed(
     df: DataFrame, key_cols: list[str], value_cols: list[str],
     n_coarse: int, n_fine: int,
 ) -> DataFrame:
-    return df.select(
+    # The key token payload is built and md5'd ONCE (r11 verdict item 2:
+    # digesting key_cols twice — once for _KH, once inside _H's
+    # key+value payload — paid double token construction and double md5
+    # input on every ladder scan). _KH is carved out of the key md5's
+    # hex; _H re-hashes that FIXED-WIDTH 32-hex token concatenated with
+    # the value tokens, which keeps the encoding injective (the hex
+    # prefix cannot shift across the boundary) while roughly halving the
+    # per-row digest bytes for key-heavy schemas. A row digest now
+    # collides across different keys only via a full md5 collision of
+    # the key payloads — far below the documented 2^-52 row-digest rate.
+    staged = df.select(
         *key_cols,
-        _digest52(list(key_cols)).alias(_KH),
-        _digest52(list(key_cols) + list(value_cols)).alias(_H),
+        F.md5(F.concat(*_tokens(list(key_cols)))).alias("__kh_hex"),
+        F.concat(*_tokens(list(value_cols))).alias("__vals"),
     ).select(
+        *key_cols,
+        F.conv(F.substring("__kh_hex", 1, 13), 16, 10).cast("long").alias(_KH),
+        F.col("__kh_hex"),
+        F.col("__vals"),
+    )
+    return staged.select(
         *key_cols,
         F.pmod(F.col(_KH), F.lit(n_coarse)).cast("int").alias("coarse"),
         F.expr(f"CAST(pmod({_KH} div {n_coarse}, {n_fine}) AS INT)").alias("fine"),
-        F.col(_H),
-    )
-
-
-def _bucket_digests(d: DataFrame, grain: list[str], side: str) -> DataFrame:
-    return d.groupBy(*grain).agg(
-        F.expr(f"bit_xor({_H})").cast("long").alias(f"dig_{side}"),
-        F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+        F.conv(
+            F.substring(F.md5(F.concat("__kh_hex", "__vals")), 1, 13), 16, 10
+        )
+        .cast("long")
+        .alias(_H),
     )
 
 
@@ -135,17 +155,39 @@ def _maybe_cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def _ladder_digests(d: DataFrame, side: str) -> DataFrame:
+    """BOTH ladder grains from ONE aggregation pass (r12: the two-pass
+    form scanned — and digested — each side twice; at 100 TB the fine
+    pass re-reads the full corpus even though its output is filtered to
+    dirty coarse buckets, because the coarse id is itself a digest
+    function). rollup(coarse, fine) partial-aggregates map-side like any
+    xor/count fold; the fine grain is ≤ n_coarse*n_fine rows, so
+    computing it for CLEAN coarse buckets too costs KBs of aggregate
+    state, not a corpus scan. grouping_id: 0 = (coarse, fine) grain,
+    1 = (coarse) grain; the () grand-total row (3) is dropped."""
+    lv = (
+        d.rollup("coarse", "fine")
+        .agg(
+            F.expr(f"bit_xor({_H})").cast("long").alias(f"dig_{side}"),
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+            F.grouping_id().alias("__g"),
+        )
+    )
+    return lv
+
+
 def _dirty_fine_buckets(da: DataFrame, db: DataFrame) -> DataFrame:
+    la, lb = _ladder_digests(da, "left"), _ladder_digests(db, "right")
     dirty_coarse = _dirty(
-        _bucket_digests(da, ["coarse"], "left"),
-        _bucket_digests(db, ["coarse"], "right"),
+        la.where(F.col("__g") == 1).select("coarse", "dig_left", "n_left"),
+        lb.where(F.col("__g") == 1).select("coarse", "dig_right", "n_right"),
         ["coarse"],
     ).select("coarse")
+    fa = la.where(F.col("__g") == 0).join(F.broadcast(dirty_coarse), "coarse")
+    fb = lb.where(F.col("__g") == 0).join(F.broadcast(dirty_coarse), "coarse")
     return _dirty(
-        _bucket_digests(da.join(F.broadcast(dirty_coarse), "coarse"),
-                        ["coarse", "fine"], "left"),
-        _bucket_digests(db.join(F.broadcast(dirty_coarse), "coarse"),
-                        ["coarse", "fine"], "right"),
+        fa.select("coarse", "fine", "dig_left", "n_left"),
+        fb.select("coarse", "fine", "dig_right", "n_right"),
         ["coarse", "fine"],
     ).select("coarse", "fine", "dig_left", "dig_right", "n_left", "n_right")
 

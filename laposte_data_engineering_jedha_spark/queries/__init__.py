@@ -802,33 +802,48 @@ ROUND11_ADDED: list[str] = [
     "eval_cluster_silhouette",
 ]
 
-# Round-11 window (first 50), per the rotation staged at round-10 close
-# AS AMENDED by the round-10 verdict (next-round item 1): the 9 round-10
-# additions (replica-gate-only until now — their first external hash
-# rows) + `embedding_pq_codes` pulled to the HEAD of the fill (its only
-# external row on file is the r06 canonicalizer FAIL, the one
-# contradiction between driver evidence and current claims; it graduated
-# to a full canon-safe oracle in r8) + the next-oldest r05-verified fill
-# rows (_R4_FILL[30:] then ROUND4_VERIFIED[:20]) to reach exactly 50.
+# Round-12 additions land here as they are built this round; they queue
+# past the window (round-13 window candidates). Registration order IS the
+# queue.
+ROUND12_ADDED: list[str] = [
+    # round-12 session batch 1 (queries/round12a.py): the embedding-LSH
+    # oracle surface moves to auto-banding (r11 verdict item 6) and the
+    # IVF lifecycle gains incremental append (r11 verdict item 8)
+    "dedup_embedding_cosine_auto",
+    "ivf_index_append_search",
+    # round-12 session batch 2 (queries/round12b.py)
+    "olap_rfm_segments",
+    "dq_outlier_mad_report",
+    "olap_price_quantity_slope_by_brand",
+    "events_user_hhi_histogram",
+    "corpus_token_gini",
+    # round-12 session batch 3 (queries/round12c.py)
+    "eval_ivf_recall_at_k",
+]
+
+# Round-12 window (first 50), exactly as staged at round-11 close and
+# confirmed by the round-11 verdict (next-round item 1): the 11 round-11
+# additions (replica-gate-only until now — the only registered queries
+# with no driver hash row ever) + the next-oldest r05-verified fill rows
+# (ROUND4_VERIFIED[20:], then the ROUND5_DEFERRED remainder, then
+# ROUND5_ADDED in listed order) to reach exactly 50.
 #
-# ROUND-12 ROTATION (stage at round-12 start): window = ROUND11_ADDED
-# (whatever lands this round) + as many of the next-oldest r05-verified
-# rows (ROUND4_VERIFIED[20:], then the ROUND5_DEFERRED remainder /
-# ROUND5_ADDED, in listed order) as needed to reach exactly 50. Move that
-# slice to the head of DRIVER_WINDOW_PRIORITY and update
+# ROUND-13 ROTATION (stage at round-13 start): window = ROUND12_ADDED
+# (whatever lands this round) + as many of the next-oldest verified rows
+# (ROUND5_ADDED[9:], then ROUND6_GRADUATED / ROUND3_VERIFIED, in listed
+# order) as needed to reach exactly 50. Move that slice to the head of
+# DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
-# stage ROUND12_ADDED after the window as this round did.
+# stage ROUND13_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND10_ADDED,
-    "embedding_pq_codes",
-    *_R4_FILL[30:],
-    *ROUND4_VERIFIED[:20],
+    *ROUND11_ADDED,
+    *ROUND4_VERIFIED[20:],
+    *[n for n in ROUND5_DEFERRED if n != "embedding_pq_codes"],
+    *ROUND5_ADDED[:10],
     # --- past the 50-query window: externally verified in earlier rounds,
     # kept on the in-repo replica gate; oldest remaining rows first (next
     # in the rotation) ---
-    *ROUND4_VERIFIED[20:],
-    *[n for n in ROUND5_DEFERRED if n != "embedding_pq_codes"],
-    *ROUND5_ADDED,
+    *ROUND5_ADDED[10:],
     *ROUND6_GRADUATED,
     *ROUND3_VERIFIED[:17],
     *ROUND6_ADDED,
@@ -837,12 +852,16 @@ DRIVER_WINDOW_PRIORITY = [
     *ROUND3_VERIFIED[17:24],
     *ROUND8_ADDED,
     *ROUND3_VERIFIED[24:47],
-    # --- re-verified in the round-10 window (freshest external rows) ---
     *ROUND3_VERIFIED[47:],
     *ROUND9_ADDED,
     *_R4_FILL[:30],
-    # --- round-12 window queue: this round's additions ---
-    *ROUND11_ADDED,
+    # --- re-verified in the round-11 window (freshest external rows) ---
+    *ROUND10_ADDED,
+    "embedding_pq_codes",
+    *_R4_FILL[30:],
+    *ROUND4_VERIFIED[:20],
+    # --- round-13 window queue: this round's additions ---
+    *ROUND12_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}
@@ -864,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e, round11a, round11b, round11c, round11d, round11e  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e, round11a, round11b, round11c, round11d, round11e, round12a, round12b, round12c  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

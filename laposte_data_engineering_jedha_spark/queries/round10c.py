@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
 from . import query, table
 from .llmops import SQL_NORM, sql_dot, sql_round
 
@@ -81,29 +80,64 @@ def eval_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     window); the overlap join is at (query, cand) grain — {_MAT_K}*|q|
     rows. Rounded-cosine ties break on cand_id in both engines, the
     established knn-oracle construction."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors
+
     emb = table(spark, sf_dir, "embeddings")
-    # exclude prefix-degenerate vectors on BOTH sides, mirroring the SQL
-    pre_norm = F.sqrt(
-        F.aggregate(
-            F.slice("embedding", 1, _MAT_DIM),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
+    # ONE corpus pass computing BOTH cosines (r11 verdict item 4 follow-up:
+    # the two-brute_force_knn form scanned the corpus twice and ran two
+    # per-query top-k exchanges; round-12 profiling put it at the top of
+    # the cross-round outlier list). Same rounding (1e-6) and tie order
+    # (cosine desc, cand_id), so full/prefix top-k sets — and therefore
+    # the recall rows — are bit-identical to the previous plan and to the
+    # SQL twin; a row in both top-ks is exactly one overlap member.
+    sides = []
+    for id_alias, v, n, n16 in (
+        ("cand_id", "cv", "cn", "cn16"),
+        ("query_id", "qv", "qn", "qn16"),
+    ):
+        sides.append(
+            emb.select(
+                F.col("vec_id").alias(id_alias),
+                F.col("embedding").alias(v),
+                vectors.pd_norm("embedding").alias(n),
+                F.sqrt(
+                    F.aggregate(
+                        F.slice("embedding", 1, _MAT_DIM),
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                ).alias(n16),
+            ).where((F.col(n) > 0) & (F.col(n16) > 0))
+        )
+    cand, qry = sides
+    q_pred = (F.col("query_id") >= _MAT_Q_LO) & (F.col("query_id") < _MAT_Q_HI)
+    qry = qry.where(q_pred)
+    cos_full = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    cos_pre = vectors.pd_dot("qv16", "cv16") / (F.col("qn16") * F.col("cn16"))
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("qv16", F.slice("qv", 1, _MAT_DIM))
+        .withColumn("cv16", F.slice("cv", 1, _MAT_DIM))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.round(cos_full * 1e6) / 1e6).alias("cos_full"),
+            (F.round(cos_pre * 1e6) / 1e6).alias("cos_pre"),
         )
     )
-    base = emb.withColumn("__pn", pre_norm).where(F.col("__pn") > 0)
-    q_pred = (F.col("vec_id") >= _MAT_Q_LO) & (F.col("vec_id") < _MAT_Q_HI)
-    full_k = similarity.brute_force_knn(base, base.where(q_pred), k=_MAT_K)
-    pre = base.select(
-        "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
-    )
-    pre_k = similarity.brute_force_knn(pre, pre.where(q_pred), k=_MAT_K)
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "cand_id")
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos_pre").desc(), "cand_id")
     ov = (
-        full_k.select("query_id", "cand_id")
-        .join(pre_k.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        pairs.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rp", F.row_number().over(wp))
+        .where((F.col("rf") <= _MAT_K) & (F.col("rp") <= _MAT_K))
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    queries = base.where(q_pred).select(F.col("vec_id").alias("query_id"))
+    queries = qry.select("query_id")
     return (
         queries.join(ov, "query_id", "left")
         .select(

@@ -23,8 +23,12 @@ complementary CONTENT guarantee to the oracle registry):
   repartition, drop) never touches row content.
 
 All scratch output lands under the system temp dir keyed by the
-absolute sf_dir, mode=overwrite — repeat runs (bench warm + timed) reuse
-the same location, and different scale factors never collide.
+absolute sf_dir AND the writer pid (ADVICE r11: sf_dir-only keys let two
+concurrent runs over the same sf_dir — parallel test workers, an
+overlapping bench and replica gate — overwrite each other's output
+mid-read, flaking digests/file counts), mode=overwrite — repeat runs
+inside one process (bench warm + timed) reuse the same location, while
+concurrent processes and different scale factors never collide.
 """
 
 from __future__ import annotations
@@ -39,35 +43,50 @@ from pyspark.sql import functions as F
 
 from ..functions import exprs
 from ..operators import layout
+from ..operators.reconcile import _digest52
 from . import events_table, query, sql_round2, table
 
 _LC_N_FILES = 8
 
+# Single-writer-per-location token: distinct concurrent PROCESSES write
+# to distinct scratch paths / catalog table names. Computed at import so
+# every query in one process (and its warm+timed bench runs) shares it.
+_PROC_TAG = f"{os.getpid():x}"
+
 
 def _scratch(sf_dir: str, kind: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"laposte_layout_{kind}_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"laposte_layout_{kind}_{tag}_{_PROC_TAG}"
+    )
 
 
-# Injective per-column md5-token row digest (same construction as
-# operators/reconcile._digest52, ADVICE r10): fixed-width 32-hex tokens
-# cannot shift across field boundaries, and the 'NULL' token contains
-# non-hex characters so it can never collide with real content. bit_xor
-# of the per-row 52-bit digests is order-free and overflow-free — the
-# multiset content fingerprint both engines reproduce bit-for-bit.
+# Injective length-prefixed one-md5 row digest — the SAME construction
+# as operators/reconcile._digest52 (imported, not re-derived): each
+# field encodes as `len ':' value '|'` (NULL -> 'N|'), one md5 per row.
+# ADVICE r11: the previous per-column-md5 variant here was the
+# construction reconcile's docstring documents as measured ~2x slower,
+# and these identity queries digest full-table scans. bit_xor of the
+# per-row 52-bit digests is order-free and overflow-free — the multiset
+# content fingerprint both engines reproduce bit-for-bit.
 _EV_COLS = ["event_id", "ts_us", "user_id", "event_type", "cents", "props"]
 
 
 def _row_digest52(cols: list[str]) -> Column:
-    payload = F.concat(
-        *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols]
+    return _digest52(cols)
+
+
+def _sql_token(c: str) -> str:
+    return (
+        f"CASE WHEN {c} IS NULL THEN 'N|' "
+        f"ELSE CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST({c} AS VARCHAR) || '|' END"
     )
-    return F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
 
 
 _SQL_EV_DIGEST = (
     "CAST('0x' || substr(md5("
-    + " || ".join(f"COALESCE(md5(CAST({c} AS VARCHAR)), 'NULL')" for c in _EV_COLS)
+    + " || ".join(_sql_token(c) for c in _EV_COLS)
     + "), 1, 13) AS BIGINT)"
 )
 
@@ -179,8 +198,9 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined via operators/layout.bucketed_equi_join. The oracle is the
     plain join+aggregate over the original parquet — the bucketed
     layout must be semantically invisible. Table names and paths are
-    keyed by sf_dir so concurrent scale factors never collide."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    keyed by sf_dir AND pid so neither concurrent scale factors nor
+    concurrent processes over the same sf_dir collide (ADVICE r11)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + f"_{_PROC_TAG}"
     base = _scratch(sf_dir, "bucketed")
     orders_name, cust_name = f"lyt_orders_{tag}", f"lyt_customer_{tag}"
     layout.write_bucketed(

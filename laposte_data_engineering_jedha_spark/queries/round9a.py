@@ -43,7 +43,12 @@ _IDX_Q_LO, _IDX_Q_HI = 8, 16
 #: stale index from older code must never be reused
 _INDEX_CONTRACT = "v1-pinned16-foldfaithful"
 
-_IVF_INDEX_SQL = f"""
+def _ivf_index_sql(q_lo: int, q_hi: int) -> str:
+    """The stored-index oracle, parameterized by the query slice: inline
+    pinned-codebook assignment over the WHOLE corpus, probe routing,
+    exact cosine re-rank, per-query top-k. Reused by round12a's
+    append-lifecycle query with a disjoint slice."""
+    return f"""
 WITH n AS (SELECT vec_id, embedding, {SQL_NORM} AS nrm FROM embeddings
            WHERE {SQL_NORM} > 0),
 cand AS (SELECT vec_id, embedding AS cv, nrm AS cn,
@@ -51,7 +56,7 @@ cand AS (SELECT vec_id, embedding AS cv, nrm AS cn,
          FROM n),
 qp AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
               unnest({_SQL_PROBES}) AS centroid
-       FROM n WHERE vec_id >= {_IDX_Q_LO} AND vec_id < {_IDX_Q_HI}),
+       FROM n WHERE vec_id >= {q_lo} AND vec_id < {q_hi}),
 pairs AS (
   SELECT query_id, c.vec_id AS cand_id,
          {sql_round(f"{sql_dot('qv', 'c.cv', _EMB_DIM)} / (qn * c.cn)", 6)} AS cosine
@@ -61,6 +66,9 @@ ranked AS (
             AS rank
   FROM pairs)
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}"""
+
+
+_IVF_INDEX_SQL = _ivf_index_sql(_IDX_Q_LO, _IDX_Q_HI)
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:

@@ -65,6 +65,35 @@ def planted_dup_vecs(spark, n_base: int, n_dups: int, dim: int = 64):
     return base.unionByName(dups)
 
 
+def _bigint_ts_micros(ev):
+    """Convert a bigint `ts` column to epoch MICROS with the unit
+    DETECTED from magnitude (ADVICE r11: assuming nanoseconds mis-scales
+    a micros/millis-encoded column by 1000x, collapsing the
+    per-(hour,type) buckets the triangle-ladder exponent depends on).
+    Any epoch between 1973 and ~2100 lands in a distinct decade per
+    unit, so the max-magnitude probe is unambiguous; the derived range
+    is asserted afterwards as a hard guard."""
+    probe = ev.agg(F.max(F.abs(F.col("ts"))).alias("m")).first()["m"] or 0
+    if probe >= 10**17:  # nanoseconds
+        micros = F.expr("ts div 1000")
+    elif probe >= 10**14:  # microseconds
+        micros = F.col("ts")
+    elif probe >= 10**11:  # milliseconds
+        micros = F.col("ts") * 1000
+    else:  # seconds
+        micros = F.col("ts") * 1_000_000
+    out = F.timestamp_micros(micros)
+    bounds = ev.agg(
+        F.min(F.year(out)).alias("lo"), F.max(F.year(out)).alias("hi")
+    ).first()
+    if bounds["lo"] is not None and not (1970 <= bounds["lo"] <= bounds["hi"] <= 2100):
+        raise AssertionError(
+            f"bigint ts unit detection produced years {bounds['lo']}..{bounds['hi']} "
+            f"(probe magnitude {probe}); refusing to time a mis-scaled ladder"
+        )
+    return out
+
+
 def ensure_corpora(spark) -> dict[str, str]:
     paths = {
         "vec_d1": os.path.join(SCALE_DIR, "vec_d1.parquet"),
@@ -84,7 +113,7 @@ def ensure_corpora(spark) -> dict[str, str]:
         reps = spark.range(10).select(F.col("id").alias("rep"))
         ev.crossJoin(reps).select(
             (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+            _bigint_ts_micros(ev).alias("ts")
             if dict(ev.dtypes).get("ts") == "bigint"
             else F.col("ts").cast("timestamp").alias("ts"),
             (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),

@@ -72,32 +72,63 @@ def test_pinned_entries_survive_eviction_pressure(spark):
     assert pinned.storageLevel.useMemory is False
 
 
+def test_pinned_cap_raises_by_default(spark):
+    """ADVICE r11: evicting an unmaterialized pin with only a
+    RuntimeWarning could still silently corrupt ranks (warnings rarely
+    surface in batch logs). Exceeding MAX_PINNED under the default
+    PIN_EVICTION_POLICY='raise' is now a hard error, nothing is evicted,
+    and every already-registered pin stays persisted."""
+    import pytest as _pytest
+
+    caches.release_all()
+    assert caches.PIN_EVICTION_POLICY == "raise"  # the shipped default
+    dfs = [
+        spark.range(3).select((F.col("id") + i).alias("v")).persist()
+        for i in range(caches.MAX_PINNED + 1)
+    ]
+    for df in dfs[: caches.MAX_PINNED]:
+        caches.track(df, pin=True)
+    with _pytest.raises(RuntimeError, match="MAX_PINNED"):
+        caches.track(dfs[-1], pin=True)
+    # nothing was evicted: all MAX_PINNED registered pins still persisted
+    pinned_alive = [d for d, p in caches._TRACKED if p]
+    assert len(pinned_alive) == caches.MAX_PINNED
+    assert all(d.storageLevel.useMemory is True for d in pinned_alive)
+    assert caches.release_all() == caches.MAX_PINNED
+    dfs[-1].unpersist()
+
+
 def test_pinned_cap_evicts_oldest_pin_with_warning(spark):
     """ADVICE r10: fully exempt pins reintroduced the unbounded-handle
-    leak for never-releasing sessions. Pins now carry their own
-    MAX_PINNED cap — the oldest pin is evicted (and unpersisted) with a
-    loud RuntimeWarning once more than MAX_PINNED are alive, keeping a
-    run-forever offsets-ranking session bounded on both sides."""
+    leak for never-releasing sessions. Pins carry their own MAX_PINNED
+    cap; under the opt-in PIN_EVICTION_POLICY='warn' the oldest pin is
+    evicted (and unpersisted) with a loud RuntimeWarning once more than
+    MAX_PINNED are alive, keeping a run-forever offsets-ranking session
+    bounded on both sides."""
     import warnings as _w
 
     caches.release_all()
-    dfs = [
-        spark.range(3).select((F.col("id") + i).alias("v")).persist()
-        for i in range(caches.MAX_PINNED + 3)
-    ]
-    with _w.catch_warnings(record=True) as caught:
-        _w.simplefilter("always")
-        for df in dfs:
-            caches.track(df, pin=True)
-    pinned_alive = [d for d, p in caches._TRACKED if p]
-    assert len(pinned_alive) == caches.MAX_PINNED
-    # oldest pins evicted and unpersisted; newest retained and persisted
-    assert all(d not in pinned_alive for d in dfs[:3])
-    assert all(d.storageLevel.useMemory is False for d in dfs[:3])
-    assert pinned_alive[-1] is dfs[-1]
-    assert dfs[-1].storageLevel.useMemory is True
-    assert sum("MAX_PINNED" in str(w.message) for w in caught) == 3
-    assert caches.release_all() == caches.MAX_PINNED
+    caches.PIN_EVICTION_POLICY = "warn"
+    try:
+        dfs = [
+            spark.range(3).select((F.col("id") + i).alias("v")).persist()
+            for i in range(caches.MAX_PINNED + 3)
+        ]
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            for df in dfs:
+                caches.track(df, pin=True)
+        pinned_alive = [d for d, p in caches._TRACKED if p]
+        assert len(pinned_alive) == caches.MAX_PINNED
+        # oldest pins evicted and unpersisted; newest retained and persisted
+        assert all(d not in pinned_alive for d in dfs[:3])
+        assert all(d.storageLevel.useMemory is False for d in dfs[:3])
+        assert pinned_alive[-1] is dfs[-1]
+        assert dfs[-1].storageLevel.useMemory is True
+        assert sum("MAX_PINNED" in str(w.message) for w in caught) == 3
+        assert caches.release_all() == caches.MAX_PINNED
+    finally:
+        caches.PIN_EVICTION_POLICY = "raise"
 
 
 def test_pinned_cap_not_triggered_by_unpinned_pressure(spark):

@@ -247,21 +247,19 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-11 rotation (staged at round-10 close, amended per the
-    # round-10 verdict): the 50-slot window = the 9 round-10 additions
-    # (first external hash rows) + embedding_pq_codes at the head of the
-    # fill (its only driver row on file is the r06 canon FAIL) + the
-    # next-oldest r05-verified fill rows (_R4_FILL[30:] then
-    # ROUND4_VERIFIED[:20]).
+    # round-12 rotation (staged at round-11 close, confirmed by the
+    # round-11 verdict item 1): the 50-slot window = the 11 round-11
+    # additions (first external hash rows ever) + the next-oldest
+    # r05-verified fill rows (ROUND4_VERIFIED[20:], the ROUND5_DEFERRED
+    # remainder, then ROUND5_ADDED[:10]).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND10_ADDED) == 9
-    fill = [n for n in q.ROUND4_ADDED if n not in set(q.ROUND5_DEFERRED)]
+    assert len(q.ROUND11_ADDED) == 11
     assert window == (
-        list(q.ROUND10_ADDED)
-        + ["embedding_pq_codes"]
-        + fill[30:]
-        + list(q.ROUND4_VERIFIED[:20])
+        list(q.ROUND11_ADDED)
+        + list(q.ROUND4_VERIFIED[20:])
+        + [n for n in q.ROUND5_DEFERRED if n != "embedding_pq_codes"]
+        + list(q.ROUND5_ADDED[:10])
     )
     # every window slot carries a full hash (the whole round-10 window is
     # oracle-bearing — no rows-only entries; ADVICE r9: assert ORACLE_SQL
@@ -277,28 +275,28 @@ def test_driver_window_priority_matches_registry():
         q.ROUND5_ADDED
     ) | set(q.ROUND6_GRADUATED) | set(q.ROUND7_ADDED) | set(
         q.ROUND8_ADDED
-    ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) | set(q.ROUND11_ADDED) == set(
-        q.SPARK_QUERIES
-    )
-    # round-11 additions queue behind the window (round-12 candidates)
+    ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) | set(q.ROUND11_ADDED) | set(
+        q.ROUND12_ADDED
+    ) == set(q.SPARK_QUERIES)
+    # round-12 additions queue behind the window (round-13 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND11_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND12_ADDED
     )
-    # the staged ROUND-12 window arithmetic must already close: this
+    # the staged ROUND-13 window arithmetic must already close: this
     # round's additions + the oldest remaining fill rows (the
-    # ROUND4_VERIFIED remainder, then the round-5 batch) can compose
-    # exactly 50 oracle-bearing slots.
-    r12_head = list(q.ROUND11_ADDED)
-    r12_fill = (
-        list(q.ROUND4_VERIFIED[20:])
-        + [n for n in q.ROUND5_DEFERRED if n != "embedding_pq_codes"]
-        + list(q.ROUND5_ADDED)
+    # ROUND5_ADDED remainder, then the round-6 graduations and the
+    # round-3 parity surface) can compose exactly 50 oracle-bearing slots.
+    r13_head = list(q.ROUND12_ADDED)
+    r13_fill = (
+        list(q.ROUND5_ADDED[10:])
+        + list(q.ROUND6_GRADUATED)
+        + list(q.ROUND3_VERIFIED)
     )
-    assert len(r12_head) <= 50, "round-11 additions overflow the round-12 window"
-    assert len(r12_head) + len(r12_fill) >= 50, "not enough fill rows for round 12"
-    r12_window = r12_head + r12_fill[: 50 - len(r12_head)]
-    assert len(r12_window) == len(set(r12_window)) == 50
-    assert all(name in q.ORACLE_SQL for name in r12_window)
+    assert len(r13_head) <= 50, "round-12 additions overflow the round-13 window"
+    assert len(r13_head) + len(r13_fill) >= 50, "not enough fill rows for round 13"
+    r13_window = r13_head + r13_fill[: 50 - len(r13_head)]
+    assert len(r13_window) == len(set(r13_window)) == 50
+    assert all(name in q.ORACLE_SQL for name in r13_window)
 
 
 def test_webapi_serves_console_ui(webapp):

@@ -505,3 +505,106 @@ def test_tumbling_dau_chain_matches_batch(spark, events_dir):
         .agg(F.count_distinct("user_id").alias("dau"))
     )
     assert batch == direct
+
+
+def _write_time_slices(spark, sf_dir, src, idxs):
+    """Append time-range slices i/4 of the events table to `src` as
+    single parquet files with distinct mod times (in-order arrival)."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    ev = events_table(spark, sf_dir)
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    total = (hi - lo).total_seconds()
+    for i in idxs:
+        a = lo + datetime.timedelta(seconds=total * i / 4)
+        b = (
+            hi + datetime.timedelta(seconds=1)
+            if i == 3
+            else lo + datetime.timedelta(seconds=total * (i + 1) / 4)
+        )
+        ev.where((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.1)
+
+
+def _run_ckpt_available_now(spark, stream_fn, src, out, ckpt):
+    """One availableNow run of a custom stateful op against a durable
+    parquet sink + checkpoint; stopping and calling this again with the
+    SAME ckpt resumes from the persisted state store + source offsets."""
+    q = (
+        stream_fn(jobs.read_events_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _checkpoint_kill_restart(spark, sf_dir, tmp_path, stream_fn, canon):
+    """r11 verdict item 3 harness: drive `stream_fn` over the first half
+    of the input, STOP (the availableNow query terminates and the session
+    would be free to die here — open per-key state lives only in the
+    checkpointed state store), append the second half, RESTART against
+    the same checkpoint, and require the union of both runs' emissions to
+    equal an uninterrupted single run over the identical full input."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_time_slices(spark, sf_dir, src, [0, 1])
+    _run_ckpt_available_now(spark, stream_fn, src, out, ckpt)
+    mid = canon(spark.read.parquet(out))
+    _write_time_slices(spark, sf_dir, src, [2, 3])
+    _run_ckpt_available_now(spark, stream_fn, src, out, ckpt)
+    resumed = canon(spark.read.parquet(out))
+
+    out2 = str(tmp_path / "out_uninterrupted")
+    ckpt2 = str(tmp_path / "ckpt_uninterrupted")
+    _run_ckpt_available_now(spark, stream_fn, src, out2, ckpt2)
+    uninterrupted = canon(spark.read.parquet(out2))
+
+    assert len(resumed) > len(mid) >= 0  # the restart did new work
+    assert resumed == uninterrupted
+    return resumed
+
+
+def test_sessionizer_checkpoint_kill_restart(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer's per-user state (open
+    session + watermark-pending buffer) must survive stop/restart via the
+    checkpoint: a run interrupted halfway and resumed must emit exactly
+    the sessions of an uninterrupted run — no session split at the
+    restart boundary, none emitted twice, none lost (r11 verdict item 3:
+    the reference has no streaming, so recovery is the extension layer's
+    own failure mode to prove)."""
+    canon = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in df.collect()
+    )
+    rows = _checkpoint_kill_restart(
+        spark, sf_dir, tmp_path, jobs.sessionize_stream, canon
+    )
+    keys = [(u, s) for u, s, _, _ in rows]
+    assert len(keys) == len(set(keys))  # exactly-once per session
+
+
+def test_topk_trending_checkpoint_kill_restart(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState top-k trending aggregation's per-window
+    count tables must survive stop/restart: windows OPEN at the stop
+    (counted but not finalized) must accumulate the post-restart arrivals
+    and finalize once, identically to the uninterrupted run."""
+    canon = lambda df: sorted(  # noqa: E731
+        (r["window_us"], r["rank"], r["event_type"], r["n"])
+        for r in df.collect()
+    )
+    rows = _checkpoint_kill_restart(
+        spark, sf_dir, tmp_path, jobs.topk_trending_stream, canon
+    )
+    keys = [(w, rk) for w, rk, _, _ in rows]
+    assert len(keys) == len(set(keys))  # one finalization per (window, rank)
