@@ -221,23 +221,30 @@ def corpus_fixed_n_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ======================= pairwise cosine histogram ============================
 
-_CH_RATE = 64  # keep ~1/64 of the pair space
-_CH_GATE = (1 << 52) // _CH_RATE
-_CH_HV = (
-    "CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '_' "
-    "|| CAST(b.vec_id AS VARCHAR)), 1, 13) AS BIGINT)"
+_CH_RATE = 64  # sample ~1/64 of the pair space
+
+# per-VECTOR 52-bit md5 bucket in [0, _CH_RATE): two independent ids land
+# in the same bucket with probability exactly 1/_CH_RATE, so the
+# same-bucket pair sample is uniform over pairs — and it joins as an
+# EQUI-join. (The first form gated on a hash of the ID PAIR, which needs
+# an a.id < b.id theta-join: a nested-loop cartesian evaluating n^2/2
+# md5s regardless of output size — the r12 sf1 sweep caught it at the
+# 300 s watchdog on 20k vectors.)
+_CH_SQL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_chb'), 1, 13) "
+    f"AS BIGINT) % {_CH_RATE}"
 )
 
 
 @query(
     "embedding_cosine_histogram",
     f"""
-WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
-           WHERE {SQL_NORM} > 0),
+WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm,
+                  {_CH_SQL_BUCKET} AS bk
+           FROM embeddings WHERE {SQL_NORM} > 0),
 p AS (
   SELECT {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
-  WHERE {_CH_HV} < {_CH_GATE})
+  FROM n a JOIN n b ON a.bk = b.bk AND a.vec_id < b.vec_id)
 SELECT CAST(CAST(round(cosine * 1000000) AS BIGINT) // 100000 AS BIGINT)
          AS cos_bucket,
        CAST(count(*) AS BIGINT) AS n_pairs
@@ -246,51 +253,49 @@ FROM p GROUP BY 1 ORDER BY cos_bucket
 )
 def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise-cosine geometry histogram over a deterministic 1-in-
-    {_CH_RATE} hash-gated sample of the pair space — the corpus-geometry
-    profile that calibrates LSH plane counts and dedup thresholds
-    (a mass near 1.0 = duplicate-rich corpus; tight mass near 0 =
-    near-orthogonal random cloud). The gate hashes the ID PAIR, so the
-    sample is uniform over pairs and reproducible in any engine; pair
-    volume is n^2/{_CH_RATE} — at 100 TB the rate scales with n^2 so
-    the sampled mass stays constant-size (the knob is one constant).
-    Buckets truncate the 1e-6-rounded cosine at 0.1 grain (both engines
-    truncate integer division toward zero — identical on negatives).
-    NOTE the self-join shuffles both sides once on nothing (cartesian
-    with the a<b and gate predicates pushed into the join): the gate
-    keeps the OUTPUT bounded, which is what matters — the dot products
-    only run on surviving pairs."""
+    {_CH_RATE} sample of the pair space — the corpus-geometry profile
+    that calibrates LSH plane counts and dedup thresholds (mass near
+    1.0 = duplicate-rich corpus; tight mass near 0 = near-orthogonal
+    random cloud). Sampling is per-vector md5 BUCKETS joined as an
+    equi-join: any two distinct ids share a bucket with probability
+    exactly 1/{_CH_RATE}, so every pair has uniform inclusion
+    probability, and the join is a hash join whose work is
+    output-proportional (per-bucket n_b^2), not an n^2 theta-join — the
+    plan the sf1 sweep's watchdog rejected. At 100 TB the rate constant
+    scales with n^2 to keep the sampled mass fixed. Buckets truncate
+    the 1e-6-rounded cosine at 0.1 grain (`div` and `//` both truncate
+    toward zero — identical on negatives)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("_chb"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CH_RATE
+    )
     n = (
         table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", vectors.pd_norm("embedding").alias("nrm"))
+        .select(
+            "vec_id",
+            "embedding",
+            vectors.pd_norm("embedding").alias("nrm"),
+            bucket.alias("bk"),
+        )
         .where(F.col("nrm") > 0)
     )
     a = n.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("bk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
     b = n.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+        F.col("bk").alias("bkb"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
-    gate = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("id_a").cast("string"),
-                    F.lit("_"),
-                    F.col("id_b").cast("string"),
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
     cos = vectors.pd_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(gate < _CH_GATE)
+        a.join(b, (F.col("bk") == F.col("bkb")) & (F.col("id_a") < F.col("id_b")))
         .select((F.round(cos * 1e6) / 1e6).alias("cosine"))
     )
     return (

@@ -119,3 +119,40 @@ def test_auto_banding_spark_side_planes_match_sql_formula(spark, sf_dir):
             f"FROM '{pq}'"
         ).fetchone()[0]
         assert dedup.auto_band_planes(n) == sql_planes, (sf_root, n)
+
+
+def test_cosine_histogram_plan_is_equi_join(spark, sf_dir):
+    """The r12 sf1 sweep caught the first registered form of
+    embedding_cosine_histogram at the 300 s watchdog: a pair-level hash
+    gate on an id_a < id_b theta-join is a nested-loop cartesian
+    evaluating n^2/2 md5s regardless of output size. The rewritten
+    per-vector-bucket form must plan as a HASH equi-join — pin that no
+    nested-loop/cartesian node ever reappears."""
+    from laposte_data_engineering_jedha_spark import queries as q
+
+    df = q.queries()["embedding_cosine_histogram"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hamming_filter_runs_below_pair_dedup(spark, sf_dir):
+    """hamming_band_pairs must filter `hamming <= d` BEFORE the pair
+    dropDuplicates (r12: the old order shuffled the full banded
+    candidate flood through the dedup Exchange — 36.9 -> 11.5 s at sf1).
+    The two orders are result-identical, and Catalyst cannot push a
+    non-key predicate through the dedup aggregate itself, so the order
+    is pinned structurally: in the optimized logical plan the
+    Deduplicate node sits ABOVE the hamming filter."""
+    from laposte_data_engineering_jedha_spark import queries as q
+
+    df = q.queries()["dedup_simhash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # with the filter below the dedup, Catalyst goes one further and
+    # folds `bit_count(xor) <= 3` INTO the band join's condition — the
+    # flood dies inside the join, never reaching the dedup Aggregate.
+    join_line = next(ln for ln in plan.splitlines() if "Join Inner" in ln)
+    assert "<= 3" in join_line, join_line
+    # and the pair-dedup aggregate sits ABOVE the join in the tree
+    assert plan.index("Aggregate") < plan.index("Join Inner"), plan[:2000]
