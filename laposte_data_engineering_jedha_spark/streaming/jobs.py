@@ -1076,3 +1076,148 @@ def run_topk_trending_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ===================== CUSUM control chart (streaming) ========================
+
+CUSUM_OUT_SCHEMA = "event_type string, day date, day_count long, cusum long, alarm int"
+# target/slack/cusum are -1/-1/0 until the baseline day finalizes; pending
+# parallel arrays hold (epoch_day, count) for days the watermark hasn't
+# passed yet — bounded by the per-key day fan-in over one watermark delay.
+_CUSUM_STATE_SCHEMA = (
+    "target long, slack long, cusum long, days array<long>, counts array<long>"
+)
+
+_DAY_MS = 86_400_000
+_DAY_NS = 86_400_000_000_000
+
+
+def cusum_control_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: one-sided upper CUSUM control
+    chart over each event type's DAILY event counts — the classic SPC
+    drift detector, run online. Per type, the first finalized day is the
+    baseline: target = its count, slack = target div 10 (the standard
+    k-allowance, integer). Every later finalized day folds
+    cusum = max(0, cusum + x - target - slack) and emits
+    (type, day, count, cusum, alarm = cusum > target) EXACTLY ONCE when
+    the watermark passes the day boundary — append semantics, no
+    retractions. All arithmetic is BIGINT; the fold order is day order,
+    enforced by watermark finalization exactly like the sessionizer's
+    pending buffer (same contract: a late-but-within-watermark event
+    lands in its day before that day can finalize). State per key = 3
+    longs + the pending (day, count) pairs inside one watermark horizon;
+    keys are event types, so state is O(types) forever — the
+    run-forever shape. Batch twin (oracle-checked, recursive-CTE SQL):
+    queries/round12g.py:events_cusum_control."""
+
+    def fold(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            target, slack, cusum, days, counts = state.get
+            pending = dict(zip(days, counts))
+        else:
+            target, slack, cusum, pending = -1, -1, 0, {}
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]
+            if len(rows):
+                per_day = (
+                    rows["ts"].astype("int64") // _DAY_NS
+                ).value_counts()
+                for day, n in per_day.items():
+                    day = int(day)
+                    pending[day] = pending.get(day, 0) + int(n)
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = sorted(d for d in pending if (d + 1) * _DAY_MS <= wm_ms)
+        out = []
+        for d in ready:
+            x = pending.pop(d)
+            if target < 0:
+                target = x  # baseline day: defines the chart, emits nothing
+                slack = target // 10
+                continue
+            cusum = max(0, cusum + x - target - slack)
+            out.append((d, x, cusum, 1 if cusum > target else 0))
+        if pending or target >= 0:
+            items = sorted(pending.items())
+            state.update(
+                (target, slack, cusum, [d for d, _ in items], [c for _, c in items])
+            )
+            if pending:
+                # wake when the earliest pending day can finalize
+                horizon = (min(pending) + 1) * _DAY_MS
+                state.setTimeoutTimestamp(max(horizon, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            epoch = datetime.date(1970, 1, 1)
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(out),
+                    "day": [epoch + datetime.timedelta(days=d) for d, *_ in out],
+                    "day_count": [x for _, x, *_ in out],
+                    "cusum": [c for *_, c, _a in out],
+                    "alarm": [a for *_, a in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_cusum_control(events: DataFrame) -> DataFrame:
+    """Batch twin of cusum_control_stream: per event type, daily counts in
+    day order, baseline = first present day, then the max(0, ...) CUSUM
+    recursion. The recursion is inherently sequential per key, so it runs
+    in ONE Arrow batch per event type over the DAY-GRAIN aggregate (types
+    x days rows — constants; the corpus-sized work is the groupBy
+    beneath), via applyInPandas."""
+    daily = (
+        events.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        target = int(pdf.loc[0, "x"])
+        slack = target // 10
+        cusum, rows = 0, []
+        for i in range(1, len(pdf)):
+            x = int(pdf.loc[i, "x"])
+            cusum = max(0, cusum + x - target - slack)
+            rows.append(
+                (pdf.loc[i, "event_type"], pdf.loc[i, "day"], x, cusum,
+                 1 if cusum > target else 0)
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "day", "day_count", "cusum", "alarm"]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(fold, CUSUM_OUT_SCHEMA)
+
+
+def run_cusum_control_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_cusum"
+) -> DataFrame:
+    """Drive the streaming CUSUM over the directory stream with
+    availableNow into a memory sink; returns finalized-day emissions."""
+    stream = cusum_control_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -608,3 +608,46 @@ def test_topk_trending_checkpoint_kill_restart(spark, sf_dir, tmp_path):
     )
     keys = [(w, rk) for w, rk, _, _ in rows]
     assert len(keys) == len(set(keys))  # one finalization per (window, rank)
+
+
+def test_cusum_control_stream_matches_batch(spark, events_dir):
+    """The streaming CUSUM control chart (6th custom stateful op) must
+    emit exactly the batch twin's rows for every day FINALIZED under the
+    final watermark — same targets, same folds, same alarms; days the
+    watermark hasn't passed are correctly withheld, never guessed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["cusum"], r["alarm"])
+        for r in df.collect()
+    )
+    batch = canon(jobs.batch_cusum_control(spark.read.parquet(events_dir)))
+    stream = canon(jobs.run_cusum_control_available_now(spark, events_dir))
+    assert len(stream) > 0
+    max_us = spark.read.parquet(events_dir).agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_ms = max_us // 1000 - 600_000  # 10-minute watermark
+    epoch = datetime.date(1970, 1, 1)
+    closed = [
+        t for t in batch if ((t[1] - epoch).days + 1) * 86_400_000 <= wm_ms
+    ]
+    assert stream == closed
+    # exactly-once per (type, day)
+    keys = [(t[0], t[1]) for t in stream]
+    assert len(keys) == len(set(keys))
+
+
+def test_cusum_control_checkpoint_kill_restart(spark, sf_dir, tmp_path):
+    """The CUSUM chart's per-type state (target/slack/cusum + pending
+    days) must survive stop/restart via the checkpoint: interrupted and
+    resumed == uninterrupted, fold unbroken across the boundary."""
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["cusum"], r["alarm"])
+        for r in df.collect()
+    )
+    rows = _checkpoint_kill_restart(
+        spark, sf_dir, tmp_path, jobs.cusum_control_stream, canon
+    )
+    keys = [(t[0], t[1]) for t in rows]
+    assert len(keys) == len(set(keys))
