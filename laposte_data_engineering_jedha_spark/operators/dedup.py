@@ -418,14 +418,26 @@ def hamming_band_pairs(
                 "hamming"
             ),
         )
-    # Filter BEFORE the pair-dedup shuffle: hamming is a pure function of
-    # the (id_a, id_b) sims (one sim per id), so every duplicate of a pair
-    # carries the same hamming and the two orders are result-identical —
-    # but Catalyst cannot push a non-key predicate through the aggregate
-    # itself, and the uncut candidate flood (bucket collisions at
-    # correlated-vocabulary scale) otherwise rides the Exchange in full.
-    # Measured at sf1 (50k docs, r12 sweep): 36.9 s -> filter-first cuts
-    # the shuffled candidate mass to the <= max_hamming survivors only.
+    # Order of filter vs pair-dedup — result-identical both ways (hamming
+    # is a pure function of the pair's sims, one sim per id), but Catalyst
+    # cannot push a non-key predicate through the dedup aggregate itself,
+    # so the order is chosen per branch:
+    # - UNCAPPED: filter FIRST. The candidate flood (bucket collisions at
+    #   correlated-vocabulary scale) otherwise rides the dedup Exchange in
+    #   full; Catalyst folds the hamming predicate into the band join and
+    #   the flood dies inside the join. Measured at sf1 (50k docs, r12
+    #   sweep): dedup_simhash 36.9 -> 11.5 s, exponent 1.58 -> 0.79.
+    # - CAPPED: dedup FIRST. The cap already bounds candidates (no flood
+    #   to kill), near-dup families pass the hamming filter in EVERY
+    #   shared band (the star join emits each surviving pair once per
+    #   band), and dropDuplicates' map-side partial aggregation shrinks
+    #   that bands-fold multiplicity before the Exchange — the shrink
+    #   that matters at the 1M-media scale SCALE.md measured. At fixture
+    #   scale the two orders measure identically for this branch.
+    if max_bucket is not None:
+        return raw.dropDuplicates(["id_a", "id_b"]).where(
+            F.col("hamming") <= max_hamming
+        )
     return raw.where(F.col("hamming") <= max_hamming).dropDuplicates(
         ["id_a", "id_b"]
     )
