@@ -6,10 +6,16 @@ SAME plan runs (a) in batch mode for the DuckDB oracle gate and (b) under
 Spark pattern for keeping batch and streaming semantics provably aligned.
 
 Scale notes: tumbling-window counts are a streaming state store keyed by
-(window, event_type) — bounded by watermark expiry. Sessionization is the
-custom stateful operator: `applyInPandasWithState` keyed by user_id, with
-per-user open-session state emitted on gap timeout (the batch
-window-function twin lives in queries/llmops.py:events_sessionize).
+(window, event_type) — bounded by watermark expiry. Six CUSTOM stateful
+operators run on `applyInPandasWithState` with event-time timeouts, each
+with a batch twin it is equivalence-tested against (several oracle-
+registered): the 30-min-gap sessionizer (user_id key; batch twin
+queries/llmops.py:events_sessionize), funnel detection, CEP pattern
+completions, trailing-hour rate alerts, exactly-once windowed top-k
+trending, and the per-type CUSUM control chart. All keep state to a
+watermark-horizon working set (or O(keys) constants), the property that
+makes them run forever; checkpoint kill-restart recovery is pinned in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
