@@ -835,31 +835,35 @@ ROUND12_ADDED: list[str] = [
     "events_cusum_control",
 ]
 
-# Round-12 window (first 50), exactly as staged at round-11 close and
-# confirmed by the round-11 verdict (next-round item 1): the 11 round-11
+# Round-13 additions land here as they are built this round; they queue
+# past the window (round-14 window candidates). Registration order IS the
+# queue.
+ROUND13_ADDED: list[str] = []
+
+# Round-13 window (first 50), exactly as staged at round-12 close and
+# confirmed by the round-12 verdict (next-round item 1): the 17 round-12
 # additions (replica-gate-only until now — the only registered queries
-# with no driver hash row ever) + the next-oldest r05-verified fill rows
-# (ROUND4_VERIFIED[20:], then the ROUND5_DEFERRED remainder, then
-# ROUND5_ADDED in listed order) to reach exactly 50.
+# with no driver hash row ever) + the next-oldest verified fill rows
+# (ROUND5_ADDED[10:] — 18 queries whose freshest external rows are r06 —
+# then the two ROUND6_GRADUATED oracles, then ROUND3_VERIFIED[:13]) to
+# reach exactly 50.
 #
-# ROUND-13 ROTATION (stage at round-13 start): window = ROUND12_ADDED
+# ROUND-14 ROTATION (stage at round-14 start): window = ROUND13_ADDED
 # (whatever lands this round) + as many of the next-oldest verified rows
-# (ROUND5_ADDED[9:], then ROUND6_GRADUATED / ROUND3_VERIFIED, in listed
-# order) as needed to reach exactly 50. Move that slice to the head of
+# (ROUND3_VERIFIED[13:], then ROUND6_ADDED, in listed order) as needed to
+# reach exactly 50. Move that slice to the head of
 # DRIVER_WINDOW_PRIORITY and update
 # tests/test_drivers.py::test_driver_window_priority_matches_registry;
-# stage ROUND13_ADDED after the window as this round did.
+# stage ROUND14_ADDED after the window as this round did.
 DRIVER_WINDOW_PRIORITY = [
-    *ROUND11_ADDED,
-    *ROUND4_VERIFIED[20:],
-    *[n for n in ROUND5_DEFERRED if n != "embedding_pq_codes"],
-    *ROUND5_ADDED[:10],
+    *ROUND12_ADDED,
+    *ROUND5_ADDED[10:],
+    *ROUND6_GRADUATED,
+    *ROUND3_VERIFIED[:13],
     # --- past the 50-query window: externally verified in earlier rounds,
     # kept on the in-repo replica gate; oldest remaining rows first (next
     # in the rotation) ---
-    *ROUND5_ADDED[10:],
-    *ROUND6_GRADUATED,
-    *ROUND3_VERIFIED[:17],
+    *ROUND3_VERIFIED[13:17],
     *ROUND6_ADDED,
     *ROUND7_GRADUATED,
     *ROUND7_ADDED,
@@ -869,13 +873,17 @@ DRIVER_WINDOW_PRIORITY = [
     *ROUND3_VERIFIED[47:],
     *ROUND9_ADDED,
     *_R4_FILL[:30],
-    # --- re-verified in the round-11 window (freshest external rows) ---
     *ROUND10_ADDED,
     "embedding_pq_codes",
     *_R4_FILL[30:],
     *ROUND4_VERIFIED[:20],
-    # --- round-13 window queue: this round's additions ---
-    *ROUND12_ADDED,
+    # --- re-verified in the round-12 window (freshest external rows) ---
+    *ROUND11_ADDED,
+    *ROUND4_VERIFIED[20:],
+    *[n for n in ROUND5_DEFERRED if n != "embedding_pq_codes"],
+    *ROUND5_ADDED[:10],
+    # --- round-14 window queue: this round's additions ---
+    *ROUND13_ADDED,
 ]
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(DRIVER_WINDOW_PRIORITY)}

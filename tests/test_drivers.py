@@ -247,19 +247,19 @@ def test_driver_window_priority_matches_registry():
     assert len(q.DRIVER_WINDOW_PRIORITY) == len(set(q.DRIVER_WINDOW_PRIORITY))
     # every oracle belongs to a registered query
     assert set(q.ORACLE_SQL) <= set(q.SPARK_QUERIES)
-    # round-12 rotation (staged at round-11 close, confirmed by the
-    # round-11 verdict item 1): the 50-slot window = the 11 round-11
+    # round-13 rotation (staged at round-12 close, confirmed by the
+    # round-12 verdict item 1): the 50-slot window = the 17 round-12
     # additions (first external hash rows ever) + the next-oldest
-    # r05-verified fill rows (ROUND4_VERIFIED[20:], the ROUND5_DEFERRED
-    # remainder, then ROUND5_ADDED[:10]).
+    # verified fill rows (ROUND5_ADDED[10:], ROUND6_GRADUATED, then
+    # ROUND3_VERIFIED[:13]).
     window = q.DRIVER_WINDOW_PRIORITY[:50]
     assert len(window) == 50
-    assert len(q.ROUND11_ADDED) == 11
+    assert len(q.ROUND12_ADDED) == 17
     assert window == (
-        list(q.ROUND11_ADDED)
-        + list(q.ROUND4_VERIFIED[20:])
-        + [n for n in q.ROUND5_DEFERRED if n != "embedding_pq_codes"]
-        + list(q.ROUND5_ADDED[:10])
+        list(q.ROUND12_ADDED)
+        + list(q.ROUND5_ADDED[10:])
+        + list(q.ROUND6_GRADUATED)
+        + list(q.ROUND3_VERIFIED[:13])
     )
     # every window slot carries a full hash (the whole round-10 window is
     # oracle-bearing — no rows-only entries; ADVICE r9: assert ORACLE_SQL
@@ -277,26 +277,22 @@ def test_driver_window_priority_matches_registry():
         q.ROUND8_ADDED
     ) | set(q.ROUND9_ADDED) | set(q.ROUND10_ADDED) | set(q.ROUND11_ADDED) | set(
         q.ROUND12_ADDED
-    ) == set(q.SPARK_QUERIES)
-    # round-12 additions queue behind the window (round-13 candidates)
+    ) | set(q.ROUND13_ADDED) == set(q.SPARK_QUERIES)
+    # round-13 additions queue behind the window (round-14 candidates)
     assert all(
-        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND12_ADDED
+        q.DRIVER_WINDOW_PRIORITY.index(name) >= 50 for name in q.ROUND13_ADDED
     )
-    # the staged ROUND-13 window arithmetic must already close: this
-    # round's additions + the oldest remaining fill rows (the
-    # ROUND5_ADDED remainder, then the round-6 graduations and the
-    # round-3 parity surface) can compose exactly 50 oracle-bearing slots.
-    r13_head = list(q.ROUND12_ADDED)
-    r13_fill = (
-        list(q.ROUND5_ADDED[10:])
-        + list(q.ROUND6_GRADUATED)
-        + list(q.ROUND3_VERIFIED)
-    )
-    assert len(r13_head) <= 50, "round-12 additions overflow the round-13 window"
-    assert len(r13_head) + len(r13_fill) >= 50, "not enough fill rows for round 13"
-    r13_window = r13_head + r13_fill[: 50 - len(r13_head)]
-    assert len(r13_window) == len(set(r13_window)) == 50
-    assert all(name in q.ORACLE_SQL for name in r13_window)
+    # the staged ROUND-14 window arithmetic must already close: this
+    # round's additions + the oldest remaining fill rows (the round-3
+    # parity remainder, then the round-6 additions) can compose exactly
+    # 50 oracle-bearing slots.
+    r14_head = list(q.ROUND13_ADDED)
+    r14_fill = list(q.ROUND3_VERIFIED[13:]) + list(q.ROUND6_ADDED)
+    assert len(r14_head) <= 50, "round-13 additions overflow the round-14 window"
+    assert len(r14_head) + len(r14_fill) >= 50, "not enough fill rows for round 14"
+    r14_window = r14_head + r14_fill[: 50 - len(r14_head)]
+    assert len(r14_window) == len(set(r14_window)) == 50
+    assert all(name in q.ORACLE_SQL for name in r14_window)
 
 
 def test_webapi_serves_console_ui(webapp):
