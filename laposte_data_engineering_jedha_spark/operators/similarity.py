@@ -25,6 +25,7 @@ SQL-expressible, so its guarantees are covered by tests
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -406,6 +407,36 @@ def ivf_index_write(
     ).write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/postings.parquet")
 
 
+#: names of delta tags already folded into the base by a compaction —
+#: kept so a RETRIED append with a consumed tag stays idempotent after
+#: the delta dir it would have early-returned on is gone (ADVICE r12:
+#: without this, the retry re-published the batch and silently
+#: duplicated vectors in the postings / drift accounting)
+_CONSUMED_MANIFEST = "consumed_deltas.json"
+#: per-delta row-count manifest, written at publish time so the drift
+#: ratio never has to re-read delta parquet (ADVICE r12)
+_ROWCOUNT_FILE = "n_rows.json"
+
+
+def _consumed_tags(path: str) -> set[str]:
+    f = os.path.join(path, _CONSUMED_MANIFEST)
+    if not os.path.exists(f):
+        return set()
+    with open(f) as fh:
+        return set(json.load(fh))
+
+
+def _delta_rowcount(spark, delta_dir: str) -> int:
+    """Rows in a published delta: from its publish-time manifest when
+    present, else one metadata-backed parquet count (pre-manifest
+    deltas)."""
+    f = os.path.join(delta_dir, _ROWCOUNT_FILE)
+    if os.path.exists(f):
+        with open(f) as fh:
+            return int(json.load(fh))
+    return spark.read.parquet(f"{delta_dir}/postings.parquet").count()
+
+
 def _index_delta_dirs(path: str) -> list[str]:
     """Published (complete) delta posting sets under `{path}/deltas/`, in
     name order. A delta is visible only once its postings carry a
@@ -467,7 +498,12 @@ def ivf_index_append(
     Returns 'delta' or 'rebuild'. `delta_tag` names the delta dir
     deterministically so a concurrent duplicate append (two processes
     racing the same logical batch) converges: the rename loser discards
-    its build and the winner's identical delta serves.
+    its build and the winner's identical delta serves. Idempotency
+    SURVIVES compaction: the compacted index carries a manifest of every
+    folded tag (_CONSUMED_MANIFEST, published atomically with the new
+    base), so a retried append whose delta dir was consumed is still a
+    no-op. Each delta also publishes its row count (_ROWCOUNT_FILE), so
+    the drift ratio is bookkeeping reads, not delta parquet re-scans.
 
     Cite: reference repo has no ANN/index surface (extension layer)."""
     tag = delta_tag or f"delta-{uuid.uuid4().hex[:12]}"
@@ -475,6 +511,11 @@ def ivf_index_append(
     if os.path.exists(os.path.join(final, "postings.parquet", "_SUCCESS")):
         # idempotent duplicate of an already-published logical batch:
         # it is not new data, so it must not advance the drift counter
+        return "delta"
+    if tag in _consumed_tags(path):
+        # the batch was already folded into the base by a compaction —
+        # its delta dir is gone, but a retry must still be a no-op
+        # (ADVICE r12: re-publishing would silently duplicate vectors)
         return "delta"
     centers_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
     if not centers_rows:
@@ -498,9 +539,13 @@ def ivf_index_append(
     base = spark.read.parquet(f"{path}/postings.parquet")
     deltas = _index_delta_dirs(path)
     n_base = base.count()
-    n_delta = sum(
-        spark.read.parquet(f"{d}/postings.parquet").count() for d in deltas
-    ) + new_postings.count()
+    # persist before the drift count so the pandas-UDF centroid
+    # assignment runs ONCE (the count and the delta/compaction write
+    # both reuse it); per-delta counts come from their publish-time
+    # manifests, not a re-read of every delta (ADVICE r12)
+    new_postings = new_postings.persist()
+    n_new = new_postings.count()
+    n_delta = sum(_delta_rowcount(spark, d) for d in deltas) + n_new
 
     if n_base > 0 and n_delta / n_base > rebuild_fraction:
         # compact: one full re-assignment pass over base + deltas + new
@@ -522,6 +567,19 @@ def ivf_index_append(
             centers=centers,
             fold_faithful=fold_faithful,
         )
+        new_postings.unpersist()
+        # record every tag this compaction folds into the base — the
+        # consumed deltas AND this append's own batch — so retries of
+        # any of them stay idempotent after their dirs are gone. Written
+        # inside the scratch, so the manifest publishes atomically with
+        # the compacted index itself.
+        consumed = (
+            _consumed_tags(path)
+            | {os.path.basename(d) for d in deltas}
+            | {tag}
+        )
+        with open(os.path.join(scratch, _CONSUMED_MANIFEST), "w") as fh:
+            json.dump(sorted(consumed), fh)
         # single-writer swap (documented contract, same as the scratch
         # paths in queries/round11a.py): tear down the old root, move the
         # compacted index into place. Concurrent READERS of the same path
@@ -537,6 +595,11 @@ def ivf_index_append(
     new_postings.write.mode("overwrite").partitionBy("centroid").parquet(
         f"{scratch}/postings.parquet"
     )
+    new_postings.unpersist()
+    # publish-time row count: the drift ratio of every FUTURE append
+    # reads this instead of re-scanning the delta's parquet
+    with open(os.path.join(scratch, _ROWCOUNT_FILE), "w") as fh:
+        json.dump(n_new, fh)
     try:
         os.rename(scratch, final)
     except OSError:

@@ -348,15 +348,41 @@ def _sql_band_key(e: str, band_planes: int = _EMB_BAND_PLANES) -> str:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    f"""
-WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
+# strategy="auto" gate (VERDICT r12 item 2): above this corpus size the
+# fixture-pinned 4-plane banding is no longer the plan a production run
+# should execute (constant bucket count -> candidate mass ~n^2/2^planes,
+# measured exponent 1.32-1.72 across rounds); the query switches to
+# auto_band_planes(count(*)) — and the CASE is mirrored inside the SQL
+# twin from the same count(*), so the oracle stays exact on BOTH
+# branches at any scale. The threshold sits where the quadratic
+# candidate mass overtakes auto-banding's constant overhead (finer keys
+# + the gate count), measured warm: pinned 2.5 s vs scaled 3.8 s at 2k
+# vectors (sf0.1 — pinned is still the better plan), scaled 7.2 s vs
+# pinned 65.9 s at 20k (sf1). Oracle fixtures (500 vectors) stay far
+# below it, so the recorded hash rows are unchanged.
+_EMB_PINNED_MAX_N = 5_000
+
+
+def _emb_cosine_sql(force_scaled: bool = False) -> str:
+    """The dedup_embedding_cosine DuckDB twin. `force_scaled` replaces
+    the count(*) CASE with the unconditional auto-banding formula — the
+    branch-parity test's twin for strategy="scaled" at fixture sizes
+    the gate would otherwise leave pinned."""
+    scaled = "GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS BIGINT))"
+    np_expr = (
+        scaled
+        if force_scaled
+        else f"CASE WHEN count(*) > {_EMB_PINNED_MAX_N} THEN {scaled} "
+        f"ELSE {_EMB_BAND_PLANES} END"
+    )
+    return f"""
+WITH np AS (SELECT {np_expr} AS planes FROM embeddings),
+n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
            WHERE {SQL_NORM} > 0),
 keyed AS (
-  SELECT vec_id, band, {_sql_band_key('e')} AS key
-  FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band
-        FROM n CROSS JOIN range(0, {_EMB_BANDS}) r)),
+  SELECT vec_id, band, {_sql_band_key('e', 'planes')} AS key
+  FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band, planes
+        FROM n CROSS JOIN np CROSS JOIN range(0, {_EMB_BANDS}) r)),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM keyed a JOIN keyed b
@@ -364,20 +390,44 @@ cand AS (
 SELECT id_a, id_b,
        {sql_round(f"{sql_dot('va.e', 'vb.e')} / (va.nrm * vb.nrm)", 4)} AS cosine
 FROM cand JOIN n va ON id_a = va.vec_id JOIN n vb ON id_b = vb.vec_id
-WHERE cosine >= CAST(0.4 AS DOUBLE)""",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+WHERE cosine >= CAST(0.4 AS DOUBLE)"""
+
+
+@query("dedup_embedding_cosine", _emb_cosine_sql())
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH — the
     scale path (no driver collect; candidates from a (band, bucket)
     equi-join, exact cosine verify). The oracle regenerates the identical
     LCG hyperplane buckets, so band semantics AND the verify kernel are
     both hash-checked. Exact-recall block-NL baseline:
-    dedup.embedding_dup_pairs (sub-driver-memory corpora only)."""
+    dedup.embedding_dup_pairs (sub-driver-memory corpora only).
+
+    SCALE GATE (r12 verdict item 2): with the default `strategy="auto"`,
+    a corpus above _EMB_PINNED_MAX_N vectors takes
+    auto_band_planes(count(*)) instead of the fixture-pinned
+    {_EMB_BAND_PLANES} planes (the production banding,
+    dedup_embedding_cosine_auto's configuration — exponent 0.417 vs 1.32
+    pinned). The SQL twin computes the SAME CASE from the same count(*),
+    so the two engines can never disagree about the branch and the
+    oracle is exact on both. strategy="pinned" forces the fixed
+    {_EMB_BAND_PLANES}-plane fixture banding (the regression row);
+    strategy="scaled" forces auto-banding at any size (the
+    branch-parity test does)."""
+    if strategy not in ("auto", "pinned", "scaled"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _EMB_BAND_PLANES
+    if strategy != "pinned":
+        n = emb.count()
+        if strategy == "scaled" or n > _EMB_PINNED_MAX_N:
+            planes = dedup.auto_band_planes(n)
     return dedup.embedding_dup_pairs_lsh(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=0.4,
         bands=_EMB_BANDS,
-        band_planes=_EMB_BAND_PLANES,
+        band_planes=planes,
     )
 
 

@@ -33,9 +33,11 @@ concurrent processes and different scale factors never collide.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -59,6 +61,43 @@ def _scratch(sf_dir: str, kind: str) -> str:
     return os.path.join(
         tempfile.gettempdir(), f"laposte_layout_{kind}_{tag}_{_PROC_TAG}"
     )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_scratch(include_own: bool = False) -> None:
+    """Scratch lifecycle for the pid-keyed layout dirs (ADVICE r12: the
+    r11 concurrency fix made every process write fresh dirs where the
+    old fixed path self-overwrote — without a sweep they accumulate
+    forever). Called at import to prune siblings whose owning pid is no
+    longer alive, and again at interpreter exit (atexit) for this
+    process's own dirs. Best-effort by design: a recycled pid keeps a
+    stale dir one process-lifetime longer, nothing breaks."""
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "laposte_layout_*")):
+        pid_hex = d.rsplit("_", 1)[-1]
+        try:
+            pid = int(pid_hex, 16)
+        except ValueError:
+            continue
+        if not 0 < pid < 2**22:
+            # not a pid suffix (e.g. a pre-r11 fixed-path dir whose last
+            # segment is the 12-hex sf tag) — leave unrecognized dirs be
+            continue
+        own = pid_hex == _PROC_TAG
+        if (own and include_own) or (not own and not _pid_alive(pid)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_sweep_scratch()
+atexit.register(_sweep_scratch, include_own=True)
 
 
 # Injective length-prefixed one-md5 row digest — the SAME construction

@@ -385,6 +385,25 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LP_CELL_CAP = 64  # md5-head representatives per (type, cell) bucket
 
+# strategy-auto cap tightening (VERDICT r12 item 2): the 64-rep cap only
+# BINDS above ~64 users/cell (sf1 has ~270), so the sf0.1→sf1 decade sat
+# in the quadratic transition regime (measured exponent 1.40 — members x
+# cap only bounds pair volume once the cap binds). Above this many
+# events the cap drops to _LP_CELL_CAP_BIG, which already binds at
+# sf0.1-scale occupancy (~27 users/cell), making pair volume ~linear
+# (members x 16) across the measured decade. The CASE is mirrored from
+# count(*) in BOTH engines (the auto_band_planes pattern), so the oracle
+# stays exact on both branches at any scale; the oracle fixtures (1k /
+# 10k events) stay on the 64-cap branch where the cap never binds and
+# the recorded hash rows are unchanged.
+_LP_EXACT_MAX_EVENTS = 50_000
+_LP_CELL_CAP_BIG = 16
+
+_LP_SQL_CAP = (
+    f"(SELECT CASE WHEN count(*) > {_LP_EXACT_MAX_EVENTS} "
+    f"THEN {_LP_CELL_CAP_BIG} ELSE {_LP_CELL_CAP} END FROM events)"
+)
+
 
 def _lp_edges_sql() -> str:
     return f"""
@@ -398,7 +417,7 @@ bh AS (
     SELECT user_id, event_type, cell,
            row_number() OVER (PARTITION BY event_type, cell
                               ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS _r
-    FROM sess) WHERE _r <= {_LP_CELL_CAP}),
+    FROM sess) WHERE _r <= {_LP_SQL_CAP}),
 pairs0 AS (
   SELECT DISTINCT least(a.user_id, b.user_id) AS u,
                   greatest(a.user_id, b.user_id) AS v,
@@ -439,7 +458,9 @@ SELECT node AS user_id, lbl AS community FROM l2"""
 
 @query("graph_label_prop_communities", _LP_SQL)
 def graph_label_prop_communities(
-    spark: SparkSession, sf_dir: str, max_cell_members: int | None = _LP_CELL_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    max_cell_members: int | None | str = "auto",
 ) -> DataFrame:
     """Community detection via synchronous label propagation (2 unrolled
     rounds) over the co-presence graph: users are linked when they have
@@ -471,8 +492,22 @@ def graph_label_prop_communities(
     as ONE post-shuffle aggregate on size-balanced partitions instead of
     a map-side hash partial on the join's fan-out (the actual OOM site —
     AQE coalesces by INPUT size and a fan-out join breaks that
-    estimate). Pass None for the exact all-pairs variant."""
+    estimate). Pass None for the exact all-pairs variant.
+
+    Since round 13 the default is `max_cell_members="auto"` (VERDICT
+    r12 item 2): one metadata-backed count of the events input picks
+    _LP_CELL_CAP_BIG above _LP_EXACT_MAX_EVENTS rows, else
+    _LP_CELL_CAP. The 64-cap only BINDS above ~64 users/cell, so the
+    sf0.1→sf1 decade sat in the quadratic transition regime (exponent
+    1.40); the 16-cap already binds at sf0.1 occupancy, making pair
+    volume ~linear across the decade. The SQL twin computes the SAME
+    CASE from count(*) (see _LP_SQL_CAP), so both engines always pick
+    the same branch and the oracle stays exact at any scale."""
     ev = events_table(spark, sf_dir)
+    if max_cell_members == "auto":
+        max_cell_members = (
+            _LP_CELL_CAP_BIG if ev.count() > _LP_EXACT_MAX_EVENTS else _LP_CELL_CAP
+        )
     cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     sess = ev.select("user_id", "event_type", cell.alias("cell")).distinct()
     b_side = sess

@@ -1227,3 +1227,170 @@ def run_cusum_control_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ================= Holt linear-trend forecaster (streaming) ====================
+
+HOLT_OUT_SCHEMA = (
+    "event_type string, day date, day_count long, forecast long, "
+    "level long, trend long, alarm int"
+)
+# level/trend are the Holt smoothing state in 1/256 units (level < 0 is
+# the "uninitialized" sentinel — counts are nonnegative so a real level
+# never is); pending parallel arrays buffer (epoch_day, count) pairs the
+# watermark hasn't finalized, the same horizon-bounded shape as CUSUM.
+_HOLT_STATE_SCHEMA = "level long, trend long, days array<long>, counts array<long>"
+
+#: fixed-point scale for the smoothing state — 8 fractional bits keep the
+#: integer fold exact while divisions stay powers of two (floor(a/4),
+#: floor(a/8)), which BOTH engines reproduce bit-for-bit: Python // is
+#: floor, and the SQL twin uses floor(a / 4.0) (exact for any |a| < 2^53
+#: because a power-of-two divide only shifts the exponent)
+_HOLT_SCALE = 256
+
+
+def _holt_step(level: int, trend: int, x: int) -> tuple[int, int, int, int]:
+    """One Holt update on day count x: forecast-before-seeing, then
+    level' = floor((s*x + 3*(level+trend)) / 4)        (alpha = 1/4)
+    trend' = floor((level' - level + 7*trend) / 8)     (beta  = 1/8)
+    alarm when the forecast missed by > 25% of the (floored-at-1) level:
+    4*|s*x - forecast| > max(forecast, s). Returns
+    (forecast, level', trend', alarm) — all Python ints, floor division,
+    mirrored exactly by the recursive-CTE oracle."""
+    forecast = level + trend
+    new_level = (_HOLT_SCALE * x + 3 * forecast) // 4
+    new_trend = (new_level - level + 7 * trend) // 8
+    alarm = 1 if 4 * abs(_HOLT_SCALE * x - forecast) > max(forecast, _HOLT_SCALE) else 0
+    return forecast, new_level, new_trend, alarm
+
+
+def holt_forecast_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (the 7th): Holt DOUBLE
+    exponential smoothing over each event type's daily counts — the
+    trend-aware volume forecaster a pipeline pages on when today's
+    ingest misses yesterday's trajectory (CUSUM catches level shifts;
+    Holt catches a feed that keeps growing 10%/day suddenly going flat).
+    Per type, the first finalized day initializes level = 256*x,
+    trend = 0 and emits nothing; every later finalized day emits
+    (type, day, count, forecast, level, trend, alarm) EXACTLY ONCE when
+    the watermark passes the day boundary — append semantics, the same
+    watermark-finalized-day contract as cusum_control_stream (a
+    late-but-within-watermark event lands in its day before that day can
+    finalize). The smoothing recursion is integer fixed-point (1/256
+    units, power-of-two floor divisions) so the fold is bit-exact across
+    the stream, the batch twin, and the recursive-CTE oracle
+    (queries/round13a.py:events_holt_forecast). State per key = 2 longs
+    + one watermark horizon of pending (day, count) pairs; keys are
+    event types, so state is O(types) forever — the run-forever shape."""
+
+    def fold(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            level, trend, days, counts = state.get
+            pending = dict(zip(days, counts))
+        else:
+            level, trend, pending = -1, 0, {}
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]
+            if len(rows):
+                per_day = (rows["ts"].astype("int64") // _DAY_NS).value_counts()
+                for day, n in per_day.items():
+                    day = int(day)
+                    pending[day] = pending.get(day, 0) + int(n)
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = sorted(d for d in pending if (d + 1) * _DAY_MS <= wm_ms)
+        out = []
+        for d in ready:
+            x = pending.pop(d)
+            if level < 0:
+                level = _HOLT_SCALE * x  # baseline day: seeds the state
+                trend = 0
+                continue
+            forecast, level, trend, alarm = _holt_step(level, trend, x)
+            out.append((d, x, forecast, level, trend, alarm))
+        if pending or level >= 0:
+            items = sorted(pending.items())
+            state.update(
+                (level, trend, [d for d, _ in items], [c for _, c in items])
+            )
+            if pending:
+                horizon = (min(pending) + 1) * _DAY_MS
+                state.setTimeoutTimestamp(max(horizon, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            epoch = datetime.date(1970, 1, 1)
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(out),
+                    "day": [epoch + datetime.timedelta(days=d) for d, *_ in out],
+                    "day_count": [x for _, x, *_ in out],
+                    "forecast": [f for _, _, f, *_ in out],
+                    "level": [lv for _, _, _, lv, *_ in out],
+                    "trend": [t for *_, t, _a in out],
+                    "alarm": [a for *_, a in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=HOLT_OUT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_holt_forecast(events: DataFrame) -> DataFrame:
+    """Batch twin of holt_forecast_stream: day-grain aggregate (the only
+    corpus-sized work), then the sequential Holt fold in ONE Arrow batch
+    per event type via applyInPandas — same plan shape as
+    batch_cusum_control."""
+    daily = (
+        events.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        level, trend = _HOLT_SCALE * int(pdf.loc[0, "x"]), 0
+        rows = []
+        for i in range(1, len(pdf)):
+            x = int(pdf.loc[i, "x"])
+            forecast, level, trend, alarm = _holt_step(level, trend, x)
+            rows.append(
+                (pdf.loc[i, "event_type"], pdf.loc[i, "day"], x,
+                 forecast, level, trend, alarm)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "day", "day_count", "forecast",
+                "level", "trend", "alarm",
+            ],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(fold, HOLT_OUT_SCHEMA)
+
+
+def run_holt_forecast_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_holt"
+) -> DataFrame:
+    """Drive the streaming Holt forecaster over the directory stream with
+    availableNow into a memory sink; returns finalized-day emissions."""
+    stream = holt_forecast_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -110,8 +110,13 @@ def run_minhash(spark, path: str) -> tuple[float, int, int, int, int]:
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     row = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            F.when(F.col("id_b") == F.col("id_a") + PLANT_OFFSET, 1).otherwise(0)
+        # coalesce: SUM over zero rows is NULL — a zero-pair run must
+        # report recall 0, not crash the ladder (ADVICE r12)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("id_b") == F.col("id_a") + PLANT_OFFSET, 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_recovered"),
     ).first()
     wall = time.monotonic() - t0

@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Streaming state/throughput smoke at sf1 (r9 verdict item 6; extended
-to ALL FIVE custom stateful ops per r10 verdict item 2).
+to ALL FIVE custom stateful ops per r10 verdict item 2, and to the 6th —
+cusum_control — per r12 verdict item 4).
 
-The batch registry has sf1 sweep evidence (scripts/sf1_bench.py); the five
+The batch registry has sf1 sweep evidence (scripts/sf1_bench.py); the
 custom stateful streaming operators had only fixture-scale tests. This
-smoke drives all five applyInPandasWithState operators — sessionize,
-top-k trending, funnel_detect, pattern_completions, rate_alert (the last
-three buffer per-key event SEQUENCES, the most state-hungry shapes) —
-over an sf1-sized events directory with availableNow, and records:
+smoke drives all six applyInPandasWithState operators — sessionize,
+top-k trending, funnel_detect, pattern_completions, rate_alert (the
+sequence-buffering, most state-hungry shapes) and cusum_control
+(O(types) keys, the run-forever shape) — over an sf1-sized events
+directory with availableNow, and records:
 
 - wall-clock + input rows -> rows/sec throughput,
 - state-store rows per progress event (stateOperators.numRowsTotal from
@@ -106,6 +108,11 @@ def main() -> None:
         ("funnel_detect", jobs.funnel_detect_stream),
         ("pattern_completions", jobs.pattern_completions_stream),
         ("rate_alert", jobs.rate_alert_stream),
+        # the 6th stateful operator (round 12) — state per key is 3 longs
+        # + one watermark horizon of pending (day, count) pairs, keys are
+        # event TYPES, so max_state_rows here should stay O(types)
+        # (r12 verdict item 4)
+        ("cusum_control", jobs.cusum_control_stream),
     ]
     result = {"sf_dir": sf_dir, "n_events": n_events}
     for name, build in ops:

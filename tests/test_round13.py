@@ -1,0 +1,245 @@
+"""Round-13 tests — the strategy="auto" scale gates (VERDICT r12 item 2).
+
+The three >1-exponent regression rows (events_user_triangles 1.40,
+graph_label_prop_communities 1.40, dedup_embedding_cosine 1.32) now gate
+on input size: estimated-big inputs take the capped/auto scale plan
+automatically (the ranking-family strategy="auto" pattern), while the
+oracle fixtures (1k/10k events, 500 vectors) stay on the exact/pinned
+branch so the recorded driver hash rows are unchanged. These tests prove
+(a) both branches agree where the caps don't bind, (b) the Python gate
+and the SQL twin's count(*) CASE can never pick different parameters,
+and (c) the binding-regime branch still matches DuckDB cross-engine at
+sf0.1 for the two queries whose SQL mirrors the gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from laposte_data_engineering_jedha_spark import queries as q
+from laposte_data_engineering_jedha_spark.operators import dedup
+from laposte_data_engineering_jedha_spark.queries import llmops, round4c, round6
+
+from tests.test_oracle_parity import TABLES, canon_rows
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def _duck_on(sf: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+# --------------------------- events_user_triangles ---------------------------
+
+
+def test_triangles_branches_agree_at_fixture_scale(spark, sf_dir):
+    """The generous production caps (bucket_cap=128, max_out_deg=64)
+    never bind at fixture occupancy, so the capped branch must equal the
+    exact branch bit-for-bit — same schema, same one-row counts."""
+    exact = round4c.events_user_triangles(spark, sf_dir, strategy="exact")
+    capped = round4c.events_user_triangles(spark, sf_dir, strategy="capped")
+    assert exact.columns == capped.columns == ["n_edges", "n_nodes", "n_triangles"]
+    assert exact.collect() == capped.collect()
+
+
+def test_triangles_auto_gate_picks_branch(spark, sf_dir, monkeypatch):
+    """auto == exact below the threshold; with the threshold forced to 0
+    the auto gate must route to the capped plan."""
+    auto = round4c.events_user_triangles(spark, sf_dir).collect()
+    exact = round4c.events_user_triangles(spark, sf_dir, strategy="exact").collect()
+    assert auto == exact
+    monkeypatch.setattr(round4c, "_TRI_EXACT_MAX_EVENTS", 0)
+    forced = round4c.events_user_triangles(spark, sf_dir).collect()
+    capped = round4c.events_user_triangles(spark, sf_dir, strategy="capped").collect()
+    assert forced == capped
+    with pytest.raises(ValueError):
+        round4c.events_user_triangles(spark, sf_dir, strategy="bogus")
+
+
+# --------------------------- dedup_embedding_cosine --------------------------
+
+
+@pytest.mark.parametrize("n", [1, 64, 500, 5_000, 5_001, 8_000, 20_000, 10**6, 10**9])
+def test_embedding_planes_gate_formula_parity(n):
+    """The Python branch (pinned 4 below the threshold, auto_band_planes
+    above) and the SQL twin's CASE must agree for every corpus size —
+    the two engines derive the parameter from the same count(*), so a
+    formula drift here would surface as a hash mismatch at exactly one
+    scale. Checked across the gate boundary and both regimes."""
+    if n > llmops._EMB_PINNED_MAX_N:
+        py = dedup.auto_band_planes(n)
+    else:
+        py = llmops._EMB_BAND_PLANES
+    sql = duckdb.sql(
+        f"SELECT CASE WHEN {n} > {llmops._EMB_PINNED_MAX_N} "
+        f"THEN GREATEST(4, CAST(ceil(log2({n} / 64.0)) AS BIGINT)) "
+        f"ELSE {llmops._EMB_BAND_PLANES} END"
+    ).fetchone()[0]
+    assert py == sql, (n, py, sql)
+
+
+def test_embedding_cosine_pinned_branch_unchanged(spark, sf_dir):
+    """At fixture size (500 vectors) the auto gate stays pinned, so the
+    default result must equal strategy='pinned' — the recorded driver
+    hash rows are untouched by the gate."""
+    auto = llmops.dedup_embedding_cosine(spark, sf_dir)
+    pinned = llmops.dedup_embedding_cosine(spark, sf_dir, strategy="pinned")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
+    with pytest.raises(ValueError):
+        llmops.dedup_embedding_cosine(spark, sf_dir, strategy="bogus")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver fixtures absent")
+def test_embedding_cosine_scaled_branch_oracle_sf01(spark):
+    """Cross-engine check of the SCALED branch at a size where it is
+    genuinely different: at sf0.1 (2,000 vectors) auto_band_planes gives
+    5 planes != the pinned 4, so forcing strategy='scaled' against the
+    force_scaled SQL twin proves the auto-banding branch matches DuckDB
+    — the branch the fixture hash rows never exercise. (The registered
+    CASE leaves 2,000 vectors pinned — the gate threshold sits at the
+    measured plan crossover, not at the fixture boundary.)"""
+    assert dedup.auto_band_planes(2_000) == 5  # genuinely != the pinned 4
+    sdf = llmops.dedup_embedding_cosine(spark, SF01, strategy="scaled").toPandas()
+    con = _duck_on(SF01)
+    try:
+        odf = con.execute(llmops._emb_cosine_sql(force_scaled=True)).df()
+    finally:
+        con.close()
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+def test_embedding_cosine_registered_sql_is_case_gated():
+    """The registered oracle must carry the count(*) CASE (both-branch
+    mirror), and the force_scaled twin must not."""
+    assert f"CASE WHEN count(*) > {llmops._EMB_PINNED_MAX_N}" in q.ORACLE_SQL[
+        "dedup_embedding_cosine"
+    ]
+    assert (
+        f"CASE WHEN count(*) > {llmops._EMB_PINNED_MAX_N}"
+        not in llmops._emb_cosine_sql(force_scaled=True)
+    )
+
+
+# ------------------------ graph_label_prop_communities -----------------------
+
+
+@pytest.mark.parametrize("n", [1, 1_000, 10_000, 50_000, 50_001, 100_000, 10**6])
+def test_label_prop_cap_gate_formula_parity(n):
+    py = (
+        round6._LP_CELL_CAP_BIG
+        if n > round6._LP_EXACT_MAX_EVENTS
+        else round6._LP_CELL_CAP
+    )
+    sql = duckdb.sql(
+        f"SELECT CASE WHEN {n} > {round6._LP_EXACT_MAX_EVENTS} "
+        f"THEN {round6._LP_CELL_CAP_BIG} ELSE {round6._LP_CELL_CAP} END"
+    ).fetchone()[0]
+    assert py == sql, (n, py, sql)
+
+
+def test_label_prop_auto_equals_exact_cap_at_fixture_scale(spark, sf_dir):
+    """Below the gate the auto default is the 64-cap branch, and at
+    fixture occupancy (max well under 16 users/cell) even the BIG cap is
+    non-binding — all three forms must agree, proving the tightened cap
+    cannot change fixture hash rows."""
+    auto = round6.graph_label_prop_communities(spark, sf_dir).collect()
+    c64 = round6.graph_label_prop_communities(
+        spark, sf_dir, max_cell_members=round6._LP_CELL_CAP
+    ).collect()
+    c16 = round6.graph_label_prop_communities(
+        spark, sf_dir, max_cell_members=round6._LP_CELL_CAP_BIG
+    ).collect()
+    assert sorted(auto) == sorted(c64) == sorted(c16)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver fixtures absent")
+def test_label_prop_big_branch_oracle_sf01(spark):
+    """Cross-engine check of the BINDING regime: at sf0.1 (100k events,
+    ~27 users/cell) both engines' count(*) CASE picks the 16-cap, which
+    BINDS — the branch the fixture hash rows never exercise. DuckDB runs
+    the registered oracle SQL unmodified."""
+    sdf = round6.graph_label_prop_communities(spark, SF01).toPandas()
+    con = _duck_on(SF01)
+    try:
+        odf = con.execute(round6._LP_SQL).df()
+    finally:
+        con.close()
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+# ----------------------- ivf_index_append (ADVICE r12) -----------------------
+
+
+def test_ivf_append_consumed_tag_manifest(spark, sf_dir, tmp_path):
+    """Idempotency must survive compaction (ADVICE r12): once a delta is
+    folded into the base and its dir deleted, a retried append with the
+    same tag must still be a no-op — the compacted index's consumed-tag
+    manifest honors it. Also pins the publish-time row-count manifest
+    the drift ratio reads instead of re-scanning delta parquet."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.operators import similarity
+    from laposte_data_engineering_jedha_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    centers = similarity.pinned_codebook(1, 16, 64)[0]
+    idx = str(tmp_path / "idx")
+    similarity.ivf_index_write(
+        emb.where(F.col("vec_id") % 4 == 1), idx, n_centroids=16,
+        centers=centers, fold_faithful=True,
+    )
+    b1 = emb.where(F.col("vec_id") % 4 == 2)
+    b2 = emb.where(F.col("vec_id") % 4 == 3)
+    assert similarity.ivf_index_append(
+        spark, idx, b1, fold_faithful=True, rebuild_fraction=5.0, delta_tag="d1"
+    ) == "delta"
+    assert os.path.exists(
+        os.path.join(idx, "deltas", "d1", similarity._ROWCOUNT_FILE)
+    )
+    assert similarity._delta_rowcount(
+        spark, os.path.join(idx, "deltas", "d1")
+    ) == b1.count()
+    # second append tips the drift ratio -> compaction consumes d1
+    assert similarity.ivf_index_append(
+        spark, idx, b2, fold_faithful=True, rebuild_fraction=0.5, delta_tag="d2"
+    ) == "rebuild"
+    assert similarity._index_delta_dirs(idx) == []
+    assert similarity._consumed_tags(idx) == {"d1", "d2"}
+    n_after = similarity._index_postings(spark, idx).count()
+    # retries of BOTH folded batches are no-ops: no delta reappears, no
+    # vector is duplicated
+    assert similarity.ivf_index_append(
+        spark, idx, b1, fold_faithful=True, delta_tag="d1"
+    ) == "delta"
+    assert similarity.ivf_index_append(
+        spark, idx, b2, fold_faithful=True, delta_tag="d2"
+    ) == "delta"
+    assert similarity._index_delta_dirs(idx) == []
+    assert similarity._index_postings(spark, idx).count() == n_after
+
+
+def test_label_prop_cap_binds_at_sf01():
+    """The exponent fix is real only if the 16-cap BINDS at sf0.1 —
+    assert peak (type, cell) occupancy exceeds it (and exceeded 64
+    nowhere, which is why the old cap sat in the transition regime)."""
+    if not os.path.isdir(SF01):
+        pytest.skip("driver fixtures absent")
+    con = _duck_on(SF01)
+    try:
+        mx = con.execute(
+            """
+            SELECT max(n) FROM (
+              SELECT count(DISTINCT user_id) AS n
+              FROM events
+              GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT))
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert mx > round6._LP_CELL_CAP_BIG

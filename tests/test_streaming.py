@@ -651,3 +651,50 @@ def test_cusum_control_checkpoint_kill_restart(spark, sf_dir, tmp_path):
     )
     keys = [(t[0], t[1]) for t in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_holt_forecast_stream_matches_batch(spark, events_dir):
+    """The streaming Holt trend forecaster (7th custom stateful op) must
+    emit exactly the batch twin's rows for every day FINALIZED under the
+    final watermark — same forecasts, same fixed-point level/trend folds,
+    same alarms; days the watermark hasn't passed are withheld. The batch
+    twin itself is oracle-hash-gated (events_holt_forecast,
+    queries/round13a.py), so this equivalence chains the STREAM's
+    semantics to the DuckDB recursive-CTE oracle."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["forecast"],
+         r["level"], r["trend"], r["alarm"])
+        for r in df.collect()
+    )
+    batch = canon(jobs.batch_holt_forecast(spark.read.parquet(events_dir)))
+    stream = canon(jobs.run_holt_forecast_available_now(spark, events_dir))
+    assert len(stream) > 0
+    max_us = spark.read.parquet(events_dir).agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_ms = max_us // 1000 - 600_000  # 10-minute watermark
+    epoch = datetime.date(1970, 1, 1)
+    closed = [
+        t for t in batch if ((t[1] - epoch).days + 1) * 86_400_000 <= wm_ms
+    ]
+    assert stream == closed
+    keys = [(t[0], t[1]) for t in stream]
+    assert len(keys) == len(set(keys))  # exactly-once per (type, day)
+
+
+def test_holt_forecast_checkpoint_kill_restart(spark, sf_dir, tmp_path):
+    """The Holt forecaster's per-type state (level/trend + pending days)
+    must survive stop/restart via the checkpoint: interrupted and resumed
+    == uninterrupted, smoothing fold unbroken across the boundary."""
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["forecast"],
+         r["level"], r["trend"], r["alarm"])
+        for r in df.collect()
+    )
+    rows = _checkpoint_kill_restart(
+        spark, sf_dir, tmp_path, jobs.holt_forecast_stream, canon
+    )
+    keys = [(t[0], t[1]) for t in rows]
+    assert len(keys) == len(set(keys))
