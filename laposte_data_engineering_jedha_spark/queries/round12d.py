@@ -221,10 +221,25 @@ def corpus_fixed_n_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ======================= pairwise cosine histogram ============================
 
-_CH_RATE = 64  # sample ~1/64 of the pair space
+# rate(n) = max(64, n^2 // 3906): the divisor is 500^2/64 rounded down, so
+# at the 500-vector oracle fixtures the rate is exactly the original
+# constant 64 (recorded hash rows unchanged) and ABOVE them the rate
+# scales with n^2 — sampled pair mass stays fixed at ~n^2/(2*rate) ≈ 2k
+# pairs, making total work O(scan) + O(const) instead of quadratic
+# (r12 verdict item 3: with a constant rate, per-bucket work is n_b^2 so
+# total mass grew ~n^2/64). The formula is computed from count(*) in
+# BOTH engines — the auto_band_planes pattern — so they can never
+# disagree about the bucket space.
+_CH_RATE_FLOOR = 64
+_CH_RATE_DIV = 3906  # == floor(500^2 / 64): rate(500) = 64 exactly
 
-# per-VECTOR 52-bit md5 bucket in [0, _CH_RATE): two independent ids land
-# in the same bucket with probability exactly 1/_CH_RATE, so the
+_CH_SQL_RATE = (
+    f"SELECT GREATEST({_CH_RATE_FLOOR}, "
+    f"(count(*) * count(*)) // {_CH_RATE_DIV}) AS rate FROM embeddings"
+)
+
+# per-VECTOR 52-bit md5 bucket in [0, rate): two independent ids land
+# in the same bucket with probability exactly 1/rate, so the
 # same-bucket pair sample is uniform over pairs — and it joins as an
 # EQUI-join. (The first form gated on a hash of the ID PAIR, which needs
 # an a.id < b.id theta-join: a nested-loop cartesian evaluating n^2/2
@@ -232,16 +247,17 @@ _CH_RATE = 64  # sample ~1/64 of the pair space
 # 300 s watchdog on 20k vectors.)
 _CH_SQL_BUCKET = (
     "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_chb'), 1, 13) "
-    f"AS BIGINT) % {_CH_RATE}"
+    "AS BIGINT) % rate"
 )
 
 
 @query(
     "embedding_cosine_histogram",
     f"""
-WITH n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm,
+WITH rt AS ({_CH_SQL_RATE}),
+n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm,
                   {_CH_SQL_BUCKET} AS bk
-           FROM embeddings WHERE {SQL_NORM} > 0),
+           FROM embeddings CROSS JOIN rt WHERE {SQL_NORM} > 0),
 p AS (
   SELECT {sql_round(f"{sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm)", 6)} AS cosine
   FROM n a JOIN n b ON a.bk = b.bk AND a.vec_id < b.vec_id)
@@ -252,19 +268,26 @@ FROM p GROUP BY 1 ORDER BY cos_bucket
 """,
 )
 def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise-cosine geometry histogram over a deterministic 1-in-
-    {_CH_RATE} sample of the pair space — the corpus-geometry profile
-    that calibrates LSH plane counts and dedup thresholds (mass near
-    1.0 = duplicate-rich corpus; tight mass near 0 = near-orthogonal
-    random cloud). Sampling is per-vector md5 BUCKETS joined as an
-    equi-join: any two distinct ids share a bucket with probability
-    exactly 1/{_CH_RATE}, so every pair has uniform inclusion
-    probability, and the join is a hash join whose work is
-    output-proportional (per-bucket n_b^2), not an n^2 theta-join — the
-    plan the sf1 sweep's watchdog rejected. At 100 TB the rate constant
-    scales with n^2 to keep the sampled mass fixed. Buckets truncate
-    the 1e-6-rounded cosine at 0.1 grain (`div` and `//` both truncate
-    toward zero — identical on negatives)."""
+    """Pairwise-cosine geometry histogram over a deterministic sampled
+    slice of the pair space — the corpus-geometry profile that
+    calibrates LSH plane counts and dedup thresholds (mass near 1.0 =
+    duplicate-rich corpus; tight mass near 0 = near-orthogonal random
+    cloud). Sampling is per-vector md5 BUCKETS joined as an equi-join:
+    any two distinct ids share a bucket with probability exactly
+    1/rate, so every pair has uniform inclusion probability, and the
+    join is a hash join whose work is output-proportional (per-bucket
+    n_b^2), not an n^2 theta-join — the plan the sf1 sweep's watchdog
+    rejected. The rate is COUNT-DERIVED on both sides (r12 verdict
+    item 3): rate = max(64, n^2 // 3906) keeps sampled pair mass fixed
+    (~2k pairs) at any corpus size, so total work is the O(n) scan plus
+    a constant-size join — and at the 500-vector oracle fixtures the
+    formula lands exactly on the original constant 64, leaving the
+    recorded hash rows unchanged. Buckets truncate the 1e-6-rounded
+    cosine at 0.1 grain (`div` and `//` both truncate toward zero —
+    identical on negatives)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    rate = max(_CH_RATE_FLOOR, (n_total * n_total) // _CH_RATE_DIV)
     bucket = (
         F.conv(
             F.substring(
@@ -273,11 +296,10 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long")
-        % _CH_RATE
+        % rate
     )
     n = (
-        table(spark, sf_dir, "embeddings")
-        .select(
+        emb.select(
             "vec_id",
             "embedding",
             vectors.pd_norm("embedding").alias("nrm"),

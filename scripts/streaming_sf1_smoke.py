@@ -5,7 +5,7 @@ cusum_control — per r12 verdict item 4).
 
 The batch registry has sf1 sweep evidence (scripts/sf1_bench.py); the
 custom stateful streaming operators had only fixture-scale tests. This
-smoke drives all six applyInPandasWithState operators — sessionize,
+smoke drives all seven applyInPandasWithState operators — sessionize,
 top-k trending, funnel_detect, pattern_completions, rate_alert (the
 sequence-buffering, most state-hungry shapes) and cusum_control
 (O(types) keys, the run-forever shape) — over an sf1-sized events
@@ -113,6 +113,8 @@ def main() -> None:
         # event TYPES, so max_state_rows here should stay O(types)
         # (r12 verdict item 4)
         ("cusum_control", jobs.cusum_control_stream),
+        # the 7th (round 13) — Holt trend forecaster, same O(types) shape
+        ("holt_forecast", jobs.holt_forecast_stream),
     ]
     result = {"sf_dir": sf_dir, "n_events": n_events}
     for name, build in ops:

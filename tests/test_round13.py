@@ -173,6 +173,46 @@ def test_label_prop_big_branch_oracle_sf01(spark):
     assert canon_rows(sdf) == canon_rows(odf)
 
 
+# ----------------------- embedding_cosine_histogram --------------------------
+
+
+@pytest.mark.parametrize("n", [1, 500, 501, 2_000, 20_000, 10**6])
+def test_cosine_histogram_rate_formula_parity(n):
+    """rate = max(64, n^2 // 3906) must agree between Python and the SQL
+    GREATEST/// formula (positive operands, so DuckDB's truncating //
+    equals floor), and must land exactly on the original constant 64 at
+    the 500-vector oracle fixtures."""
+    from laposte_data_engineering_jedha_spark.queries import round12d
+
+    py = max(round12d._CH_RATE_FLOOR, (n * n) // round12d._CH_RATE_DIV)
+    sql = duckdb.sql(
+        f"SELECT GREATEST({round12d._CH_RATE_FLOOR}, "
+        f"({n}::BIGINT * {n}::BIGINT) // {round12d._CH_RATE_DIV})"
+    ).fetchone()[0]
+    assert py == sql, (n, py, sql)
+    if n == 500:
+        assert py == 64  # fixture hash rows unchanged
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver fixtures absent")
+def test_cosine_histogram_scaled_rate_oracle_sf01(spark):
+    """Cross-engine check of the COUNT-DERIVED rate in its scaling
+    regime: at sf0.1 (2,000 vectors) both engines compute rate = 1024
+    from count(*), and the sampled pair mass stays ~2k — fixed, not
+    ~n^2/64."""
+    from laposte_data_engineering_jedha_spark.queries import round12d
+
+    assert max(64, (2_000 * 2_000) // round12d._CH_RATE_DIV) == 1024
+    sdf = round12d.embedding_cosine_histogram(spark, SF01).toPandas()
+    assert 1_000 < int(sdf["n_pairs"].sum()) < 4_000
+    con = _duck_on(SF01)
+    try:
+        odf = con.execute(q.ORACLE_SQL["embedding_cosine_histogram"]).df()
+    finally:
+        con.close()
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
 # ----------------------- ivf_index_append (ADVICE r12) -----------------------
 
 
@@ -243,3 +283,70 @@ def test_label_prop_cap_binds_at_sf01():
     finally:
         con.close()
     assert mx > round6._LP_CELL_CAP_BIG
+
+
+# ----------------------- round-13 query additions -----------------------------
+
+
+def test_prefix_filter_contains_minhash_pairs(spark, sf_dir):
+    """Prefix filtering is EXACT: at the same threshold over the same
+    shingle sets, its pair set must be a superset of the MinHash-LSH
+    family's (whose banding can only lose pairs, never invent them —
+    both verify exact Jaccard, so false positives are impossible in
+    either)."""
+    from laposte_data_engineering_jedha_spark.queries import llmops, round13b
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in round13b.dedup_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in llmops.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+
+
+def test_band_occupancy_pair_mass_bounds_candidates(spark, sf_dir):
+    """The occupancy report's pair_mass is exactly the LSH candidate
+    join's pre-dedup row count — the observability contract: summed
+    over bands it must upper-bound the DISTINCT candidate pairs the
+    join would emit."""
+    from laposte_data_engineering_jedha_spark.operators import dedup as ded
+    from laposte_data_engineering_jedha_spark.queries import round13b, table as tbl
+
+    from pyspark.sql import functions as F
+
+    stats = round13b.corpus_band_occupancy_stats(spark, sf_dir).collect()
+    assert [r["band"] for r in stats] == [0, 1, 2, 3]
+    total_mass = sum(r["pair_mass"] for r in stats)
+    sigs = ded._minhash_sigs(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+    bands = ded._minhash_bands(sigs, "doc_id")
+    a = bands.select("band", "key", F.col("doc_id").alias("id_a"))
+    b = bands.select(
+        F.col("band").alias("b2"), F.col("key").alias("k2"),
+        F.col("doc_id").alias("id_b"),
+    )
+    n_cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("b2"))
+            & (F.col("key") == F.col("k2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= total_mass
+
+
+def test_langid_auc_bounds(spark, sf_dir):
+    """AUC must be a valid probability and P/N must partition the corpus."""
+    from laposte_data_engineering_jedha_spark.queries import round13b, table as tbl
+
+    row = round13b.eval_langid_auc(spark, sf_dir).collect()[0]
+    n_docs = tbl(spark, sf_dir, "documents").count()
+    assert row["n_pos"] + row["n_neg"] == n_docs
+    assert 0.0 <= row["auc"] <= 1.0
