@@ -350,3 +350,76 @@ def test_langid_auc_bounds(spark, sf_dir):
     n_docs = tbl(spark, sf_dir, "documents").count()
     assert row["n_pos"] + row["n_neg"] == n_docs
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_countmin_estimate_upper_bounds_truth(spark, sf_dir):
+    """The CM guarantee: estimate >= true count for every key (min over
+    rows of counters that each include the key's own mass)."""
+    from laposte_data_engineering_jedha_spark.queries import round13d
+
+    rows = round13d.events_countmin_estimates(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cm_estimate"] >= r["true_n"] for r in rows)
+
+
+def test_importance_sample_deterministic_and_sized(spark, sf_dir):
+    """The md5-coin sample must be bit-identical across runs (no RNG
+    state) and near its expected size."""
+    from laposte_data_engineering_jedha_spark.queries import round13c
+
+    a = round13c.corpus_importance_sample(spark, sf_dir).collect()
+    b = round13c.corpus_importance_sample(spark, sf_dir).collect()
+    assert a == b
+    assert 50 <= len(a) <= 200  # k = 100 expected over 500 docs
+
+
+def test_kn_probs_are_valid_and_reserve_backoff_mass(spark, sf_dir):
+    """Interpolated KN sanity: every probability in (0, 1], and per-w1
+    the OBSERVED-bigram mass must not exceed 1 (the remainder is the
+    backoff mass reserved for unseen continuations)."""
+    import duckdb as ddb
+
+    from laposte_data_engineering_jedha_spark.queries import round13c, llmops
+
+    rows = round13c.text_bigram_kn_probs(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(0.0 < r["p_kn"] <= 1.0 for r in rows)
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    try:
+        full = q.ORACLE_SQL["text_bigram_kn_probs"].rsplit("ORDER BY", 1)[0]
+        sums = con.execute(
+            f"SELECT w1, sum(p_kn) s FROM ({full}) GROUP BY w1 ORDER BY s DESC LIMIT 5"
+        ).df()
+    finally:
+        con.close()
+    # each of the (up to 31) per-continuation probabilities is rounded to
+    # 1e-6, so the exact sum of 1 can overshoot by <= 31 * 5e-7
+    assert (sums["s"] <= 1.0 + 31 * 5e-7).all()
+
+
+def test_session_length_hist_totals_match_sessionizer(spark, sf_dir):
+    """The histogram must partition exactly the sessionizer's sessions."""
+    from laposte_data_engineering_jedha_spark.queries import llmops, round13d
+
+    hist = round13d.events_session_length_hist(spark, sf_dir).collect()
+    n_sessions = llmops.events_sessionize(spark, sf_dir).count()
+    assert sum(r["n_sessions"] for r in hist) == n_sessions
+
+
+def test_mix_epoch_plan_invariants(spark, sf_dir):
+    """planned + deficit == want, epochs respect the cap, and a source
+    with enough tokens plans zero deficit."""
+    from laposte_data_engineering_jedha_spark.queries import round13d
+
+    rows = round13d.corpus_mix_epoch_plan(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == {"src0", "src1", "src2", "src3", "src4"}
+    for r in rows:
+        assert r["planned_tokens"] + r["deficit_tokens"] == r["want_tokens"]
+        assert 0 < r["epochs_bp"] <= round13d._EP_CAP_BP
+        if r["epochs_bp"] < round13d._EP_CAP_BP:
+            # uncapped -> the plan fills the want (floor-division slack only)
+            assert r["deficit_tokens"] <= r["have_tokens"] // 10_000 + 1
