@@ -172,3 +172,16 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, cols: list[str]) -> None:
+    """Hive-partitioned rewrite: one directory per distinct value tuple
+    of `cols`, so a reader filtering on them prunes at PLAN time
+    (PartitionFilters — no footer reads, no file opens for excluded
+    partitions). The write shuffles on the partition columns first so
+    each output directory is written by the tasks that own its rows
+    (without it, every task appends a small file to every partition —
+    the classic small-files explosion at 100 TB)."""
+    df.repartition(*[F.col(c) for c in cols]).write.mode("overwrite").partitionBy(
+        *cols
+    ).parquet(path)

@@ -17,11 +17,12 @@
   the sample is stable under any partitioning and the plan never sorts
   a single partition at scale.
 - embedding_cosine_histogram: the corpus's pairwise-cosine geometry
-  profile over a deterministic hash-gated pair sample (the
-  olap_join_size_estimate gate shape: pairs whose joint hash lands
-  under the gate — 1/{_CH_RATE} of the pair space — so the histogram
-  costs O(n^2/{_CH_RATE}) instead of O(n^2); bucket ids by truncating
-  integer division on 1e-6-rounded cosines, bit-deterministic).
+  profile over a deterministic per-vector md5-bucket pair sample whose
+  rate is COUNT-DERIVED in both engines (r12 verdict item 3:
+  rate = max(64, n^2 // 3906), keeping sampled pair mass fixed at ~2k
+  pairs so total work is O(scan) at any corpus size; bucket ids by
+  truncating integer division on 1e-6-rounded cosines,
+  bit-deterministic).
 
 Reference parity note: extension surface (the reference has no join
 planner inputs, sampling, or embedding ops).

@@ -423,3 +423,21 @@ def test_mix_epoch_plan_invariants(spark, sf_dir):
         if r["epochs_bp"] < round13d._EP_CAP_BP:
             # uncapped -> the plan fills the want (floor-division slack only)
             assert r["deficit_tokens"] <= r["have_tokens"] // 10_000 + 1
+
+
+def test_partition_prune_plan_has_filters(spark, sf_dir):
+    """The day-partitioned read-back must prune at PLAN time: the scan
+    carries a PartitionFilters entry on the day key, DataFilters stays
+    empty (nothing is filtered row-wise), and the pruned slice is a
+    strict subset of the corpus."""
+    from laposte_data_engineering_jedha_spark.queries import round13e
+
+    back, day = round13e._pruned_scan(spark, sf_dir)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert f"= {day})" in scan[0]
+    assert "DataFilters: []" in scan[0]
+    n_pruned = back.count()
+    n_all = round13e._events_projected(spark, sf_dir).count()
+    assert 0 < n_pruned < n_all
