@@ -55,26 +55,29 @@ _PFJ_T = 0.5  # Jaccard threshold; prefix size = n - ceil(t*n) + 1 = n//2 + 1
     "dedup_prefix_filter_jaccard",
     f"""
 WITH {_SQL_SHINGLE_CTES},
-tl AS (SELECT doc_id, list_sort(s) AS ts FROM sh WHERE len(s) > 0),
-tk AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
+tl AS (SELECT doc_id, [{sql_md5i('x')} for x in s] AS hs FROM sh
+       WHERE len(s) > 0),
+tk AS (SELECT doc_id, unnest(hs) AS tok FROM tl),
 fr AS (SELECT tok, count(*) AS f FROM tk GROUP BY tok),
 rk AS (
   SELECT t.doc_id, t.tok,
          row_number() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.tok) AS r
   FROM tk t JOIN fr f USING (tok)),
 pf AS (
-  SELECT rk.doc_id, rk.tok, len(tl.ts) AS n
+  SELECT rk.doc_id, rk.tok, rk.r, len(tl.hs) AS n
   FROM rk JOIN tl USING (doc_id)
-  WHERE rk.r <= len(tl.ts) // 2 + 1),
+  WHERE rk.r <= len(tl.hs) // 2 + 1),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         max(least(a.n - a.r, b.n - b.r)) AS ub0
   FROM pf a JOIN pf b
     ON a.tok = b.tok AND a.doc_id < b.doc_id
-   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)),
+   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+  GROUP BY 1, 2, 3, 4
+  HAVING 1 + max(least(a.n - a.r, b.n - b.r)) >= (na + nb + 2) // 3),
 sc AS (
   SELECT id_a, id_b,
-         len(list_intersect(ta.ts, tb.ts)) AS inter,
-         len(ta.ts) AS na, len(tb.ts) AS nb
+         len(list_intersect(ta.hs, tb.hs)) AS inter, na, nb
   FROM cand JOIN tl ta ON id_a = ta.doc_id JOIN tl tb ON id_b = tb.doc_id)
 SELECT id_a, id_b,
        {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)} AS jaccard
@@ -83,15 +86,22 @@ FROM sc WHERE {sql_round('CAST(inter AS DOUBLE) / (na + nb - inter)', 4)}
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= {_PFJ_T} near-dup pairs over distinct SHINGLE
-    sets (the identical sets dedup_minhash_lsh verifies — this is its
-    zero-false-negative twin) via PREFIX FILTERING (Bayardo/Chaudhuri
-    AllPairs). Shingles are globally ranked by (document frequency asc,
-    shingle asc); each doc indexes only its n//2 + 1 RAREST shingles
-    (the prefix bound for t = {_PFJ_T}: two sets with J >= t must share
-    an element inside both prefixes — the pigeonhole that makes recall
+    sets (the identical md5-hashed sets dedup_minhash_lsh verifies —
+    this is its zero-false-negative twin) via PREFIX FILTERING
+    (Bayardo/Chaudhuri AllPairs) with the PPJoin POSITIONAL filter.
+    Shingle hashes are globally ranked by (document frequency asc, hash
+    asc); each doc indexes only its n//2 + 1 RAREST shingles (the
+    prefix bound for t = {_PFJ_T}: two sets with J >= t must share an
+    element inside both prefixes — the pigeonhole that makes recall
     exact, where MinHash banding only makes it probable); candidates
-    equi-join on the prefix shingle with the length filter 2*min >= max
-    pushed into the join, then verify exact Jaccard on the full sets.
+    equi-join on the prefix shingle with the length filter
+    2*min >= max pushed into the join, then the positional bound prunes
+    BEFORE any array work: a pair can only reach overlap alpha =
+    ceil((na+nb)/3) if some shared token leaves suffixes of at least
+    alpha-1 on both sides — 1 + max(min(na-ra, nb-rb)) >= alpha, an
+    admissible bound, so still zero false negatives. Survivors verify
+    exact Jaccard by int64-hash array intersection (the string-array
+    verify was the measured cost center: 30 s -> seconds at sf0.1).
     Scale shape: the document-frequency relation is one
     partial-aggregated shuffle; the rank window partitions by doc (the
     explode's natural key); the candidate join's buckets are per-shingle
@@ -100,48 +110,51 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles fall outside every prefix."""
     docs = table(spark, sf_dir, "documents")
     tl = docs.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(texts.shingles(texts.tokens("text")))
-        ).alias("ts"),
-    ).where(F.size("ts") > 0)
-    tk = tl.select("doc_id", F.explode("ts").alias("tok"))
+        "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
+    ).where(F.size("hs") > 0)
+    tk = tl.select("doc_id", F.explode("hs").alias("tok"))
     fr = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "tok")
     rk = tk.join(fr, "tok").withColumn("r", F.row_number().over(w))
     pf = (
-        rk.join(tl.select("doc_id", F.size("ts").alias("n")), "doc_id")
+        rk.join(tl.select("doc_id", F.size("hs").alias("n")), "doc_id")
         .where(F.col("r") <= F.expr("n div 2 + 1"))
-        .select("doc_id", "tok", "n")
+        .select("doc_id", "tok", "r", "n")
     )
     a = pf.select(
-        F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na_")
+        F.col("doc_id").alias("id_a"), "tok",
+        F.col("r").alias("ra"), F.col("n").alias("na"),
     )
     b = pf.select(
         F.col("doc_id").alias("id_b"), F.col("tok").alias("tokb"),
-        F.col("n").alias("nb_"),
+        F.col("r").alias("rb"), F.col("n").alias("nb"),
     )
     cand = (
         a.join(
             b,
             (F.col("tok") == F.col("tokb"))
             & (F.col("id_a") < F.col("id_b"))
-            & (2 * F.least("na_", "nb_") >= F.greatest("na_", "nb_")),
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb")),
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(
+            F.max(
+                F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+            ).alias("ub0")
+        )
+        .where(1 + F.col("ub0") >= F.expr("(na + nb + 2) div 3"))
     )
-    ta = tl.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("tsa"))
-    tb = tl.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tsb"))
+    ta = tl.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hsa"))
+    tb = tl.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hsb"))
     sc = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("tsa", "tsb")).alias("inter"),
-            F.size("tsa").alias("na"),
-            F.size("tsb").alias("nb"),
+            F.size(F.array_intersect("hsa", "hsb")).alias("inter"),
+            "na",
+            "nb",
         )
     )
     jacc = F.round(
