@@ -6,16 +6,16 @@ SAME plan runs (a) in batch mode for the DuckDB oracle gate and (b) under
 Spark pattern for keeping batch and streaming semantics provably aligned.
 
 Scale notes: tumbling-window counts are a streaming state store keyed by
-(window, event_type) — bounded by watermark expiry. Six CUSTOM stateful
+(window, event_type) — bounded by watermark expiry. Seven CUSTOM stateful
 operators run on `applyInPandasWithState` with event-time timeouts, each
 with a batch twin it is equivalence-tested against (several oracle-
 registered): the 30-min-gap sessionizer (user_id key; batch twin
 queries/llmops.py:events_sessionize), funnel detection, CEP pattern
 completions, trailing-hour rate alerts, exactly-once windowed top-k
-trending, and the per-type CUSUM control chart. All keep state to a
-watermark-horizon working set (or O(keys) constants), the property that
-makes them run forever; checkpoint kill-restart recovery is pinned in
-tests/test_streaming.py.
+trending, the per-type CUSUM control chart, and the per-type Holt
+linear-trend forecaster. All keep state to a watermark-horizon working
+set (or O(keys) constants), the property that makes them run forever;
+checkpoint kill-restart recovery is pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
