@@ -603,3 +603,30 @@ def test_theta_sketch_windows_are_scope_partitioned(plans):
     specs = re.findall(r"windowspecdefinition\((\w+)#", p)
     assert specs and all(s == "scope" for s in specs), specs
     assert "SortMergeJoin" not in p
+
+
+def test_registry_has_no_cartesian_products(spark, sf_dir):
+    """Registry-wide plan lint (round 13): no registered query may plan a
+    CartesianProduct node — the r12 sweep caught exactly one
+    (embedding_cosine_histogram's pair-level hash gate planned as a
+    nested-loop cartesian) only AFTER it hit the 300 s watchdog at sf1;
+    this lint fails the suite the day such a plan is written instead.
+    BroadcastNestedLoopJoin is allowed: every registered use is a
+    crossJoin against a broadcast one-row aggregate (a constant-fold,
+    not a pair explosion). Uses the pre-AQE physical plan, so nothing is
+    executed beyond the driver-side work a query does at build time."""
+    from laposte_data_engineering_jedha_spark import queries as q
+    from laposte_data_engineering_jedha_spark.operators import caches
+
+    offenders = []
+    for name, fn in q.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # pragma: no cover - lint must name the query
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        finally:
+            caches.release_all()
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct in physical plan")
+    assert not offenders, "\n".join(offenders)
