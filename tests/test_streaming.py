@@ -698,3 +698,55 @@ def test_holt_forecast_checkpoint_kill_restart(spark, sf_dir, tmp_path):
     )
     keys = [(t[0], t[1]) for t in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_ivm_view_matches_batch(spark, events_dir, tmp_path):
+    """The foreachBatch-maintained counts view must equal the one-shot
+    batch aggregate over the same appends — the IVM invariant, held
+    through ~31 independent merges (one per micro-batch)."""
+    from laposte_data_engineering_jedha_spark.streaming import ivm
+
+    root = str(tmp_path / "view")
+    got = ivm.run_ivm_counts_available_now(
+        spark, events_dir, root, str(tmp_path / "ckpt")
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["n"]) for r in df.collect()
+    )
+    want = canon(ivm.batch_counts(spark.read.parquet(events_dir)))
+    assert canon(got) == want
+    assert len(want) > 0
+    assert ivm.last_applied_batch(root) >= 0
+
+
+def test_ivm_kill_restart_and_replay(spark, sf_dir, tmp_path):
+    """Exactly-once under crash-restart: a run interrupted after the
+    first half of the input resumes from the checkpoint and lands on the
+    uninterrupted answer; a replayed batch_id no-ops on the manifest
+    instead of double-counting."""
+    from laposte_data_engineering_jedha_spark.streaming import ivm
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["n"]) for r in df.collect()
+    )
+
+    _write_time_slices(spark, sf_dir, src, [0, 1])
+    mid = canon(ivm.run_ivm_counts_available_now(spark, src, root, ckpt))
+    assert mid == canon(ivm.batch_counts(spark.read.parquet(src)))
+    _write_time_slices(spark, sf_dir, src, [2, 3])
+    final = canon(ivm.run_ivm_counts_available_now(spark, src, root, ckpt))
+    assert final == canon(ivm.batch_counts(spark.read.parquet(src)))
+    assert sum(n for *_, n in final) > sum(n for *_, n in mid)
+
+    # replay guard: re-applying the last batch_id must be a no-op
+    last = ivm.last_applied_batch(root)
+    replay = spark.read.parquet(src).limit(50)
+    assert ivm.apply_batch(spark, root, replay, last) is False
+    assert canon(ivm.read_view(spark, root)) == final
+    # and a NEW batch_id with the same rows does apply (the guard is the
+    # id, not the content)
+    assert ivm.apply_batch(spark, root, replay.where("1=0"), last + 1) is True
+    assert canon(ivm.read_view(spark, root)) == final
