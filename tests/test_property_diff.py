@@ -136,3 +136,64 @@ def test_delay_status_kernel_differential(spark, batch):
                 assert g[k] == v or math.isclose(g[k], v, abs_tol=0.0), (k, x, g[k], v)
             else:
                 assert g[k] == v, (k, x, g[k], v)
+
+
+# --------------------- Holt fold vs recursive-CTE oracle ----------------------
+
+_HOLT_DAILY_CTE = """RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2)"""
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=40)
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_fold_matches_recursive_cte(counts):
+    """The integer fixed-point Holt recursion (streaming/jobs._holt_step,
+    Python floor //) against the registered recursive-CTE oracle
+    (floor(a / 4.0) in DuckDB) over HYPOTHESIS-random daily counts —
+    including crashing series that drive level and trend NEGATIVE-
+    intermediate, the exact regime where DuckDB's truncating integer //
+    would silently diverge from Python's floor (the one-ULP trap the
+    query docstring records). Day ranks stand in for real dates; the
+    events aggregation is replaced by a VALUES relation so the fuzz
+    needs no Spark session."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from laposte_data_engineering_jedha_spark import queries as q
+    from laposte_data_engineering_jedha_spark.streaming import jobs
+
+    sql = q.ORACLE_SQL["events_holt_forecast"]
+    assert _HOLT_DAILY_CTE in sql  # surgical replacement must stay in sync
+    sql = sql.replace(
+        _HOLT_DAILY_CTE,
+        "RECURSIVE daily AS (SELECT event_type, day, x FROM daily_src)",
+    )
+    daily_src = pd.DataFrame(
+        {
+            "event_type": ["t"] * len(counts),
+            "day": pd.to_datetime(
+                [f"2024-01-{i + 1:02d}" if i < 28 else f"2024-02-{i - 27:02d}"
+                 for i in range(len(counts))]
+            ).date,
+            "x": counts,
+        }
+    )
+    con = ddb.connect()
+    try:
+        con.register("daily_src", daily_src)
+        got = [
+            (r[1], r[2], r[3], r[4], r[5], r[6])
+            for r in con.execute(sql).fetchall()
+        ]
+    finally:
+        con.close()
+
+    level, trend = jobs._HOLT_SCALE * counts[0], 0
+    want = []
+    for i, x in enumerate(counts[1:], start=1):
+        forecast, level, trend, alarm = jobs._holt_step(level, trend, x)
+        want.append((daily_src["day"][i], x, forecast, level, trend, alarm))
+    assert got == want
