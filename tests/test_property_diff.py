@@ -197,3 +197,52 @@ def test_holt_fold_matches_recursive_cte(counts):
         forecast, level, trend, alarm = jobs._holt_step(level, trend, x)
         want.append((daily_src["day"][i], x, forecast, level, trend, alarm))
     assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=2, max_size=40)
+)
+@settings(max_examples=60, deadline=None)
+def test_cusum_fold_matches_recursive_cte(counts):
+    """Same fuzz for the CUSUM chart (queries/round12g.py): the
+    max(0, cusum + x - target - slack) fold in pure Python vs the
+    recursive-CTE oracle over hypothesis-random daily counts — baselines
+    of zero, flat series, and spike-then-crash shapes included."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from laposte_data_engineering_jedha_spark import queries as q
+
+    sql = q.ORACLE_SQL["events_cusum_control"]
+    sql = sql.replace(
+        """WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),""",
+        "WITH RECURSIVE daily AS (SELECT event_type, day, x FROM daily_src),",
+    )
+    assert "daily_src" in sql  # the surgical replacement must stay in sync
+    daily_src = pd.DataFrame(
+        {
+            "event_type": ["t"] * len(counts),
+            "day": pd.to_datetime(
+                [f"2024-01-{i + 1:02d}" if i < 28 else f"2024-02-{i - 27:02d}"
+                 for i in range(len(counts))]
+            ).date,
+            "x": counts,
+        }
+    )
+    con = ddb.connect()
+    try:
+        con.register("daily_src", daily_src)
+        got = [tuple(r[1:]) for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+
+    target = counts[0]
+    slack = target // 10
+    cusum = 0
+    want = []
+    for i, x in enumerate(counts[1:], start=1):
+        cusum = max(0, cusum + x - target - slack)
+        want.append((daily_src["day"][i], x, cusum, 1 if cusum > target else 0))
+    assert got == want
