@@ -1168,3 +1168,90 @@ def typo_pairs(
         .distinct()
         .where(F.levenshtein("tok_a", "tok_b") == 1)
     )
+
+
+def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard >= threshold near-dup pairs over distinct shingle
+    sets via prefix filtering (Bayardo/Chaudhuri AllPairs) with the
+    PPJoin positional upper bound — the zero-false-negative twin of
+    minhash_lsh_pairs over the identical md5-hashed shingle relation.
+    Only threshold=0.5 is supported: the prefix length (n // 2 + 1),
+    the length filter (2*min >= max) and the overlap target
+    ceil((na+nb)/3) = (na+nb+2) div 3 are all EXACT integer forms of
+    the t=0.5 bounds — no float ceil anywhere, which is what keeps the
+    filter provably admissible (a ULP-low ceil would drop true pairs).
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 4 places.
+
+    Scale shape (measured second-decade ladder in
+    scripts/ppjoin_decade.py): document frequency is one
+    partial-aggregated shuffle; the per-doc rarity rank windows on the
+    explode's natural key; the candidate equi-join's inverted lists are
+    per-PREFIX-shingle — boilerplate shingles fall outside every
+    prefix, so frequency-skewed corpora self-mitigate; survivors verify
+    by int64 array intersection. Used by queries/round13b.py (oracle-
+    registered) and the decade ladder."""
+    if threshold != 0.5:
+        raise ValueError("ppjoin_pairs implements the exact t=0.5 bounds only")
+    tl = (
+        docs.select(
+            "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
+        )
+        .where(F.size("hs") > 0)
+        # doc-grain int64 shingle sets feeding five consumers (the token
+        # explode twice via tk, the length join, and both verify sides)
+        # — persist so the Arrow shingle-hash kernel runs ONCE
+        .persist()
+    )
+    tk = tl.select("doc_id", F.explode("hs").alias("tok"))
+    fr = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "tok")
+    rk = tk.join(fr, "tok").withColumn("r", F.row_number().over(w))
+    pf = (
+        rk.join(tl.select("doc_id", F.size("hs").alias("n")), "doc_id")
+        .where(F.col("r") <= F.expr("n div 2 + 1"))
+        .select("doc_id", "tok", "r", "n")
+    )
+    a = pf.select(
+        F.col("doc_id").alias("id_a"), "tok",
+        F.col("r").alias("ra"), F.col("n").alias("na"),
+    )
+    b = pf.select(
+        F.col("doc_id").alias("id_b"), F.col("tok").alias("tokb"),
+        F.col("r").alias("rb"), F.col("n").alias("nb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tokb"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(
+            F.max(
+                F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+            ).alias("ub0")
+        )
+        .where(1 + F.col("ub0") >= F.expr("(na + nb + 2) div 3"))
+    )
+    ta = tl.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hsa"))
+    tb = tl.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hsb"))
+    sc = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hsa", "hsb")).alias("inter"),
+            "na",
+            "nb",
+        )
+    )
+    jacc = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter"))
+        * 10000
+    ) / 10000
+    return sc.select("id_a", "id_b", jacc.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

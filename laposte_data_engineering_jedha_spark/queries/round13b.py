@@ -108,63 +108,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists, smallest for exactly the shingles the prefix keeps —
     frequency-skewed corpora (the 100 TB reality) self-mitigate because
     boilerplate shingles fall outside every prefix."""
-    docs = table(spark, sf_dir, "documents")
-    tl = docs.select(
-        "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
-    ).where(F.size("hs") > 0)
-    tk = tl.select("doc_id", F.explode("hs").alias("tok"))
-    fr = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("doc_id").orderBy("f", "tok")
-    rk = tk.join(fr, "tok").withColumn("r", F.row_number().over(w))
-    pf = (
-        rk.join(tl.select("doc_id", F.size("hs").alias("n")), "doc_id")
-        .where(F.col("r") <= F.expr("n div 2 + 1"))
-        .select("doc_id", "tok", "r", "n")
-    )
-    a = pf.select(
-        F.col("doc_id").alias("id_a"), "tok",
-        F.col("r").alias("ra"), F.col("n").alias("na"),
-    )
-    b = pf.select(
-        F.col("doc_id").alias("id_b"), F.col("tok").alias("tokb"),
-        F.col("r").alias("rb"), F.col("n").alias("nb"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("tok") == F.col("tokb"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (2 * F.least("na", "nb") >= F.greatest("na", "nb")),
-        )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(
-            F.max(
-                F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
-            ).alias("ub0")
-        )
-        .where(1 + F.col("ub0") >= F.expr("(na + nb + 2) div 3"))
-    )
-    ta = tl.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hsa"))
-    tb = tl.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hsb"))
-    sc = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("hsa", "hsb")).alias("inter"),
-            "na",
-            "nb",
-        )
-    )
-    jacc = F.round(
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter"))
-        * 10000
-    ) / 10000
-    return sc.select("id_a", "id_b", jacc.alias("jaccard")).where(
-        F.col("jaccard") >= _PFJ_T
-    )
+    return dedup.ppjoin_pairs(table(spark, sf_dir, "documents"), threshold=_PFJ_T)
 
 
 @query(

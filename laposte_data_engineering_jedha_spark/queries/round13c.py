@@ -90,6 +90,12 @@ def text_bigram_kn_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
+        # bigram-TYPE grain (vocab-bounded, far smaller than the token
+        # stream) feeding four consumers — lhs, rhs, tot, and the final
+        # join. Without the persist each consumer re-runs the tokenize +
+        # explode + first aggregate over documents (measured 4 scans,
+        # 4.4 s at sf0.1; persisted: 1 scan).
+        .persist()
     )
     lhs = bg.groupBy("w1").agg(
         F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1p_w1")

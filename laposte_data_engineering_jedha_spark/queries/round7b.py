@@ -227,13 +227,17 @@ def olap_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     m = j.agg(*aggs)
     n = F.col("n")
-    rows = []
+    # all six pairs in ONE projection over the single moment row — an
+    # explode of a literal struct array. Six unionAll branches off the
+    # un-persisted aggregate would each re-run the full lineitem scan
+    # (measured 5.7 s at sf0.1; this shape is ~1 s).
+    pair_structs = []
     for i, jx in _CORR_PAIRS:
         vx = n * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")
         vy = n * F.col(f"s{jx}{jx}") - F.col(f"s{jx}") * F.col(f"s{jx}")
         num = (n * F.col(f"s{i}{jx}") - F.col(f"s{i}") * F.col(f"s{jx}")).cast("double")
-        rows.append(
-            m.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(_CORR_COLS[i][0]).alias("col_a"),
                 F.lit(_CORR_COLS[jx][0]).alias("col_b"),
                 F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
@@ -246,10 +250,7 @@ def olap_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pearson_r"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return m.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
 
 
 # ============================== bot detection ================================

@@ -6,14 +6,17 @@ SAME plan runs (a) in batch mode for the DuckDB oracle gate and (b) under
 Spark pattern for keeping batch and streaming semantics provably aligned.
 
 Scale notes: tumbling-window counts are a streaming state store keyed by
-(window, event_type) — bounded by watermark expiry. Seven CUSTOM stateful
+(window, event_type) — bounded by watermark expiry. Eight CUSTOM stateful
 operators run on `applyInPandasWithState` with event-time timeouts, each
 with a batch twin it is equivalence-tested against (several oracle-
 registered): the 30-min-gap sessionizer (user_id key; batch twin
 queries/llmops.py:events_sessionize), funnel detection, CEP pattern
 completions, trailing-hour rate alerts, exactly-once windowed top-k
-trending, the per-type CUSUM control chart, and the per-type Holt
-linear-trend forecaster. All keep state to a watermark-horizon working
+trending, the per-type CUSUM control chart, the per-type Holt
+linear-trend forecaster, and its seasonal Holt-Winters upgrade (period-7
+weekday slots). The ninth stateful surface — the foreachBatch IVM counts
+view (streaming/ivm.py) — is state-as-a-table rather than
+applyInPandasWithState. All keep state to a watermark-horizon working
 set (or O(keys) constants), the property that makes them run forever;
 checkpoint kill-restart recovery is pinned in tests/test_streaming.py.
 """
@@ -1385,6 +1388,200 @@ def run_holt_forecast_available_now(
     """Drive the streaming Holt forecaster over the directory stream with
     availableNow into a memory sink; returns finalized-day emissions."""
     stream = holt_forecast_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ===================== Holt-Winters (additive, period 7) =====================
+
+_HW_PERIOD = 7
+
+HW_OUT_SCHEMA = (
+    "event_type string, day date, day_count long, forecast long, "
+    "level long, trend long, seasonal long, alarm int"
+)
+
+
+def _hw_step(
+    level: int, trend: int, seas: list[int], i: int, x: int
+) -> tuple[int, int, int, int, int]:
+    """One additive Holt-Winters update on day count x at weekday slot i
+    (0 = Monday), all integer fixed-point in 1/256 units with
+    power-of-two FLOOR divisions (bit-exact vs floor(a/2^k.0) in SQL):
+      forecast = level + trend + seas[i]              (before seeing x)
+      level'   = floor((256*x - seas[i] + 3*(level + trend)) / 4)
+      trend'   = floor((level' - level + 7*trend) / 8)
+      seas[i]' = floor((256*x - level' + 15*seas[i]) / 16)
+    (alpha = 1/4 on the deseasonalized observation, beta = 1/8,
+    gamma = 1/16.) Alarm mirrors the Holt chart: the forecast missed by
+    more than 25% of its own floored-at-one magnitude. Returns
+    (forecast, level', trend', seas_i', alarm); the caller mutates the
+    seasonal slot. Seasonals seed at 0, so early cycles behave like
+    Holt and the weekday profile is learned online — the deterministic
+    seeding both engines can replay without a seasonal-init pass."""
+    s_i = seas[i]
+    forecast = level + trend + s_i
+    new_level = (_HOLT_SCALE * x - s_i + 3 * (level + trend)) // 4
+    new_trend = (new_level - level + 7 * trend) // 8
+    new_seas = (_HOLT_SCALE * x - new_level + 15 * s_i) // 16
+    alarm = (
+        1 if 4 * abs(_HOLT_SCALE * x - forecast) > max(forecast, _HOLT_SCALE) else 0
+    )
+    return forecast, new_level, new_trend, new_seas, alarm
+
+
+def batch_holt_winters(events: DataFrame) -> DataFrame:
+    """Additive Holt-Winters (period-7 weekday seasonality) over each
+    event type's daily counts — the seasonality-aware upgrade of
+    batch_holt_forecast for feeds with weekly shape (every real ingest
+    pipeline): Holt pages every Monday when weekends dip; this chart
+    learns the dip. Same plan as the Holt/CUSUM folds: ONE day-grain
+    aggregate over the corpus, then the genuinely-sequential recursion
+    in a single Arrow batch per event type (types x days rows — fold
+    input is constants-sized, never the event stream). State per type =
+    2 + 7 longs. Seeds on the first present day (level = 256*x, trend
+    and all seasonals 0, nothing emitted); weekday slots come from the
+    CALENDAR (Monday = 0), so day gaps skip slots instead of shifting
+    the season — the property that keeps the fold mergeable across
+    ingest backfills. Oracle: recursive CTE carrying the seasonal
+    7-list (queries/round13i.py)."""
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        level, trend = _HOLT_SCALE * int(pdf.loc[0, "x"]), 0
+        seas = [0] * _HW_PERIOD
+        rows = []
+        for i in range(1, len(pdf)):
+            x = int(pdf.loc[i, "x"])
+            slot = pdf.loc[i, "day"].weekday()
+            forecast, level, trend, s_new, alarm = _hw_step(
+                level, trend, seas, slot, x
+            )
+            seas[slot] = s_new
+            rows.append(
+                (pdf.loc[i, "event_type"], pdf.loc[i, "day"], x,
+                 forecast, level, trend, s_new, alarm)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "day", "day_count", "forecast",
+                "level", "trend", "seasonal", "alarm",
+            ],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(fold, HW_OUT_SCHEMA)
+
+
+_HW_STATE_SCHEMA = (
+    "level long, trend long, seas array<long>, "
+    "days array<long>, counts array<long>"
+)
+
+
+def holt_winters_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (the 9th): additive
+    HOLT-WINTERS (period-7 weekday seasonality) over each event type's
+    daily counts — holt_forecast_stream that has learned the weekly
+    shape instead of paging on it. Same watermark-finalized-day append
+    contract as the CUSUM/Holt charts: the first finalized day seeds
+    level = 256*x (trend and all 7 seasonal slots 0) and emits nothing;
+    every later finalized day emits EXACTLY ONCE. Weekday slots come
+    from the CALENDAR (epoch day 0 = Thursday, slot = (d + 3) % 7 with
+    Monday = 0 — matching date.weekday() in the batch twin), so day
+    gaps skip slots rather than shift the season. Integer fixed-point
+    fold (_hw_step) bit-exact across the stream, the batch twin
+    (batch_holt_winters), and the list-state recursive-CTE oracle
+    (queries/round13i.py:events_holt_winters_daily). State per key =
+    9 longs + one watermark horizon of pending (day, count) pairs;
+    keys are event types — O(types) forever, the run-forever shape."""
+
+    def fold(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            level, trend, seas, days, counts = state.get
+            seas = list(seas)
+            pending = dict(zip(days, counts))
+        else:
+            level, trend, seas, pending = -1, 0, [0] * _HW_PERIOD, {}
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows["ts"].notna()]
+            if len(rows):
+                per_day = (rows["ts"].astype("int64") // _DAY_NS).value_counts()
+                for day, n in per_day.items():
+                    day = int(day)
+                    pending[day] = pending.get(day, 0) + int(n)
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = sorted(d for d in pending if (d + 1) * _DAY_MS <= wm_ms)
+        out = []
+        for d in ready:
+            x = pending.pop(d)
+            slot = (d + 3) % _HW_PERIOD  # 1970-01-01 was a Thursday
+            if level < 0:
+                level = _HOLT_SCALE * x  # baseline day: seeds the state
+                trend = 0
+                continue
+            forecast, level, trend, s_new, alarm = _hw_step(
+                level, trend, seas, slot, x
+            )
+            seas[slot] = s_new
+            out.append((d, x, forecast, level, trend, s_new, alarm))
+        if pending or level >= 0:
+            items = sorted(pending.items())
+            state.update(
+                (level, trend, seas,
+                 [d for d, _ in items], [c for _, c in items])
+            )
+            if pending:
+                horizon = (min(pending) + 1) * _DAY_MS
+                state.setTimeoutTimestamp(max(horizon, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            epoch = datetime.date(1970, 1, 1)
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(out),
+                    "day": [epoch + datetime.timedelta(days=d) for d, *_ in out],
+                    "day_count": [x for _, x, *_ in out],
+                    "forecast": [f for _, _, f, *_ in out],
+                    "level": [lv for _, _, _, lv, *_ in out],
+                    "trend": [t for _, _, _, _, t, _s, _a in out],
+                    "seasonal": [s for *_, s, _a in out],
+                    "alarm": [a for *_, a in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=HW_OUT_SCHEMA,
+            stateStructType=_HW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_holt_winters_available_now(
+    spark: SparkSession, events_dir: str, query_name: str = "stream_hw"
+) -> DataFrame:
+    """Drive the streaming Holt-Winters chart over the directory stream
+    with availableNow into a memory sink; returns finalized-day rows."""
+    stream = holt_winters_stream(read_events_stream(spark, events_dir))
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)

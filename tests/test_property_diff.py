@@ -246,3 +246,56 @@ def test_cusum_fold_matches_recursive_cte(counts):
         cusum = max(0, cusum + x - target - slack)
         want.append((daily_src["day"][i], x, cusum, 1 if cusum > target else 0))
     assert got == want
+
+
+# ---------------- Holt-Winters fold vs list-state recursive CTE ---------------
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=2, max_size=40)
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_winters_fold_matches_recursive_cte(counts):
+    """The seasonal Holt-Winters recursion (streaming/jobs._hw_step) vs
+    the registered recursive-CTE oracle whose state row carries the
+    7-slot seasonal LIST (queries/round13i.py) over hypothesis-random
+    daily counts on CONSECUTIVE calendar days — so every weekday slot is
+    exercised, the isodow(1-based)/weekday(0-based) alignment is proven
+    by value, and crashing series drive level/trend/seasonal negative
+    (the floor-vs-truncate regime)."""
+    import datetime as dt
+
+    import duckdb as ddb
+    import pandas as pd
+
+    from laposte_data_engineering_jedha_spark import queries as q
+    from laposte_data_engineering_jedha_spark.streaming import jobs
+
+    sql = q.ORACLE_SQL["events_holt_winters_daily"]
+    assert _HOLT_DAILY_CTE in sql  # surgical replacement must stay in sync
+    sql = sql.replace(
+        _HOLT_DAILY_CTE,
+        "RECURSIVE daily AS (SELECT event_type, day, x FROM daily_src)",
+    )
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(len(counts))]
+    daily_src = pd.DataFrame(
+        {"event_type": ["t"] * len(counts), "day": days, "x": counts}
+    )
+    con = ddb.connect()
+    try:
+        con.register("daily_src", daily_src)
+        got = [tuple(r[1:]) for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+
+    level, trend = jobs._HOLT_SCALE * counts[0], 0
+    seas = [0] * jobs._HW_PERIOD
+    want = []
+    for i, x in enumerate(counts[1:], start=1):
+        slot = days[i].weekday()
+        forecast, level, trend, s_new, alarm = jobs._hw_step(
+            level, trend, seas, slot, x
+        )
+        seas[slot] = s_new
+        want.append((days[i], x, forecast, level, trend, s_new, alarm))
+    assert got == want

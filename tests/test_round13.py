@@ -441,3 +441,123 @@ def test_partition_prune_plan_has_filters(spark, sf_dir):
     n_pruned = back.count()
     n_all = round13e._events_projected(spark, sf_dir).count()
     assert 0 < n_pruned < n_all
+
+
+# --------------------------- batch 9: round13i -------------------------------
+
+
+def test_ams_f2_invariants(spark, sf_dir):
+    """Per estimator row: estimate == sketch_sum^2 and signed_error ==
+    estimate - truth; the truth column equals an independently-computed
+    sum of squared type counts; and the mean estimate across rows sits
+    within 3x of F2 (E[S^2] = F2 — a loose sanity band, not a tight
+    probabilistic bound, so the test is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.queries import round13i
+
+    rows = round13i.sketch_ams_f2(spark, sf_dir).collect()
+    assert [r["j"] for r in rows] == list(range(round13i._AMS_DEPTH))
+    truth = (
+        q.events_table(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0]["f2"]
+    )
+    for r in rows:
+        assert r["f2_estimate"] == r["sketch_sum"] ** 2
+        assert r["signed_error"] == r["f2_estimate"] - r["f2_true"]
+        assert r["f2_true"] == truth
+    mean_est = sum(r["f2_estimate"] for r in rows) / len(rows)
+    assert truth / 3 <= mean_est <= 3 * truth
+
+
+def test_pmi_lift_hand_recomputed(spark, sf_dir):
+    """Every reported pair's lift re-derives from independently-counted
+    unigram/bigram frequencies; counts respect the min-count filter and
+    the ordering is (lift desc, w1, w2)."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.functions import texts
+    from laposte_data_engineering_jedha_spark.queries import round13i
+
+    rows = round13i.text_pmi_lift_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= round13i._PMI_TOP
+    toks = q.table(spark, sf_dir, "documents").select(
+        texts.tokens("text").alias("t")
+    )
+    uni = {
+        r["tok"]: r["cu"]
+        for r in toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .withColumnRenamed("count", "cu")
+        .collect()
+    }
+    nn = sum(uni.values())
+    keys = [(r["w1"], r["w2"]) for r in rows]
+    assert len(set(keys)) == len(keys)
+    prev = None
+    for r in rows:
+        assert r["c"] >= round13i._PMI_MIN_C
+        want = round(r["c"] * nn / (uni[r["w1"]] * uni[r["w2"]]) * 1e6) / 1e6
+        assert r["lift"] == pytest.approx(want, abs=2e-6)
+        key = (-r["lift"], r["w1"], r["w2"])
+        assert prev is None or key >= prev
+        prev = key
+
+
+def test_holt_winters_hand_computed_prefix(spark, sf_dir):
+    """First two emitted days of one type recompute by hand from the
+    day-grain counts (seed day emits nothing; day 2 forecasts level +
+    trend + seasonal with all-zero seasonals = Holt's first forecast),
+    and the chart agrees with events_holt_forecast wherever no seasonal
+    has been learned yet (the first occurrence of every weekday)."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.queries import round13a, round13i
+    from laposte_data_engineering_jedha_spark.streaming import jobs
+
+    hw = round13i.events_holt_winters_daily(spark, sf_dir).collect()
+    holt = {
+        (r["event_type"], r["day"]): r
+        for r in round13a.events_holt_forecast(spark, sf_dir).collect()
+    }
+    by_type: dict = {}
+    for r in hw:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r["day"])
+        seen_slots = set()
+        daily = dict(
+            q.events_table(spark, sf_dir)
+            .where(F.col("event_type") == et)
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .count()
+            .collect()
+        )
+        days = sorted(daily)
+        # seed day absent from the chart
+        assert rows[0]["day"] == days[1]
+        seen_slots.add(days[0].weekday())
+        level, trend = jobs._HOLT_SCALE * daily[days[0]], 0
+        seas = [0] * jobs._HW_PERIOD
+        for r in rows[:2]:
+            x = daily[r["day"]]
+            slot = r["day"].weekday()
+            forecast, level, trend, s_new, alarm = jobs._hw_step(
+                level, trend, seas, slot, x
+            )
+            seas[slot] = s_new
+            assert (r["forecast"], r["level"], r["trend"], r["seasonal"],
+                    r["alarm"]) == (forecast, level, trend, s_new, alarm)
+        # until a weekday repeats, seasonal correction is zero, so the
+        # forecast must equal plain Holt's
+        for r in rows:
+            slot = r["day"].weekday()
+            if slot in seen_slots:
+                break
+            seen_slots.add(slot)
+            h = holt[(r["event_type"], r["day"])]
+            assert r["forecast"] == h["forecast"]

@@ -750,3 +750,51 @@ def test_ivm_kill_restart_and_replay(spark, sf_dir, tmp_path):
     # id, not the content)
     assert ivm.apply_batch(spark, root, replay.where("1=0"), last + 1) is True
     assert canon(ivm.read_view(spark, root)) == final
+
+
+def test_holt_winters_stream_matches_batch(spark, events_dir):
+    """The streaming Holt-Winters chart (9th custom stateful op) must
+    emit exactly the batch twin's rows for every day FINALIZED under the
+    final watermark — same forecasts, same fixed-point folds, same
+    learned seasonal slots; unfinalized days are withheld. The batch
+    twin is oracle-hash-gated (events_holt_winters_daily,
+    queries/round13i.py), so this chains the stream's semantics to the
+    list-state recursive-CTE oracle."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["forecast"],
+         r["level"], r["trend"], r["seasonal"], r["alarm"])
+        for r in df.collect()
+    )
+    batch = canon(jobs.batch_holt_winters(spark.read.parquet(events_dir)))
+    stream = canon(jobs.run_holt_winters_available_now(spark, events_dir))
+    assert len(stream) > 0
+    max_us = spark.read.parquet(events_dir).agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_ms = max_us // 1000 - 600_000  # 10-minute watermark
+    epoch = datetime.date(1970, 1, 1)
+    closed = [
+        t for t in batch if ((t[1] - epoch).days + 1) * 86_400_000 <= wm_ms
+    ]
+    assert stream == closed
+    keys = [(t[0], t[1]) for t in stream]
+    assert len(keys) == len(set(keys))  # exactly-once per (type, day)
+
+
+def test_holt_winters_checkpoint_kill_restart(spark, sf_dir, tmp_path):
+    """The Holt-Winters state (level/trend + the 7-slot seasonal vector
+    + pending days) must survive stop/restart via the checkpoint:
+    interrupted and resumed == uninterrupted, fold and learned season
+    unbroken across the boundary."""
+    canon = lambda df: sorted(  # noqa: E731
+        (r["event_type"], r["day"], r["day_count"], r["forecast"],
+         r["level"], r["trend"], r["seasonal"], r["alarm"])
+        for r in df.collect()
+    )
+    rows = _checkpoint_kill_restart(
+        spark, sf_dir, tmp_path, jobs.holt_winters_stream, canon
+    )
+    keys = [(t[0], t[1]) for t in rows]
+    assert len(keys) == len(set(keys))
