@@ -1192,25 +1192,7 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     registered) and the decade ladder."""
     if threshold != 0.5:
         raise ValueError("ppjoin_pairs implements the exact t=0.5 bounds only")
-    tl = (
-        docs.select(
-            "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
-        )
-        .where(F.size("hs") > 0)
-        # doc-grain int64 shingle sets feeding five consumers (the token
-        # explode twice via tk, the length join, and both verify sides)
-        # — persist so the Arrow shingle-hash kernel runs ONCE
-        .persist()
-    )
-    tk = tl.select("doc_id", F.explode("hs").alias("tok"))
-    fr = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("doc_id").orderBy("f", "tok")
-    rk = tk.join(fr, "tok").withColumn("r", F.row_number().over(w))
-    pf = (
-        rk.join(tl.select("doc_id", F.size("hs").alias("n")), "doc_id")
-        .where(F.col("r") <= F.expr("n div 2 + 1"))
-        .select("doc_id", "tok", "r", "n")
-    )
+    tl, pf = _ppjoin_prefix(docs)
     a = pf.select(
         F.col("doc_id").alias("id_a"), "tok",
         F.col("r").alias("ra"), F.col("n").alias("na"),
@@ -1254,4 +1236,54 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     ) / 10000
     return sc.select("id_a", "id_b", jacc.alias("jaccard")).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def _ppjoin_prefix(docs: DataFrame):
+    """Shared front of the PPJoin family: the persisted doc-grain shingle
+    relation `tl` (doc_id, hs) and the rarity-ordered prefix postings
+    `pf` (doc_id, tok, r, n) — each doc's n // 2 + 1 globally-rarest
+    shingles with their rank and set size."""
+    tl = (
+        docs.select(
+            "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
+        )
+        .where(F.size("hs") > 0)
+        # doc-grain int64 shingle sets feeding five consumers (the token
+        # explode twice via tk, the length join, and both verify sides)
+        # — persist so the Arrow shingle-hash kernel runs ONCE
+        .persist()
+    )
+    tk = tl.select("doc_id", F.explode("hs").alias("tok"))
+    fr = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "tok")
+    rk = tk.join(fr, "tok").withColumn("r", F.row_number().over(w))
+    pf = (
+        rk.join(tl.select("doc_id", F.size("hs").alias("n")), "doc_id")
+        .where(F.col("r") <= F.expr("n div 2 + 1"))
+        .select("doc_id", "tok", "r", "n")
+    )
+    return tl, pf
+
+
+def ppjoin_pair_mass(docs: DataFrame) -> DataFrame:
+    """PRE-FLIGHT cost estimate for ppjoin_pairs: the candidate pair
+    mass sum_p C(f_p, 2) over prefix-indexed shingles — exactly the row
+    count the prefix equi-join will generate before the length and
+    positional filters. One aggregate pass (no join), so a 100 TB
+    deployment runs THIS first and routes dense corpora (tiny shingle
+    vocabularies, boilerplate floods — where AllPairs candidate mass is
+    ~n^2 / |shingle space| and the right tool is MinHash banding)
+    away from the exact join. The same observability contract as
+    corpus_band_occupancy_stats on the LSH side: pair mass IS the join
+    cost, and it is knowable for one cheap scan before you pay it.
+    Returns one row: (n_prefix_postings, n_distinct_prefix_toks,
+    max_posting_list, pair_mass)."""
+    _tl, pf = _ppjoin_prefix(docs)
+    occ = pf.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    return occ.agg(
+        F.sum("f").cast("long").alias("n_prefix_postings"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_prefix_toks"),
+        F.max("f").cast("long").alias("max_posting_list"),
+        F.sum(F.expr("f * (f - 1) div 2")).cast("long").alias("pair_mass"),
     )

@@ -115,6 +115,9 @@ def main() -> None:
         ("cusum_control", jobs.cusum_control_stream),
         # the 7th (round 13) — Holt trend forecaster, same O(types) shape
         ("holt_forecast", jobs.holt_forecast_stream),
+        # the 8th (round 13) — seasonal Holt-Winters: state adds the
+        # 7-slot seasonal vector, still O(types) longs
+        ("holt_winters", jobs.holt_winters_stream),
     ]
     result = {"sf_dir": sf_dir, "n_events": n_events}
     for name, build in ops:

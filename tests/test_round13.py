@@ -561,3 +561,40 @@ def test_holt_winters_hand_computed_prefix(spark, sf_dir):
             seen_slots.add(slot)
             h = holt[(r["event_type"], r["day"])]
             assert r["forecast"] == h["forecast"]
+
+
+# --------------------------- batch 10: round13j ------------------------------
+
+
+def test_gate_distill_learns_and_rows_shape(spark, sf_dir):
+    """8 steps, accuracy climbs off the majority-class floor by the
+    last step (the fixture is linearly separable enough for that), and
+    weights are finite micro-unit-rounded doubles."""
+    import math
+
+    from laposte_data_engineering_jedha_spark.queries import round13j
+
+    rows = round13j.ml_gate_distill_gd(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(1, round13j._GD_STEPS + 1))
+    accs = [r["acc_ppm"] for r in rows]
+    assert accs[-1] > accs[0]
+    for r in rows:
+        for c in ("w0", "w1", "w2"):
+            assert math.isfinite(r[c])
+            assert r[c] == round(r[c] * round13j._GD_Q) / round13j._GD_Q
+
+
+def test_ppjoin_pair_mass_is_admissible_bound(spark, sf_dir):
+    """The pre-flight pair-mass estimate must upper-bound the exact
+    join's output (every emitted pair shares >= 1 prefix token, so it is
+    counted in some posting list's C(f,2)), and its fields must be
+    internally consistent."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries import round13b
+
+    docs = q.table(spark, sf_dir, "documents")
+    m = dedup.ppjoin_pair_mass(docs).first()
+    assert m["n_prefix_postings"] >= m["n_distinct_prefix_toks"] > 0
+    assert m["max_posting_list"] >= 1
+    n_pairs = round13b.dedup_prefix_filter_jaccard(spark, sf_dir).count()
+    assert m["pair_mass"] >= n_pairs
