@@ -872,6 +872,10 @@ ROUND13_ADDED: list[str] = [
     # round-13 session batch 10 (queries/round13j.py): deterministic
     # distributed GD training with an unrolled-CTE oracle
     "ml_gate_distill_gd",
+    # round-13 session batch 11 (queries/round13b.py): the PPJoin
+    # pre-flight pair-mass report, oracle-registered after the decade
+    # ladder proved it the dense-regime router
+    "dedup_ppjoin_pair_mass",
 ]
 
 # Round-13 window (first 50), exactly as staged at round-12 close and

@@ -51,10 +51,10 @@ from .llmops import (
 _PFJ_T = 0.5  # Jaccard threshold; prefix size = n - ceil(t*n) + 1 = n//2 + 1
 
 
-@query(
-    "dedup_prefix_filter_jaccard",
-    f"""
-WITH {_SQL_SHINGLE_CTES},
+# Shared front of the PPJoin oracle family (the SQL twin of
+# operators/dedup._ppjoin_prefix): md5-hashed shingle sets, global
+# document frequency, per-doc rarity ranks, and the n//2 + 1 prefix.
+_PFJ_PREFIX_CTES = f"""{_SQL_SHINGLE_CTES},
 tl AS (SELECT doc_id, [{sql_md5i('x')} for x in s] AS hs FROM sh
        WHERE len(s) > 0),
 tk AS (SELECT doc_id, unnest(hs) AS tok FROM tl),
@@ -66,7 +66,13 @@ rk AS (
 pf AS (
   SELECT rk.doc_id, rk.tok, rk.r, len(tl.hs) AS n
   FROM rk JOIN tl USING (doc_id)
-  WHERE rk.r <= len(tl.hs) // 2 + 1),
+  WHERE rk.r <= len(tl.hs) // 2 + 1)"""
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    f"""
+WITH {_PFJ_PREFIX_CTES},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
          max(least(a.n - a.r, b.n - b.r)) AS ub0
@@ -243,3 +249,33 @@ def eval_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_neg"),
         auc.alias("auc"),
     )
+
+
+@query(
+    "dedup_ppjoin_pair_mass",
+    f"""
+WITH {_PFJ_PREFIX_CTES},
+occ AS (SELECT tok, count(*) AS f FROM pf GROUP BY tok)
+SELECT CAST(sum(f) AS BIGINT) AS n_prefix_postings,
+       CAST(count(*) AS BIGINT) AS n_distinct_prefix_toks,
+       CAST(max(f) AS BIGINT) AS max_posting_list,
+       CAST(sum(f * (f - 1) // 2) AS BIGINT) AS pair_mass
+FROM occ""",
+)
+def dedup_ppjoin_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-FLIGHT cost report for the exact prefix-filter join
+    (operators/dedup.ppjoin_pair_mass): the candidate pair mass
+    sum_p C(f_p, 2) over prefix-indexed shingles — exactly the row
+    count dedup_prefix_filter_jaccard's equi-join would generate before
+    its length/positional filters — plus posting totals and the peak
+    list. One aggregate pass, NO join: the number that routes dense
+    corpora (tiny shingle vocabularies, boilerplate floods, where
+    AllPairs is ~n^2/|shingle space| by construction) to MinHash
+    banding before the join cost is paid. Measured teeth in
+    .scale/ppjoin_decade.json: 2.64M for a Heaps-consistent 550k-doc
+    corpus vs 6.18B for the same size at fixture vocabulary — a 2,345x
+    gap knowable for one scan (the naive run of the dense join spilled
+    >65 GB and died). Same observability contract as
+    corpus_band_occupancy_stats on the LSH side; admissibility
+    (mass >= emitted pairs) pinned in tests/test_round13.py."""
+    return dedup.ppjoin_pair_mass(table(spark, sf_dir, "documents"))
