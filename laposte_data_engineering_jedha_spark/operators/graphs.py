@@ -130,3 +130,62 @@ def co_activity_triangles(
         .crossJoin(F.broadcast(tri))
         .select("n_edges", "n_nodes", "n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+) -> list[tuple[int, int, int]]:
+    """Iterative k-core PEELING over an undirected edge list (u, v):
+    each round drops every node with degree < k and every edge touching
+    one, until fixpoint (`rounds=None`) or for a bounded number of
+    rounds (the SQL-expressible form queries/round13k.py registers).
+    Returns [(round, n_nodes, n_edges)] after each peel.
+
+    Scale shape: a round is one degree aggregate (explode both
+    endpoints, hash-partial count) and two semi-joins — all key-hashed,
+    no all-pairs anywhere; surviving edges localCheckpoint each round
+    (the connected-components lineage-truncation precedent,
+    operators/dedup.py) so the plan stays linear in rounds. Peeling
+    converges in at most |V| rounds but in practice a handful — the
+    driver reads ONE count per round (a bounded scalar, the repo's
+    allowed-collect contract) to detect the fixpoint. The exact k-core
+    is the fixpoint of this map; a bounded-round run is an upper
+    envelope (every node outside the true core is gone by its peel
+    depth).
+
+    Cite: reference repo has no graph surface (extension layer)."""
+    stats: list[tuple[int, int, int]] = []
+    cur = edges
+    prev_edges = None
+    r = 0
+    while True:
+        r += 1
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = cur.count()
+        n_nodes = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
+        stats.append((r, n_nodes, n_edges))
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    return stats

@@ -191,3 +191,29 @@ def test_order_count_distribution_keeps_zero_order_customers(spark, tmp_path):
     got = {r["c_count"]: r["custdist"] for r in
            q.queries()["olap_order_count_distribution"](spark, d).collect()}
     assert got == {2: 1, 0: 2}  # cust 1 -> bucket 2; custs 2 AND 3 -> bucket 0
+
+
+def test_ppjoin_pathological_corpora(spark):
+    """Edge regimes for the exact prefix-filter join: (a) an empty
+    corpus and (b) an all-identical corpus — the degenerate flood where
+    every doc shares every prefix token. Exactness must hold in both:
+    zero pairs, and all C(n,2) pairs at jaccard 1.0 respectively; the
+    pre-flight mass must bound the flood exactly."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.ppjoin_pairs(empty).count() == 0
+
+    n = 6
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    rows = dedup.ppjoin_pairs(same).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    mass = dedup.ppjoin_pair_mass(same).first()["pair_mass"]
+    # every doc's prefix = the same |s|//2 + 1 rarest shingles, so the
+    # flood's mass is exactly (prefix size) * C(n, 2)
+    assert mass % (n * (n - 1) // 2) == 0
+    assert mass >= len(rows)

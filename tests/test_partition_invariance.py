@@ -31,6 +31,11 @@ REPRESENTATIVES = [
     "ivf_knn",                     # fold argmin routing + Arrow cosine + rank
     "eval_value_auc",              # global rank window at the score grain
     "text_bpe_merge_step",         # winner limit(1) + vocab-grain replace
+    # round-13 families
+    "ml_gate_distill_gd",          # iterative GD: quantized gradient sums, the
+                                   # headline bit-reproducible-training claim
+    "events_holt_winters_daily",   # per-type pandas fold with 7-slot list state
+    "sketch_ams_f2",               # signed sketch counters summed as ints
 ]
 
 

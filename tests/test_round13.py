@@ -598,3 +598,40 @@ def test_ppjoin_pair_mass_is_admissible_bound(spark, sf_dir):
     assert m["max_posting_list"] >= 1
     n_pairs = round13b.dedup_prefix_filter_jaccard(spark, sf_dir).count()
     assert m["pair_mass"] >= n_pairs
+
+
+# --------------------------- batch 12: round13k ------------------------------
+
+
+def test_kcore_fixpoint_matches_bounded_rounds(spark, sf_dir):
+    """The fixpoint form (rounds=None, converges when a peel removes
+    nothing) must agree with the registered 3-round form's final state
+    at fixture scale, the first round must actually prune (the bulk
+    filter makes the peel bind), and the flat tail must certify the
+    fixpoint (round 2 == round 3)."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.operators import graphs
+    from laposte_data_engineering_jedha_spark.queries import round13k
+
+    rows = {r["round"]: r for r in round13k.graph_kcore_peel(spark, sf_dir).collect()}
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (
+        rows[3]["n_nodes"], rows[3]["n_edges"],
+    )
+    orders = q.table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        q.table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= round13k._KC_QMIN)
+        .select("l_orderkey", "l_suppkey")
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + round13k._KC_OFF).alias("v"),
+        )
+        .distinct()
+    )
+    assert rows[1]["n_edges"] < edges.count()  # the peel bound
+    fix = graphs.kcore_peel(edges, k=round13k._KC_K, rounds=None)
+    assert fix[-1][1:] == (rows[3]["n_nodes"], rows[3]["n_edges"])
