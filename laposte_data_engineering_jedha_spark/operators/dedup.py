@@ -1244,14 +1244,15 @@ def _ppjoin_prefix(docs: DataFrame):
     relation `tl` (doc_id, hs) and the rarity-ordered prefix postings
     `pf` (doc_id, tok, r, n) — each doc's n // 2 + 1 globally-rarest
     shingles with their rank and set size."""
-    tl = (
+    tl = caches.track(
         docs.select(
             "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")
         )
         .where(F.size("hs") > 0)
         # doc-grain int64 shingle sets feeding five consumers (the token
         # explode twice via tk, the length join, and both verify sides)
-        # — persist so the Arrow shingle-hash kernel runs ONCE
+        # — persist so the Arrow shingle-hash kernel runs ONCE; tracked
+        # so batch runners reclaim it per query (caches module contract)
         .persist()
     )
     tk = tl.select("doc_id", F.explode("hs").alias("tok"))

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
+from ..operators import caches
 from . import query, table
 from .llmops import sql_quality, sql_round, sql_toks
 
@@ -83,7 +84,7 @@ def text_bigram_kn_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
     )
     bg0 = docs.where(F.size(t) >= 2).select(F.explode(grams).alias("bgs"))
-    bg = (
+    bg = caches.track(
         bg0.select(
             F.substring_index("bgs", " ", 1).alias("w1"),
             F.substring_index("bgs", " ", -1).alias("w2"),

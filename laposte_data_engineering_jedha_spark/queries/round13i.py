@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import caches
 from ..streaming import jobs
 from . import events_table, query, table
 from .llmops import sql_round, sql_toks
@@ -188,7 +189,7 @@ def text_pmi_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = texts.tokens("text")
     toks = docs.select(t.alias("t"))
-    uni = (
+    uni = caches.track(
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))

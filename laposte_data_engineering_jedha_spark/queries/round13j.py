@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texts
+from ..operators import caches
 from . import query, table
 from .llmops import sql_toks
 
@@ -120,7 +121,7 @@ def ml_gate_distill_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.length("text")
     )
-    feat = (
+    feat = caches.track(
         docs.where(F.length("text") > 0)
         .select(
             y.alias("y"),
