@@ -635,3 +635,23 @@ def test_kcore_fixpoint_matches_bounded_rounds(spark, sf_dir):
     assert rows[1]["n_edges"] < edges.count()  # the peel bound
     fix = graphs.kcore_peel(edges, k=round13k._KC_K, rounds=None)
     assert fix[-1][1:] == (rows[3]["n_nodes"], rows[3]["n_edges"])
+
+
+# --------------------------- batch 13: round13l ------------------------------
+
+
+def test_auto_graph_twins_use_count_derived_planes(spark, sf_dir):
+    """The auto twins must size band width from count(*) (and therefore
+    differ from the pinned 6-plane form at fixture scale — they carry
+    their own hash rows, not aliases), and the auto survivor set must
+    cover every embedding exactly once via its cluster representative."""
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries import llmops, round13l
+
+    n = q.table(spark, sf_dir, "embeddings").count()
+    planes = dedup.auto_band_planes(n)
+    assert planes != llmops._GRAPH_BAND_PLANES
+    rows = round13l.dedup_semantic_auto(spark, sf_dir).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert sum(r["cluster_size"] for r in rows) == n
