@@ -184,9 +184,10 @@ def text_pmi_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as olap_numeric_corr_matrix.
 
     Cite: reference repo has no text-statistics surface (extension)."""
-    docs = table(spark, sf_dir, "documents")
     from ..functions import texts
+    from .round13c import _spread
 
+    docs = _spread(table(spark, sf_dir, "documents"))
     t = texts.tokens("text")
     toks = docs.select(t.alias("t"))
     uni = caches.track(
@@ -199,13 +200,9 @@ def text_pmi_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = uni.agg(F.sum("cu").cast("long").alias("nn"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
-    )
     bg = (
         toks.where(F.size("t") >= 2)
-        .select(F.explode(grams).alias("b"))
+        .select(F.explode(texts.bigrams(F.col("t"))).alias("b"))
         .select(
             F.substring_index("b", " ", 1).alias("w1"),
             F.substring_index("b", " ", -1).alias("w2"),
