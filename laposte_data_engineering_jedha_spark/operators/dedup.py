@@ -713,6 +713,10 @@ def _minhash_sigs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     operators: shingle-hash arrays + MinHash signature, Arrow kernels,
     empty-shingle docs excluded (their signatures would all collide)."""
     hashes = texts.pd_shingle_hashes(texts.tokens(text_col))
+    # NOT spread_scan-widened: measured at sf1, the extra full-text
+    # shuffle made the minhash family SLOWER (calibration 11 -> 21 s)
+    # — its downstream already repartitions on the band key, so the
+    # kernel overlaps the shuffle instead of waiting on the scan
     return (
         df.select(F.col(id_col), hashes.alias("hashes"))
         .where(F.size("hashes") > 0)
@@ -1239,11 +1243,26 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Widen coarse scans before CPU-heavy Arrow kernels: a table stored
+    as 2 parquet files plans 2 scan tasks, serializing the kernel on a
+    32-core host (measured 28 -> 2.4 s for the sf1 bigram explode,
+    queries/round13c). One cheap row shuffle buys full parallelism; a
+    production table at 100 TB has thousands of splits and takes the
+    no-op branch."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _ppjoin_prefix(docs: DataFrame):
     """Shared front of the PPJoin family: the persisted doc-grain shingle
     relation `tl` (doc_id, hs) and the rarity-ordered prefix postings
     `pf` (doc_id, tok, r, n) — each doc's n // 2 + 1 globally-rarest
-    shingles with their rank and set size."""
+    shingles with their rank and set size. The scan widens through
+    spread_scan before the Arrow shingle kernel."""
+    docs = spread_scan(docs)
     tl = caches.track(
         docs.select(
             "doc_id", texts.pd_shingle_hashes(texts.tokens("text")).alias("hs")

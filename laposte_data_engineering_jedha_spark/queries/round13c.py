@@ -35,15 +35,12 @@ from .llmops import sql_quality, sql_round, sql_toks
 
 
 def _spread(df):
-    """Widen coarse scans before CPU-heavy token work: a fixture table
-    stored as 2 parquet files plans 2 scan tasks, serializing the
-    tokenize+explode on a 32-core host (measured 28 -> 2.4 s at sf1).
-    One cheap row shuffle buys full parallelism; a production table at
-    100 TB has thousands of splits and takes the no-op branch."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Widen coarse scans before CPU-heavy token work (delegates to
+    operators/dedup.spread_scan — measured 28 -> 2.4 s for the sf1
+    bigram explode on a 2-file table)."""
+    from ..operators.dedup import spread_scan
+
+    return spread_scan(df)
 
 
 _KN_D = 0.75
