@@ -655,3 +655,23 @@ def test_auto_graph_twins_use_count_derived_planes(spark, sf_dir):
     ids = [r["vec_id"] for r in rows]
     assert len(ids) == len(set(ids))
     assert sum(r["cluster_size"] for r in rows) == n
+
+
+# --------------------------- batch 14: round13m ------------------------------
+
+
+def test_bpe_train_merges_invariants(spark, sf_dir):
+    """Step 1 must agree with the registered single-step query's winner;
+    the four learned merges are distinct; and the winning pair count is
+    non-increasing (a merge only creates pairs bounded by its own count
+    and leaves others unchanged — the BPE monotonicity)."""
+    from laposte_data_engineering_jedha_spark.queries import round13m, round7e
+
+    rows = round13m.text_bpe_train_merges(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    single = round7e.text_bpe_merge_step(spark, sf_dir).collect()
+    assert rows[0]["s1"] + rows[0]["s2"] == single[0]["merged_pair"]
+    pairs = [(r["s1"], r["s2"]) for r in rows]
+    assert len(set(pairs)) == len(pairs)
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
