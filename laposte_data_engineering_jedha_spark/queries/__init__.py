@@ -885,6 +885,8 @@ ROUND13_ADDED: list[str] = [
     # round-13 session batch 14 (queries/round13m.py): multi-step BPE
     # trainer (unrolled-CTE oracle, the GD pattern on tokenizer induction)
     "text_bpe_train_merges",
+    # round-13 session batch 15 (queries/round13n.py): density clustering
+    "embedding_dbscan_lite",
 ]
 
 # Round-13 window (first 50), exactly as staged at round-12 close and
@@ -952,7 +954,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Submodules register their queries on import (kept at the bottom so they can
 # import the helpers above).
-from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e, round11a, round11b, round11c, round11d, round11e, round12a, round12b, round12c, round12d, round12e, round12f, round12g, round13a, round13b, round13c, round13d, round13e, round13f, round13g, round13h, round13i, round13j, round13k, round13l, round13m  # noqa: E402,F401
+from . import io, llmops, olap, olap2, parity, round4, round4b, round4c, round5, round5b, round5c, round6, round6b, round6c, round6d, round6e, round6f, round6g, round6h, round6i, round6j, round6k, round6l, round6m, round6n, round6o, round6p, round7, round7b, round7c, round7d, round7e, round7f, round7g, round7h, round7i, round7j, round7k, round7l, round7m, round7n, round7o, round8a, round8b, round8c, round8d, round8e, round8f, round8g, round8h, round9a, round9b, round9c, round9d, round9e, round9f, round9g, round10a, round10b, round10c, round10d, round10e, round11a, round11b, round11c, round11d, round11e, round12a, round12b, round12c, round12d, round12e, round12f, round12g, round13a, round13b, round13c, round13d, round13e, round13f, round13g, round13h, round13i, round13j, round13k, round13l, round13m, round13n  # noqa: E402,F401
 from .parity import pipeline_delay_status  # noqa: E402,F401  (flagship re-export)
 
 

@@ -675,3 +675,48 @@ def test_bpe_train_merges_invariants(spark, sf_dir):
     assert len(set(pairs)) == len(pairs)
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# --------------------------- batch 15: round13n ------------------------------
+
+
+def test_dbscan_lite_label_semantics(spark, sf_dir):
+    """DBSCAN invariants on the fixture: labels partition the corpus;
+    cluster_id is NULL exactly for noise; every core point has >= minPts
+    neighbors in the pair relation; every border point is adjacent to a
+    core point of its assigned cluster."""
+    from pyspark.sql import functions as F
+
+    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.queries import round13n
+
+    rows = round13n.embedding_dbscan_lite(spark, sf_dir).collect()
+    emb_n = q.table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == emb_n
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+        assert (r["cluster_id"] is None) == (r["label"] == "noise")
+    assert set(by_label) <= {"core", "border", "noise"}
+    emb = q.table(spark, sf_dir, "embeddings")
+    planes = dedup.auto_band_planes(emb.count())
+    pairs = dedup.embedding_dup_pairs_lsh(
+        emb, threshold=round13n._DB_EPS, bands=8, band_planes=planes
+    ).select("id_a", "id_b")
+    sym = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = {r["id_a"]: r["n"] for r in sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("n")).collect()}
+    adj = {}
+    for r in sym.collect():
+        adj.setdefault(r["id_a"], set()).add(r["id_b"])
+    cluster = {r["vec_id"]: r["cluster_id"] for r in rows}
+    label = {r["vec_id"]: r["label"] for r in rows}
+    for r in by_label.get("core", []):
+        assert deg.get(r["vec_id"], 0) >= round13n._DB_MINPTS
+    for r in by_label.get("border", []):
+        cores = [
+            v for v in adj.get(r["vec_id"], ())
+            if label[v] == "core" and cluster[v] == r["cluster_id"]
+        ]
+        assert cores, r
