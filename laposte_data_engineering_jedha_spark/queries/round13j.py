@@ -46,33 +46,37 @@ _GD_GATE = 50  # token-count gate being distilled
 def _gd_oracle_sql() -> str:
     """Unrolled K-step GD: feat -> (g1, w1, a1) -> ... -> union of the
     per-step weight/accuracy rows. Weight state is a 1-row CTE cross-
-    joined into the next stage — the SQL twin of a broadcast scalar."""
-    feat = f"""feat AS (
+    joined into the next stage — the SQL twin of a broadcast scalar.
+    Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs, and the
+    weight chain re-expands its whole history per reference — the same
+    exponential-in-K blowup the Spark side solves with localCheckpoint
+    (measured 13.5 s -> ms on a 2-row corpus)."""
+    feat = f"""feat AS MATERIALIZED (
   SELECT CASE WHEN len({sql_toks('text')}) >= {_GD_GATE} THEN 1 ELSE 0 END AS y,
          CAST(n_chars AS DOUBLE) / 1000 AS x1,
          CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
            / length(text) AS x2
   FROM documents WHERE length(text) > 0),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
-w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+w0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
               CAST(0.0 AS DOUBLE) AS w2)"""
     stages, selects = [feat], []
     for k in range(1, _GD_STEPS + 1):
         p, c = f"w{k - 1}", f"w{k}"
         z = f"({p}.w0 + {p}.w1 * x1 + {p}.w2 * x2)"
         r = f"(least(greatest({z} / 4 + 0.5, 0.0), 1.0) - y)"
-        stages.append(f"""g{k} AS (
+        stages.append(f"""g{k} AS MATERIALIZED (
   SELECT CAST(sum(CAST(round({r} * {_GD_Q}) AS BIGINT)) AS BIGINT) AS q0,
          CAST(sum(CAST(round({r} * x1 * {_GD_Q}) AS BIGINT)) AS BIGINT) AS q1,
          CAST(sum(CAST(round({r} * x2 * {_GD_Q}) AS BIGINT)) AS BIGINT) AS q2
   FROM feat CROSS JOIN {p})""")
-        stages.append(f"""w{k} AS (
+        stages.append(f"""w{k} AS MATERIALIZED (
   SELECT {p}.w0 - {_GD_LR} * (CAST(q0 AS DOUBLE) / ({_GD_Q}.0 * n)) AS w0,
          {p}.w1 - {_GD_LR} * (CAST(q1 AS DOUBLE) / ({_GD_Q}.0 * n)) AS w1,
          {p}.w2 - {_GD_LR} * (CAST(q2 AS DOUBLE) / ({_GD_Q}.0 * n)) AS w2
   FROM g{k} CROSS JOIN {p} CROSS JOIN n)""")
         zc = f"({c}.w0 + {c}.w1 * x1 + {c}.w2 * x2)"
-        stages.append(f"""a{k} AS (
+        stages.append(f"""a{k} AS MATERIALIZED (
   SELECT CAST(sum(CASE WHEN ({zc} > 0) = (y = 1) THEN 1 ELSE 0 END)
               AS BIGINT) AS n_correct
   FROM feat CROSS JOIN {c})""")

@@ -299,3 +299,154 @@ def test_holt_winters_fold_matches_recursive_cte(counts):
         seas[slot] = s_new
         want.append((days[i], x, forecast, level, trend, s_new, alarm))
     assert got == want
+
+
+# ------------- BPE trainer oracle vs independent Python reference -------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=8),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_train_oracle_matches_python_reference(docs):
+    """The 4-merge BPE trainer's generated oracle SQL vs an INDEPENDENT
+    pure-Python BPE implementation (word counts -> repeat: count
+    adjacent symbol pairs weighted by frequency, winner by (count desc,
+    s1, s2), greedy left-to-right merge) over hypothesis-random
+    corpora — including self-overlapping runs ('aaaa'), the case where
+    the greedy application order is the whole semantics. Python
+    str.replace is left-to-right non-overlapping, i.e. the same rule
+    both engines' replace() implements."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from laposte_data_engineering_jedha_spark.queries import round13m
+    from laposte_data_engineering_jedha_spark.queries.round7e import _CLAMP, _SEP
+
+    texts_ = [" ".join(words) for words in docs]
+    con = ddb.connect()
+    try:
+        con.register("documents", pd.DataFrame({"text": texts_}))
+        got = con.execute(round13m._bpe_train_sql()).fetchall()
+    finally:
+        con.close()
+
+    # independent reference
+    wc: dict[str, int] = {}
+    for t in texts_:
+        for tok in re.split(r"\s+", t.strip().lower()):
+            if tok:
+                wc[tok] = wc.get(tok, 0) + 1
+    syms = {_SEP.join(tok[:_CLAMP]): w for tok, w in wc.items()}
+    # identical token strings collapse identically in both framings
+    want = []
+    for step in range(1, round13m._BPE_STEPS + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for m, w in syms.items():
+            a = m.split(_SEP)
+            for i in range(min(len(a) - 1, _CLAMP - 1)):
+                counts[(a[i], a[i + 1])] = counts.get((a[i], a[i + 1]), 0) + w
+        if not counts:
+            break
+        (s1, s2), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, s1, s2, n))
+        merged: dict[str, int] = {}
+        for m, w in syms.items():
+            m2 = m.replace(s1 + _SEP + s2, s1 + s2)
+            merged[m2] = merged.get(m2, 0) + w
+        syms = merged
+    assert got == want
+
+
+# --------------- GD trainer oracle vs independent Python loop -----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400),   # n_tokens
+            st.integers(min_value=1, max_value=4000),  # n_chars
+            st.integers(min_value=0, max_value=300),   # n_spaces (< chars)
+        ),
+        min_size=2, max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_gd_trainer_oracle_matches_python_loop(rows):
+    """The 8-step GD oracle vs an independent Python training loop over
+    synthetic documents with controlled token/char/whitespace counts.
+    The loop re-derives features from the generated TEXT (not from the
+    tuple) so the tokenize/length semantics are exercised too; the
+    quantized-gradient arithmetic is replayed with Python floats —
+    bit-identical by the query's determinism contract."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from laposte_data_engineering_jedha_spark.queries import round13j
+
+    texts_ = []
+    for n_tok, n_chars, n_sp in rows:
+        # n_tok 'x...x' words separated by single spaces; pad the last
+        # word so lengths vary independently of token count
+        words = ["x"] * n_tok
+        texts_.append(" ".join(words) + "x" * (n_sp % 3))
+    con = ddb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame({"text": texts_, "n_chars": [len(t) for t in texts_]}),
+        )
+        got = con.execute(round13j._gd_oracle_sql()).fetchall()
+    finally:
+        con.close()
+
+    feats = []
+    for t in texts_:
+        if len(t) == 0:
+            continue
+        toks = [w for w in re.split(r"\s+", t.strip().lower()) if w != ""]
+        y = 1 if len(toks) >= round13j._GD_GATE else 0
+        x1 = len(t) / 1000
+        x2 = (len(t) - len(t.replace(" ", ""))) / len(t)
+        feats.append((y, x1, x2))
+    n = len(feats)
+    Q = round13j._GD_Q
+    w0 = w1 = w2 = 0.0
+    want = []
+    for k in range(1, round13j._GD_STEPS + 1):
+        q0 = q1 = q2 = 0
+        for y, x1, x2 in feats:
+            z = w0 + w1 * x1 + w2 * x2
+            r = min(max(z / 4 + 0.5, 0.0), 1.0) - y
+            q0 += int(_round_half_up(r * Q))
+            q1 += int(_round_half_up(r * x1 * Q))
+            q2 += int(_round_half_up(r * x2 * Q))
+        w0 = w0 - round13j._GD_LR * (q0 / (Q * n))
+        w1 = w1 - round13j._GD_LR * (q1 / (Q * n))
+        w2 = w2 - round13j._GD_LR * (q2 / (Q * n))
+        n_correct = sum(
+            1 for y, x1, x2 in feats
+            if ((w0 + w1 * x1 + w2 * x2) > 0) == (y == 1)
+        )
+        want.append(
+            (k,
+             _round_half_up(w0 * Q) / Q,
+             _round_half_up(w1 * Q) / Q,
+             _round_half_up(w2 * Q) / Q,
+             (n_correct * Q) // n)
+        )
+    assert got == want
+
+
+def _round_half_up(x: float) -> float:
+    """DuckDB/Spark round(): half away from zero, unlike Python's
+    banker's rounding."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
