@@ -38,7 +38,7 @@ _KC_QMIN = 48  # bulk-purchase edge filter: thins the graph so the peel binds
 
 def _kcore_oracle_sql() -> str:
     stages = [
-        f"""e0 AS (
+        f"""e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS u, l_suppkey + {_KC_OFF} AS v
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   WHERE l_quantity >= {_KC_QMIN})"""
@@ -46,12 +46,12 @@ def _kcore_oracle_sql() -> str:
     selects = []
     for r in range(1, _KC_ROUNDS + 1):
         p = f"e{r - 1}"
-        stages.append(f"""d{r} AS (
+        stages.append(f"""d{r} AS MATERIALIZED (
   SELECT node, count(*) AS deg FROM (
     SELECT u AS node FROM {p} UNION ALL SELECT v AS node FROM {p})
   GROUP BY node),
-k{r} AS (SELECT node FROM d{r} WHERE deg >= {_KC_K}),
-e{r} AS (
+k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KC_K}),
+e{r} AS MATERIALIZED (
   SELECT u, v FROM {p}
   WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r}))""")
         selects.append(

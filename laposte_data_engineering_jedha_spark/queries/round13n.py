@@ -41,35 +41,35 @@ _DB_MINPTS = 3  # neighbors (excluding self) required for a core point
     "embedding_dbscan_lite",
     f"""
 WITH RECURSIVE np AS ({_SQL_AUTO_PLANES}),
-n AS (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
+n AS MATERIALIZED (SELECT vec_id, embedding AS e, {SQL_NORM} AS nrm FROM embeddings
       WHERE {SQL_NORM} > 0),
-keyed AS (
+keyed AS MATERIALIZED (
   SELECT vec_id, band, {_sql_band_key('e', 'planes')} AS key
   FROM (SELECT vec_id, e, CAST(r.range AS BIGINT) AS band, planes
         FROM n CROSS JOIN np CROSS JOIN range(0, {_EMB_BANDS}) r)),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b
   FROM (SELECT id_a, id_b,
                {sql_round(f"{sql_dot('va.e', 'vb.e')} / (va.nrm * vb.nrm)", 4)}
                  AS cosine
         FROM cand JOIN n va ON id_a = va.vec_id JOIN n vb ON id_b = vb.vec_id)
   WHERE cosine >= CAST({_DB_EPS} AS DOUBLE)),
-sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-core AS (SELECT u FROM deg WHERE d >= {_DB_MINPTS}),
-ce AS (SELECT s.u, s.v FROM sym s
+deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+core AS MATERIALIZED (SELECT u FROM deg WHERE d >= {_DB_MINPTS}),
+ce AS MATERIALIZED (SELECT s.u, s.v FROM sym s
        WHERE s.u IN (SELECT u FROM core) AND s.v IN (SELECT u FROM core)),
 reach(node, r) AS (
   SELECT u, u FROM core
   UNION
   SELECT reach.node, e.v FROM reach JOIN ce e ON reach.r = e.u),
-comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-border AS (
+comp AS MATERIALIZED (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+border AS MATERIALIZED (
   SELECT s.u AS node, min(c.cluster_id) AS cluster_id
   FROM sym s JOIN comp c ON s.v = c.node
   WHERE s.u NOT IN (SELECT u FROM core)
