@@ -33,6 +33,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import texts, vectors
 from ..functions.vectors import _ltr_dot
 from . import caches
+from .ranking import GATE_MAX_EST_BYTES, _estimated_bytes
+
+
+def _maybe_cached(df: DataFrame) -> DataFrame:
+    """Persist a multiply-consumed intermediate ONLY when Catalyst's size
+    estimate says it is small (same stats-gate as operators/ranking.py and
+    reconcile.py): at bench scale the cache collapses repeat UDF pipelines;
+    at 100 TB persisting an O(corpus) relation would spill the corpus to
+    local disk and sequential recompute scans are the right trade. Tracked
+    unpinned — eviction only recomputes."""
+    if _estimated_bytes(df) <= GATE_MAX_EST_BYTES:
+        return caches.track(df.persist())
+    return df
 
 
 def _ltr_sq(m):
@@ -59,14 +72,22 @@ def _shingle_index(
     df: DataFrame, text_col: str, id_col: str, max_shingle_df: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index over distinct word n-gram shingles, with
-    the optional stop-shingle document-frequency cap."""
+    the optional stop-shingle document-frequency cap.
+
+    The cap is a COUNT WINDOW over the hash(shingle) distribution rather
+    than the former groupBy+self-join: one Exchange instead of two (and no
+    join), and its output partitioning is exactly the distribution the
+    pair self-join downstream needs, so the window's shuffle is the only
+    one the whole index ever pays (guide §2.4: window keyed like the
+    following join shares the exchange)."""
     sh = df.select(
         F.col(id_col), F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
     )
     if max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("shingle")
         sh = (
-            sh.join(freq.where(F.col("df") <= max_shingle_df), "shingle")
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_shingle_df)
             .select(id_col, "shingle")
         )
     return sh
@@ -85,13 +106,15 @@ def ngram_jaccard_pairs(
     pair, |A∪B| from per-doc shingle counts — no array re-materialization on
     the pair side, so the shuffle carries only (id, id) pairs.
     """
-    # Repartition on the join key: the explicit Exchange (a) is exactly the
-    # distribution the self-join needs and (b) stops Catalyst
-    # project-collapse from re-deriving the shingle pipeline per downstream
-    # reference. (It is NOT merged into one ReusedExchange across the two
-    # aliases — PythonUDF subtrees never canonicalize equal, SCALE.md
-    # finding 11 — but each side's shuffle carries only (id, shingle).)
-    sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
+    # Persist the capped index: it is consumed 3x (sizes, both join sides)
+    # and PythonUDF subtrees never canonicalize equal (SCALE.md finding 11),
+    # so without the persist the tokenize+shingle ArrowEvalPython pipeline
+    # re-runs per reference. The cached relation keeps the cap window's
+    # hash(shingle) partitioning, so the pair self-join below adds NO
+    # exchange. Stats-gated like reconcile._maybe_cached at 100 TB the
+    # index is O(corpus) and recompute-per-consumer is the right trade, so
+    # big inputs skip the persist (tracked-unpinned either way).
+    sh = _maybe_cached(_shingle_index(df, text_col, id_col, max_shingle_df))
     # Per-doc sizes come from the SAME (possibly df-capped) index, so the
     # Jaccard denominator stays consistent with the intersection's shingle
     # universe — sizing over the uncapped set would silently deflate every
@@ -132,7 +155,9 @@ def ngram_containment_pairs(
     shuffle still carries only (id, shingle) and (id, id) rows. Emits
     (id_a, id_b, containment, n_a, n_b) with id_a < id_b.
     """
-    sh = _shingle_index(df, text_col, id_col, max_shingle_df).repartition("shingle")
+    # Same persist rationale as ngram_jaccard_pairs: 3 consumers, UDF
+    # subtrees never reuse, cached partitioning feeds the self-join.
+    sh = _maybe_cached(_shingle_index(df, text_col, id_col, max_shingle_df))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -865,12 +890,64 @@ def embedding_dup_pairs_lsh_cross(
     )
 
 
+# Driver fast-path bound for connected_components: a symmetric edge set at
+# or under this many rows (2 ids/row -> ~2 MB collected) is union-found on
+# the driver in one pass instead of O(log diameter) distributed rounds.
+# Near-dup graphs are SPARSE relative to the corpus (the sf0.1 semantic
+# graph is 218 pairs out of 5.5k vectors; sf1 ~2.2k), so the gate routes
+# every real corpus's post-threshold graph by its measured size, exactly
+# like a broadcast-join side; graphs above the bound take the unchanged
+# pointer-jumping loop. This is the same bounded-collect contract as the
+# ranking family's gated offsets path (partition-count rows) — never
+# O(corpus) rows.
+CC_DRIVER_MAX_EDGES = 1 << 17
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Min-label connected components of a collected symmetric edge set:
+    classic union-find with path compression, then component = min member
+    id — bit-identical semantics to the distributed min-label loop (the
+    component label is a pure function of the edge SET, so the two paths
+    can never disagree)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select("u", "v").collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    data = sorted((node, comp_min[find(node)]) for node in parent)
+    id_type = edges.schema["u"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     jump_after: int = 3,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) where
     component = the minimum node id in the node's component — the cluster
@@ -907,6 +984,12 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # Post-threshold near-dup graphs are tiny relative to the corpus; when
+    # the materialized edge set fits the driver bound, one union-find pass
+    # replaces O(log diameter) join+checkpoint rounds (each a full driver
+    # round-trip + shuffle). The count reads the just-checkpointed RDD.
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        return _driver_union_find(edges)
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
@@ -1197,6 +1280,15 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     if threshold != 0.5:
         raise ValueError("ppjoin_pairs implements the exact t=0.5 bounds only")
     tl, pf = _ppjoin_prefix(docs)
+    # pf is consumed by BOTH candidate sides; unpersisted, the whole
+    # freq-aggregate -> join -> rank-window chain runs twice (tl's cache
+    # only saves the Arrow kernel). Gate the persist on the INPUT scan's
+    # stats, not pf's own: join selectivity guesses inflate pf's estimate
+    # ~1000x (measured 12 GB for a few-MB relation), while pf's true size
+    # is O(input postings) — so the input estimate is the honest,
+    # scale-correct proxy (big corpus -> recompute, the right 100 TB trade).
+    if _estimated_bytes(docs) <= GATE_MAX_EST_BYTES:
+        pf = caches.track(pf.persist())
     a = pf.select(
         F.col("doc_id").alias("id_a"), "tok",
         F.col("r").alias("ra"), F.col("n").alias("na"),

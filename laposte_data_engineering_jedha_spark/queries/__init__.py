@@ -27,6 +27,8 @@ Submodules:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +76,70 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# matches the session default for spark.sql.files.maxPartitionBytes (128 MiB,
+# unchanged in session.py); used to ESTIMATE scan parallelism without forcing
+# a plan conversion per query
+_MAX_PARTITION_BYTES = 128 << 20
+
+
+def spread_scan(
+    df: DataFrame,
+    spark: SparkSession,
+    input_bytes: int,
+    *,
+    min_bytes: int = 4 << 20,
+    key: str | None = None,
+) -> DataFrame:
+    """Scale-adaptive scan spreading (optimization guide §2.5: a single
+    unsplittable input file is input skew — repartition immediately after
+    the read).
+
+    The bench inputs are single-file, single-ROW-GROUP parquet, so every
+    scan stage is ONE task regardless of core count, and heavy per-row map
+    work downstream (md5 ladders, tokenization, Arrow UDF batches) serializes
+    on one core while the rest idle.  Redistribute across the session
+    parallelism only when BOTH hold:
+
+    - the file is too small for Spark to split itself (estimated scan
+      parallelism below the core count).  At production scale inputs span
+      many files / row groups, the estimate exceeds the core count and this
+      is a no-op — the gate is derived from input size, not tuned to either
+      local mode or a cluster;
+    - the input is at least ``min_bytes``, so per-core slices stay
+      substantial and the exchange is worth its cost.  The correctness SFs
+      (0.001/0.01) sit below every call site's floor, which also preserves
+      the sequential map-side fold order the bit-exact float oracle contract
+      relies on; call sites that feed float folds must stay order-free
+      (integer/xor/hash algebra) past this point.
+
+    ``key``: optional high-cardinality column to hash-partition on —
+    deterministic under task retry and skips round-robin's
+    sort-before-repartition pass; omit for round-robin.
+    """
+    n = spark.sparkContext.defaultParallelism
+    est_scan_parts = input_bytes // _MAX_PARTITION_BYTES + 1
+    if est_scan_parts >= n or input_bytes < min_bytes:
+        return df
+    return df.repartition(n, key) if key else df.repartition(n)
+
+
+def spread_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    min_bytes: int = 4 << 20,
+    key: str | None = None,
+) -> DataFrame:
+    """``table()`` + :func:`spread_scan` gated on the parquet file's on-disk
+    size (free: no Spark job, no plan conversion)."""
+    df = table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isfile(path):
+        return df
+    return spread_scan(df, spark, os.path.getsize(path), min_bytes=min_bytes, key=key)
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,9 +165,12 @@ def ml_gate_distill_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate lineage per step (the connected-components pattern):
         # without this the weight row re-expands its whole history into
         # every consumer and the plan grows EXPONENTIALLY in K (measured:
-        # StackOverflow in AQE at K=8). One tiny job per step; still no
-        # driver-side value in the dataflow.
-        w = w.localCheckpoint(eager=True)
+        # StackOverflow in AQE at K=8). eager=False truncates the LOGICAL
+        # plan just the same (the LogicalRDD replaces the lineage at call
+        # time) but defers the tiny per-step materialization jobs into the
+        # consuming action — 8 fewer driver job round-trips (guide §1.2:
+        # fewer passes), still no driver-side value in the dataflow.
+        w = w.localCheckpoint(eager=False)
         zc = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
         acc = feat.crossJoin(F.broadcast(w)).agg(
             F.sum(F.when((zc > 0) == (F.col("y") == 1), 1).otherwise(0))

@@ -19,7 +19,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import events_table, query, table
+from . import events_table, query, spread_table, table
 
 # ========================= cumulative unique users ===========================
 
@@ -113,7 +113,12 @@ def olap_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reshuffles per replicate: one map-side explode x R, one
     aggregate. Integer cents; one guarded integer division per
     replicate."""
-    o = table(spark, sf_dir, "orders").select(
+    # The 16x md5 explode below is pure per-row CPU on a 1-task scan at bench
+    # scale — spread it across cores (guide §2.5); everything downstream is
+    # integer algebra, so the redistribution is order-free exact.
+    o = spread_table(
+        spark, sf_dir, "orders", min_bytes=2 << 20, key="o_orderkey"
+    ).select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     rep = o.select(

@@ -274,6 +274,31 @@ def test_connected_components_long_chain_converges(spark):
     assert out.count() == 13
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    # r13 optimization: small edge sets take a driver union-find fast path
+    # (driver_max_edges gate); both paths must emit identical (node,
+    # component) sets on a graph mixing chains, a cycle, islands and
+    # out-of-order ids — and the distributed loop stays covered by forcing
+    # the gate off.
+    raw = (
+        [(i, i + 1) for i in range(200, 230)]  # 31-node chain (deep diameter)
+        + [(500, 400), (400, 300)]  # reversed-id chain
+        + [(900, 901), (901, 902), (900, 902)]  # cycle
+        + [(777, 778)]  # island
+    )
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    fast = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {200, 300, 900, 777}
+
+
 def test_global_running_sum_matches_naive(spark):
     from pyspark.sql import Window
 
