@@ -407,6 +407,16 @@ def hamming_band_pairs(
     ).select(
         id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # r13 optimization: banded is referenced by BOTH join sides (and the
+    # capped branch's window), and when `sims` is an Arrow-kernel pipeline
+    # (simhash, phash) the subtrees never canonicalize equal — unpersisted,
+    # the fingerprint kernels run once per side. Persist pre-partitioned on
+    # the join key, gated on the INPUT estimate (projection-only, so the
+    # estimate is honest — no join inflation): the pair join then reads
+    # both sides from the cache with no extra Exchange, and a 100 TB
+    # corpus skips the persist and keeps the recompute plan.
+    if _estimated_bytes(sims) <= GATE_MAX_EST_BYTES:
+        banded = caches.track(banded.repartition("band", "key").persist())
     if max_bucket is not None:
         cap_w = Window.partitionBy("band", "key").orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
@@ -616,6 +626,7 @@ def embedding_dup_pairs_lsh(
     band_planes: int = 4,
     persist_src: bool = False,
     carry_vectors: bool | None = None,
+    persist_banded: bool | None = None,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH — the
     100 TB path (no driver collect anywhere in the plan).
@@ -672,6 +683,25 @@ def embedding_dup_pairs_lsh(
         # finding 11).
         .repartition("_id")
     )
+    # r13 optimization: the whole scan -> norm kernel -> bucket kernel ->
+    # posexplode pipeline is referenced by BOTH pair-join sides, and
+    # PythonUDF subtrees never canonicalize equal (SCALE.md finding 11), so
+    # unpersisted it executes twice per query. When the INPUT estimate is
+    # small (the honest O(corpus) proxy — same gate as ppjoin_pairs), persist
+    # the banded relation pre-partitioned on the join key (band, key): the
+    # kernels run once and the pair self-join reads both sides from the cache
+    # already in the distribution it needs — no Exchange at all in the
+    # candidate join (alias-aware output partitioning carries through the
+    # per-side renames). Estimated-big inputs (the 100 TB read) skip the
+    # persist and keep the recompute-per-side plan: caching an O(corpus*bands)
+    # relation would spill the corpus to local disk.
+    # `persist_banded=False` is the opt-out for callers that persist the
+    # PAIR OUTPUT themselves (embedding_dbscan_lite): there the operator
+    # body runs exactly once, so an internal cache only adds its exchange
+    # + materialization cost.
+    if persist_banded is None:
+        persist_banded = _estimated_bytes(df) <= GATE_MAX_EST_BYTES
+    input_small = persist_banded
     if persist_src:
         src = caches.track(src.persist())
     if carry_vectors is None:
@@ -691,6 +721,8 @@ def embedding_dup_pairs_lsh(
                 vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)
             ).alias("band", "key"),
         )
+        if input_small:
+            banded = caches.track(banded.repartition("band", "key").persist())
         a = banded.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("va"),
             F.col("_n").alias("na"), "band", "key",
@@ -706,12 +738,18 @@ def embedding_dup_pairs_lsh(
             .where(F.col("cosine") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )
+    if input_small and not persist_src:
+        # narrow plan: src is referenced 3x (banded source + both verify
+        # sides) — same persist rationale as above, same scale gate
+        src = caches.track(src.persist())
     banded = src.select(
         "_id",
         F.posexplode(vectors.pd_lsh_buckets_banded("_v", dim, bands, band_planes)).alias(
             "band", "key"
         ),
     )
+    if input_small:
+        banded = caches.track(banded.repartition("band", "key").persist())
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -48,11 +48,60 @@ DEFAULT_BUCKET_CAP = 128
 DEFAULT_MAX_OUT_DEG = 64
 
 
+#: driver fast-path bound for the triangle count (r13 optimization): a
+#: SUPPORT-THRESHOLDED edge list (already collapsed from the bucket join to
+#: unique user pairs with w >= min_w) at or under this many rows is
+#: oriented, wedge-enumerated and closed in plain Python on the driver —
+#: the same bounded-collect contract as dedup.CC_DRIVER_MAX_EDGES. The pair
+#: GENERATION stays distributed either way; only the post-edges stages
+#: (degree + 3 joins + wedge self-join + closing join + 3 scalar
+#: aggregates, each a driver round-trip at bench scale) collapse. Larger
+#: edge lists take the unchanged distributed pipeline by measured size.
+TRI_DRIVER_MAX_EDGES = 1 << 17
+
+
+def _driver_triangles(
+    edge_rows: list[tuple], max_out_deg: int | None
+) -> tuple[int, int, int]:
+    """(n_edges, n_nodes, n_triangles) of a collected unique-pair edge
+    list, mirroring the distributed stages bit-for-bit: degree
+    orientation by (degree, id), optional per-source cap keeping the
+    `max_out_deg` lowest-(dst_degree, dst) out-edges, wedges enumerated
+    per source in that same order, closed against the (capped) oriented
+    edge set."""
+    deg: dict = {}
+    for x, y in edge_rows:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    out: dict = {}
+    for x, y in edge_rows:
+        dgx, dgy = deg[x], deg[y]
+        src, dst = (x, y) if (dgx < dgy or (dgx == dgy and x < y)) else (y, x)
+        out.setdefault(src, []).append((deg[dst], dst))
+    if max_out_deg is not None:
+        for src, lst in out.items():
+            lst.sort()
+            del lst[max_out_deg:]
+    oriented = {
+        (src, dst) for src, lst in out.items() for _, dst in lst
+    }
+    n_tri = 0
+    for src, lst in out.items():
+        lst.sort()
+        for i in range(len(lst)):
+            lo = lst[i][1]
+            for j in range(i + 1, len(lst)):
+                if (lo, lst[j][1]) in oriented:
+                    n_tri += 1
+    return len(edge_rows), len(deg), n_tri
+
+
 def co_activity_triangles(
     ev: DataFrame,
     min_w: int,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     max_out_deg: int | None = DEFAULT_MAX_OUT_DEG,
+    driver_max_edges: int = TRI_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Triangle count of the user co-activity graph (edge = two users
     sharing >= min_w distinct (hour, event-type) buckets) via the
@@ -81,6 +130,22 @@ def co_activity_triangles(
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = co.where(F.col("w") >= min_w).select("x", "y")
+    if driver_max_edges:
+        # materialize the thresholded edge list once: the driver gate reads
+        # its count, and if the graph stays distributed all four downstream
+        # references (degree union, orientation join, n_edges aggregate)
+        # share the checkpointed RDD instead of re-running the bucket
+        # self-join. (driver_max_edges=0 keeps the fully-lazy legacy plan —
+        # the plan-shape tests inspect it.)
+        edges = edges.localCheckpoint(eager=False)
+        if edges.count() <= driver_max_edges:
+            e, n, t = _driver_triangles(
+                [(row[0], row[1]) for row in edges.collect()], max_out_deg
+            )
+            return ev.sparkSession.createDataFrame(
+                ev.sparkSession.sparkContext.parallelize([(e, n, t)], 1),
+                "n_edges long, n_nodes long, n_triangles long",
+            )
     deg = (
         edges.select(F.col("x").alias("u"))
         .unionAll(edges.select(F.col("y").alias("u")))
@@ -132,10 +197,52 @@ def co_activity_triangles(
     )
 
 
+#: driver fast-path bound (r13 optimization): an edge list at or under this
+#: many rows is peeled in plain Python on the driver — the same
+#: bounded-collect contract as dedup.CC_DRIVER_MAX_EDGES (~2 MB collected).
+#: Filtered trade/co-activity graphs are sparse relative to the corpus, so
+#: the gate routes by MEASURED size, never by configuration; bigger graphs
+#: take the unchanged distributed loop.
+KCORE_DRIVER_MAX_EDGES = 1 << 17
+
+
+def _driver_kcore_peel(
+    edge_rows: list[tuple], k: int, rounds: int | None
+) -> list[tuple[int, int, int]]:
+    """Driver-side peel over a collected edge list: identical semantics to
+    the distributed loop (degree = incident tuple count, both endpoints
+    must survive), so the two paths can never disagree — the per-round
+    stats are a pure function of the edge multiset."""
+    stats: list[tuple[int, int, int]] = []
+    cur = edge_rows
+    prev_edges = None
+    r = 0
+    while True:
+        r += 1
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        cur = [(u, v) for u, v in cur if deg[u] >= k and deg[v] >= k]
+        n_edges = len(cur)
+        nodes = set()
+        for u, v in cur:
+            nodes.add(u)
+            nodes.add(v)
+        stats.append((r, len(nodes), n_edges))
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    return stats
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,
     rounds: int | None = None,
+    driver_max_edges: int = KCORE_DRIVER_MAX_EDGES,
 ) -> list[tuple[int, int, int]]:
     """Iterative k-core PEELING over an undirected edge list (u, v):
     each round drops every node with degree < k and every edge touching
@@ -156,8 +263,16 @@ def kcore_peel(
     depth).
 
     Cite: reference repo has no graph surface (extension layer)."""
+    # materialize the input once; when it fits the driver bound, one
+    # collect + pure-Python peel replaces 3 driver-round-trip jobs per
+    # round (semi-joins + two counts) — the CC driver-union-find precedent
+    ed = edges.select("u", "v").localCheckpoint(eager=False)
+    if driver_max_edges and ed.count() <= driver_max_edges:
+        return _driver_kcore_peel(
+            [(row[0], row[1]) for row in ed.collect()], k, rounds
+        )
     stats: list[tuple[int, int, int]] = []
-    cur = edges
+    cur = ed
     prev_edges = None
     r = 0
     while True:
@@ -175,13 +290,19 @@ def kcore_peel(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        n_edges = cur.count()
-        n_nodes = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .distinct()
-            .count()
+        # ONE job for both audit counts (the former separate count() +
+        # distinct().count() pair was two): every edge contributes its two
+        # endpoints, so n_edges = rows/2 and n_nodes = distinct endpoints
+        row = (
+            cur.select(F.explode(F.array("u", "v")).alias("node"))
+            .agg(
+                F.count(F.lit(1)).alias("ends"),
+                F.countDistinct("node").alias("nn"),
+            )
+            .first()
         )
+        n_edges = int(row["ends"]) // 2
+        n_nodes = int(row["nn"])
         stats.append((r, n_nodes, n_edges))
         if rounds is not None and r >= rounds:
             break

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import query, spread_table, table
 
 _DEC = "decimal(18,4)"
 
@@ -48,7 +48,11 @@ def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (returnflag, linestatus) — 6 groups — after map-side partial
     aggregation; the scan prunes to 5 columns and pushes the shipdate
     predicate into parquet."""
-    li = table(spark, sf_dir, "lineitem").where(
+    # 5 decimal multiply-aggregates over a single-task scan at bench scale:
+    # spread across cores (guide §2.5); decimal sums + counts are order-free
+    # exact, and the shipdate predicate still pushes through the exchange
+    # into the parquet scan
+    li = spread_table(spark, sf_dir, "lineitem", key="l_orderkey").where(
         F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -250,8 +254,10 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy: (flag, status) -> (flag) -> grand total in one
     pass — Spark expands grouping sets map-side, so the scan is still
-    single. NULL grouping markers match ANSI semantics in both engines."""
-    li = table(spark, sf_dir, "lineitem")
+    single. NULL grouping markers match ANSI semantics in both engines.
+    Spread (guide §2.5): the 3x grouping-set expand + decimal sum is pure
+    per-row CPU on a 1-task scan at bench scale; order-free exact."""
+    li = spread_table(spark, sf_dir, "lineitem", key="l_orderkey")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("double")

@@ -100,12 +100,25 @@ def eval_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qe"),
     )
     n2 = q.withColumn("sq", vectors.pd_dot("qe", "qe"))
+    from ..operators import caches
+    from ..operators.ranking import GATE_MAX_EST_BYTES, _estimated_bytes
+
+    # c is consumed by the probe slice AND the corpus side of the pair
+    # cross-join, and PythonUDF subtrees never canonicalize equal — without
+    # the persist the assign-kernel + quantize + norm chain runs twice
+    # (r13 optimization). Gate on the INPUT scan's estimate, not c's own:
+    # join-selectivity guesses inflate the post-join estimate ~1000x (the
+    # ppjoin_pairs finding), while c's true size is O(corpus) — so the
+    # input estimate is the honest proxy and a 100 TB corpus still takes
+    # the recompute plan.
     c = n2.join(assign, "vec_id").select(
         F.col("vec_id").alias("c_id"),
         F.col("qe").alias("c_q"),
         F.col("sq").alias("c_n2"),
         F.col("centroid").alias("c_c"),
     )
+    if _estimated_bytes(emb) <= GATE_MAX_EST_BYTES:
+        c = caches.track(c.persist())
     s = (
         c.where(F.col("c_id") < _SIL_PROBES)
         .select(

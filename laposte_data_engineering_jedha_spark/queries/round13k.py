@@ -92,6 +92,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     stats = graphs.kcore_peel(edges, k=_KC_K, rounds=_KC_ROUNDS)
-    return spark.createDataFrame(
-        stats, "round long, n_nodes long, n_edges long"
-    ).orderBy("round")
+    # 3-row audit emission: one partition + in-partition sort IS the total
+    # order; a global orderBy would run a range-sampling pass (an extra
+    # Spark job) over 3 rows, and the default createDataFrame fans them
+    # into defaultParallelism near-empty partitions
+    return (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(sorted(stats), 1),
+            "round long, n_nodes long, n_edges long",
+        ).sortWithinPartitions("round")
+    )

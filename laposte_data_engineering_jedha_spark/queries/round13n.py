@@ -106,7 +106,11 @@ def embedding_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~14 s at sf1); tracked for batch-runner reclamation
     pairs = caches.track(
         dedup.embedding_dup_pairs_lsh(
-            emb, threshold=_DB_EPS, bands=_EMB_BANDS, band_planes=planes
+            emb,
+            threshold=_DB_EPS,
+            bands=_EMB_BANDS,
+            band_planes=planes,
+            persist_banded=False,
         )
         .select("id_a", "id_b")
         .persist()

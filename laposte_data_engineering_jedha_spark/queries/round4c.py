@@ -701,64 +701,17 @@ def events_user_triangles(
     ev = events_table(spark, sf_dir)
     if strategy == "auto":
         strategy = "capped" if ev.count() > _TRI_EXACT_MAX_EVENTS else "exact"
-    if strategy == "capped":
-        from ..operators import graphs
+    from ..operators import graphs
 
+    if strategy == "capped":
         return graphs.co_activity_triangles(ev, min_w=_TRI_MIN_W)
-    support = ev.select(
-        F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("t"),
-        F.col("user_id").alias("u"),
-    ).distinct()
-    a = support.select("h", "t", F.col("u").alias("x"))
-    b = support.select("h", "t", F.col("u").alias("y"))
-    co = (
-        a.join(b, ["h", "t"])
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges = co.where(F.col("w") >= _TRI_MIN_W).select("x", "y")
-    deg = (
-        edges.select(F.col("x").alias("u"))
-        .unionAll(edges.select(F.col("y").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
-    dx = deg.select(F.col("u").alias("x"), F.col("dg").alias("dgx"))
-    dy = deg.select(F.col("u").alias("y"), F.col("dg").alias("dgy"))
-    x_first = (F.col("dgx") < F.col("dgy")) | (
-        (F.col("dgx") == F.col("dgy")) & (F.col("x") < F.col("y"))
-    )
-    oriented = (
-        edges.join(dx, "x")
-        .join(dy, "y")
-        .select(
-            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
-            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        )
-    )
-    o2 = oriented.join(
-        deg.select(F.col("u").alias("dst"), F.col("dg").alias("dst_dg")), "dst"
-    )
-    w1 = o2.select("src", F.col("dst").alias("d1"), F.col("dst_dg").alias("g1"))
-    w2 = o2.select("src", F.col("dst").alias("d2"), F.col("dst_dg").alias("g2"))
-    wedges = (
-        w1.join(w2, "src")
-        .where(
-            (F.col("g1") < F.col("g2"))
-            | ((F.col("g1") == F.col("g2")) & (F.col("d1") < F.col("d2")))
-        )
-        .select(F.col("d1").alias("lo"), F.col("d2").alias("hi"))
-    )
-    tri = wedges.join(
-        oriented, (F.col("lo") == F.col("src")) & (F.col("hi") == F.col("dst"))
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return (
-        tri.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_nodes))
-        .select("n_edges", "n_nodes", "n_triangles")
+    # the exact form IS the operator with both caps disabled (the former
+    # inline copy of the same stages was removed in the r13 optimization
+    # round so the exact branch shares the operator's driver fast path:
+    # thresholded edge lists under TRI_DRIVER_MAX_EDGES orient/close in
+    # one collect instead of the 6-join wedge pipeline)
+    return graphs.co_activity_triangles(
+        ev, min_w=_TRI_MIN_W, bucket_cap=None, max_out_deg=None
     )
 
 

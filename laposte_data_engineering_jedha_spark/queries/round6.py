@@ -89,6 +89,8 @@ def corpus_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-partitioned collect_list, never a global sort. Zero-token
     docs are guarded (sequence(0,-1) would fabricate phantom passages —
     same guard as passage_dup_stats)."""
+    from ..operators.dedup import _maybe_cached
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", texts.tokens("text").alias("t"))
     pl = toks.select(
@@ -101,7 +103,14 @@ def corpus_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> array_join(slice(t, i * {_P} + 1, {_P}), ' '))"
         ).alias("ps"),
     )
-    p = pl.select("doc_id", F.posexplode("ps").alias("pos", "passage"))
+    # pl feeds the passage stream AND the final n_passages side, and the
+    # stream `p` feeds the dup-key aggregate AND the anti-join left side —
+    # unpersisted, the tokenize+passage build runs 3x (r13 optimization;
+    # stats-gated, recompute at 100 TB)
+    pl = _maybe_cached(pl)
+    p = _maybe_cached(
+        pl.select("doc_id", F.posexplode("ps").alias("pos", "passage"))
+    )
     dupkeys = (
         p.groupBy(F.md5("passage").alias("k"))
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texts
-from . import events_table, query, table
+from . import events_table, query, spread_table, table
 
 # table -> portable key expression (string) used for the checksum; the
 # lineitem composite key mirrors its (orderkey, linenumber) primary key.
@@ -56,7 +56,11 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     per table."""
     frames = []
     for t in _CHECKSUM_KEYS:
-        df = table(spark, sf_dir, t)
+        # per-row md5 on a 1-task scan is the whole cost for the big
+        # tables — spread (guide §2.5; SUM is commutative by design here,
+        # the query's own portability contract). Small tables sit under
+        # the byte floor and keep their single-task scan.
+        df = spread_table(spark, sf_dir, t)
         if t == "lineitem":
             key = F.concat(
                 F.col("l_orderkey").cast("string"),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import events_table, query, table
+from . import events_table, query, spread_table, table
 
 # ============================ target encoding ================================
 
@@ -212,7 +212,11 @@ def olap_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — the moment matrix costs one scan regardless of how many
     column pairs it answers, where a per-pair corr() would scan six
     times. Zero-variance guard by explicit CASE on both engines."""
-    li = table(spark, sf_dir, "lineitem")
+    # the 15 DECIMAL(38,0) multiply-aggregates are pure per-row CPU on a
+    # single-task scan at bench scale — spread across cores (guide §2.5);
+    # integer-decimal sums are order-free exact, so the redistribution
+    # cannot move the result
+    li = spread_table(spark, sf_dir, "lineitem", key="l_orderkey")
     j = li.select(*[F.expr(expr).alias(f"x{i}") for i, (_, expr) in enumerate(_CORR_COLS)])
     dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).cast(dec).alias("n")]

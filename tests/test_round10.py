@@ -116,14 +116,24 @@ def test_triangles_default_entry_point_is_capped(spark):
     from laposte_data_engineering_jedha_spark.queries import events_table
 
     ev = events_table(spark, "/root/testdata/sf0.001")
-    capped_df = graphs.co_activity_triangles(ev, min_w=2)
-    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    # plan-shape assertions target the DISTRIBUTED branch (the r13 driver
+    # fast path collapses small edge lists to a local relation, applying
+    # max_out_deg in the driver mirror instead of a window)
+    capped_dist = graphs.co_activity_triangles(ev, min_w=2, driver_max_edges=0)
+    plan = capped_dist._jdf.queryExecution().executedPlan().toString()
     assert "__br" in plan and "__or" in plan  # both caps applied
+    exact_dist = graphs.co_activity_triangles(
+        ev, min_w=2, bucket_cap=None, max_out_deg=None, driver_max_edges=0
+    )
+    exact_plan = exact_dist._jdf.queryExecution().executedPlan().toString()
+    assert "__br" not in exact_plan and "__or" not in exact_plan
+    # the DEFAULT entry point (fast path engaged) must agree with both
+    capped_df = graphs.co_activity_triangles(ev, min_w=2)
     exact_df = graphs.co_activity_triangles(
         ev, min_w=2, bucket_cap=None, max_out_deg=None
     )
-    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
-    assert "__br" not in exact_plan and "__or" not in exact_plan
+    assert capped_df.collect() == capped_dist.collect()
+    assert exact_df.collect() == exact_dist.collect()
     capped, exact = capped_df.collect()[0], exact_df.collect()[0]
     assert capped["n_triangles"] == exact["n_triangles"] > 0
     assert (capped["n_edges"], capped["n_nodes"]) == (

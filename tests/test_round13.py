@@ -637,6 +637,50 @@ def test_kcore_fixpoint_matches_bounded_rounds(spark, sf_dir):
     assert fix[-1][1:] == (rows[3]["n_nodes"], rows[3]["n_edges"])
 
 
+def test_kcore_driver_and_distributed_paths_agree(spark):
+    """r13 optimization: small edge lists peel on the driver
+    (driver_max_edges gate); both paths must emit identical per-round
+    stats on a graph with a chain (peels away), a clique (survives) and
+    a star (collapses) — and forcing the gate off keeps the distributed
+    loop covered, for both bounded and fixpoint forms."""
+    from laposte_data_engineering_jedha_spark.operators import graphs
+
+    raw = (
+        [(i, i + 1) for i in range(100, 110)]            # chain: peels at k=2+
+        + [(a, b) for a in range(5) for b in range(5) if a < b]  # K5 clique
+        + [(900, t) for t in range(901, 908)]            # star: hub deg 7
+    )
+    pairs = spark.createDataFrame(raw, "u long, v long")
+    for rounds in (3, None):
+        fast = graphs.kcore_peel(pairs, k=3, rounds=rounds)
+        dist = graphs.kcore_peel(pairs, k=3, rounds=rounds, driver_max_edges=0)
+        assert fast == dist
+    # the K5 clique is the 3-core fixpoint: 5 nodes, 10 edges
+    assert graphs.kcore_peel(pairs, k=3, rounds=None)[-1][1:] == (5, 10)
+
+
+def test_triangles_driver_and_distributed_paths_agree(spark, sf_dir):
+    """r13 optimization: thresholded edge lists under TRI_DRIVER_MAX_EDGES
+    orient/wedge/close on the driver. Both paths must agree on the real
+    fixture for the exact AND the capped form (tight caps so the cap
+    logic actually binds), and the exact registered query must equal the
+    former inline formulation's known fixture behavior (snapshot via the
+    distributed branch)."""
+    from laposte_data_engineering_jedha_spark.operators import graphs
+    from laposte_data_engineering_jedha_spark.queries import events_table
+
+    ev = events_table(spark, sf_dir)
+    for caps in ((None, None), (4, 2)):
+        fast = graphs.co_activity_triangles(
+            ev, min_w=2, bucket_cap=caps[0], max_out_deg=caps[1]
+        ).collect()
+        dist = graphs.co_activity_triangles(
+            ev, min_w=2, bucket_cap=caps[0], max_out_deg=caps[1],
+            driver_max_edges=0,
+        ).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in dist], caps
+
+
 # --------------------------- batch 13: round13l ------------------------------
 
 
