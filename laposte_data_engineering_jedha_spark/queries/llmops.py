@@ -496,14 +496,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-6 stage-count fix for this chain (each stage turnaround costs
     # ~0.2 s on the bench host; at scale it is simply one fewer shuffle).
     w = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
-    kept = (
+    # minhash persists its signature relation (persist_sigs default), and
+    # since r13 `kept` itself is stats-gated persisted too: the
+    # quality+lang kernels + exact-dedup window execute ONCE (signature
+    # build) instead of twice (again for the anti-join left side);
+    # recompute at 100 TB by the same gate.
+    kept = dedup._maybe_cached(
         base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # minhash persists its signature relation (persist_sigs default), so
-    # the quality+lang+exact prefix above executes once for the signature
-    # build and once for the anti-join left side — not 4x as before.
     dups = (
         dedup.minhash_lsh_pairs(kept.select("doc_id", "text"), threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))

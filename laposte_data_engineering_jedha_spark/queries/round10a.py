@@ -59,6 +59,11 @@ def dq_merkle_row_pulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator ships a few KB of digests plus the dirty buckets, which is
     the point of the ladder; at oracle scale both are exact and must
     agree bit-for-bit."""
+    # NOT spread (guide §2.5 measured twice and reverted twice, r13): the
+    # digest-build win never outweighs the extra exchange here — even
+    # after the cached-plan AQE conf coalesced the downstream ladder
+    # stages, the spread measured 5.5 s vs 3.5 s without (isolated A/B in
+    # OPTIMIZATION_r13.md).
     ev = events_table(spark, sf_dir).select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),

@@ -266,7 +266,10 @@ def corpus_clean_pipeline_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash stage persists its signature relation (persist_sigs default)
     # so this prefix executes twice total, not 4x.
     w = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
-    kept = (
+    # kept feeds the minhash signature build AND the anti-join left side —
+    # persist collapses the quality+lang Arrow kernels + exact-dedup window
+    # to one execution (r13 optimization; stats-gated, recompute at 100 TB)
+    kept = dedup._maybe_cached(
         base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")

@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE optimize (coalesce/size) the plans that BUILD persisted
+        # relations too: the operator layer persists many repartitioned
+        # intermediates (banded LSH index, shingle index, digest ladders),
+        # and with the default `false` those cached plans compile without
+        # AQE, pinning shuffle-partition-count layouts that every
+        # downstream stage then pays task-per-partition overhead on.
+        # Data-size-adaptive on any cluster, not a local-mode constant
+        # (r13 optimization: 36-query conf experiment measured -19%
+        # subset total, broad across 31/36 queries; per-query table in
+        # OPTIMIZATION_r13.md).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long and convert (queries.events_table)
