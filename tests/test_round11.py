@@ -309,7 +309,15 @@ def test_embedding_lsh_gate_reads_stats_only(spark, sf_dir):
     running a job: a low-occupancy corpus picks carried (no verify
     joins => exactly one Join in the plan), a high-occupancy parameter
     set picks narrow (three Joins)."""
-    from laposte_data_engineering_jedha_spark.operators import dedup
+    from laposte_data_engineering_jedha_spark.operators import caches, dedup
+
+    # hermetic stats: a persisted relation leaked by an earlier test whose
+    # plan matches this operator's src/banded projection would substitute
+    # an InMemoryRelation whose MATERIALIZED size (deserialized rows, far
+    # above the 4*dim+48 wire estimate) flips the occupancy gate — this
+    # test asserts the estimate-driven decision, so it must see cold plans
+    caches.release_all()
+    spark.catalog.clearCache()
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # fixture corpus, wide planes -> low occupancy -> carried: 1 join
