@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
+from . import caches
+from .ranking import GATE_MAX_EST_BYTES, _estimated_bytes
 
 
 def global_running_sum(
@@ -369,15 +371,25 @@ def bloom_contamination(
     reproduces the exact bitmap, so even the sketch is value-checked.
     """
     word_bits = 32
+    # r13 optimization (guide §2.4): each fold's shingle relation is
+    # referenced TWICE (its bloom/probe positions + the exact-hits join),
+    # and the tokenize -> shingle kernel is a PythonUDF subtree that never
+    # canonicalizes equal — unpersisted it ran twice per fold per query.
+    # Stats-gated on each fold's INPUT estimate; a 100 TB train fold keeps
+    # the recompute plan (its bitmap fold is one pass either way).
     sh_test = test.select(
         F.col(id_col), F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
     )
+    if _estimated_bytes(test) <= GATE_MAX_EST_BYTES:
+        sh_test = caches.track(sh_test.persist())
     sh_train = (
         train.select(
             F.explode(texts.pd_shingles(texts.tokens(text_col))).alias("shingle")
         )
         .distinct()
     )
+    if _estimated_bytes(train) <= GATE_MAX_EST_BYTES:
+        sh_train = caches.track(sh_train.persist())
 
     def positions(df: DataFrame) -> DataFrame:
         pos = texts.md5int32(

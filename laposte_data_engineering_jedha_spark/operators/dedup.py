@@ -295,7 +295,19 @@ def minhash_lsh_pairs_cross(
             F.col(id_col), F.explode(texts.lsh_bands(F.col("sig"))).alias("band")
         ).select(id_col, F.col("band.band").alias("band"), F.col("band.key").alias("key"))
 
-    new_sigs, base_sigs = sigs(new_df), sigs(base_df)
+    # r13 optimization (guide §2.4): each side's signature relation is
+    # referenced TWICE (its band explode + its verify side), and PythonUDF
+    # subtrees never canonicalize equal (SCALE.md finding 11) — unpersisted,
+    # the tokenize -> shingle -> minhash kernels run twice per side per
+    # query. Same persist rationale (and caches registration) as the
+    # self-join operator's persist_sigs; at 100 TB the base side's
+    # signatures are the precomputed stored index this operator models, so
+    # persisting the narrow projection is the faithful shape, not a bench
+    # trick.
+    new_sigs, base_sigs = (
+        caches.track(sigs(new_df).persist()),
+        caches.track(sigs(base_df).persist()),
+    )
     a, b = bands(new_sigs).alias("a"), bands(base_sigs).alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -906,7 +918,17 @@ def embedding_dup_pairs_lsh_cross(
             ).alias("band", "key"),
         )
 
+    # r13 optimization (guide §2.4): each side's (id, vec, norm) projection
+    # is referenced TWICE (band explode + verify side); persist per side,
+    # gated on that side's INPUT estimate (the honest O(corpus) proxy —
+    # join-selectivity inflation makes post-UDF estimates useless, see
+    # ppjoin_pairs). At 100 TB the train side stays recompute; the eval
+    # side is tiny by contract and keeps its persist.
     new_src, base_src = prep(new_df), prep(base_df)
+    if _estimated_bytes(new_df) <= GATE_MAX_EST_BYTES:
+        new_src = caches.track(new_src.persist())
+    if _estimated_bytes(base_df) <= GATE_MAX_EST_BYTES:
+        base_src = caches.track(base_src.persist())
     a, b = banded(new_src).alias("a"), banded(base_src).alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -1217,14 +1239,24 @@ def winnow_pairs(
     `max_shingle_df`). Emits (id_a, id_b, n_shared, overlap) where overlap
     = shared / min(|fpA|, |fpB|) — fingerprint containment, round4.
     """
-    # One explicit Exchange on fp: the df-cap aggregate, its join back, and
-    # the a/b self-join are all fp-keyed, so they reuse this partitioning
-    # (and the map-side fingerprint stage is computed once per consumer
-    # instead of once per downstream reference).
+    # One explicit Exchange on fp, then (r13 optimization, the
+    # _shingle_index pattern): the df cap is a COUNT WINDOW over the same
+    # fp distribution instead of the former groupBy+self-join — one
+    # Exchange instead of two, identical surviving set — and the capped
+    # index is stats-gate persisted: it is consumed 3x (sizes + both join
+    # sides) and the winnow fingerprint kernel is a PythonUDF subtree that
+    # never canonicalizes equal (SCALE.md finding 11), so unpersisted the
+    # tokenize+winnow pipeline re-ran per reference. At 100 TB the index
+    # is O(corpus) and the gate keeps recompute-per-consumer.
     fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).repartition("fp")
     if max_fp_df is not None:
-        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fp = fp.join(freq.where(F.col("df") <= max_fp_df), "fp").select(id_col, "fp")
+        w_fp = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("__df", F.count(F.lit(1)).over(w_fp))
+            .where(F.col("__df") <= max_fp_df)
+            .select(id_col, "fp")
+        )
+    fp = _maybe_cached(fp)
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     inter = (

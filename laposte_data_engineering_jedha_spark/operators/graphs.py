@@ -206,6 +206,48 @@ def co_activity_triangles(
 KCORE_DRIVER_MAX_EDGES = 1 << 17
 
 
+#: driver fast-path bound for synchronous label propagation (r13
+#: optimization): a WEIGHTED unique-pair edge list (post-aggregation,
+#: w = shared-bucket count) at or under this many rows is
+#: label-propagated in plain Python on the driver — the same
+#: bounded-collect contract as dedup.CC_DRIVER_MAX_EDGES /
+#: TRI_DRIVER_MAX_EDGES. The co-presence edge BUILD (cell self-join +
+#: dedup + weight aggregate) stays distributed either way; only the
+#: per-round join + vote aggregate + argmax + label left-join stages
+#: collapse. The caller must also bound its NODE universe before taking
+#: this path (collected labels are O(nodes)).
+LP_DRIVER_MAX_EDGES = 1 << 17
+
+
+def _driver_label_prop(
+    edge_rows: list[tuple], node_ids: list, rounds: int = 2
+) -> dict:
+    """Synchronous label propagation over a collected unique-pair weighted
+    edge list, mirroring the distributed rounds bit-for-bit: every node
+    starts labelled by itself; each round every node adopts the label with
+    the highest total incident edge weight among its neighbours' PREVIOUS
+    labels (ties -> smallest label, the (wt desc, lbl asc) struct-max);
+    nodes with no neighbours keep their label. Integer weights over an
+    integer node universe — a pure function of (edge multiset, node set),
+    so the driver and distributed paths can never disagree."""
+    sym: list[tuple] = []
+    for u, v, w in edge_rows:
+        sym.append((u, v, w))
+        sym.append((v, u, w))
+    labels = {n: n for n in node_ids}
+    for _ in range(rounds):
+        votes: dict = {}
+        for u, v, w in sym:
+            lbl = labels[v]
+            d = votes.setdefault(u, {})
+            d[lbl] = d.get(lbl, 0) + w
+        new_labels = dict(labels)
+        for node, d in votes.items():
+            new_labels[node] = max(d.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new_labels
+    return labels
+
+
 def _driver_kcore_peel(
     edge_rows: list[tuple], k: int, rounds: int | None
 ) -> list[tuple[int, int, int]]:

@@ -143,16 +143,33 @@ def _resolve_value_cols(
     return value_cols
 
 
-def _maybe_cached(df: DataFrame) -> DataFrame:
+def _maybe_cached(df: DataFrame, small: bool) -> DataFrame:
     """The bucketed digest relation is consumed 2-3 times per ladder.
-    Persist it ONLY when Catalyst's size estimate is small (same
-    stats-gate as operators/ranking.py): at bench scale the cache
-    collapses repeat scans; at 100 TB caching an O(corpus) relation
-    would write the corpus to local disk, and sequential recompute scans
-    are the right trade. Tracked unpinned — eviction only recomputes."""
-    if _estimated_bytes(df) <= GATE_MAX_EST_BYTES:
+    Persist it ONLY when `small` (the caller's stats gate): at bench
+    scale the cache collapses repeat scans; at 100 TB caching an
+    O(corpus) relation would write the corpus to local disk, and
+    sequential recompute scans are the right trade. Tracked unpinned —
+    eviction only recomputes."""
+    if small:
         return caches.track(df.persist())
     return df
+
+
+def _replicas_small(left: DataFrame, right: DataFrame) -> bool:
+    """Shared stats gate for BOTH snapshots, from the MINIMUM of the two
+    input estimates (r13 optimization): the snapshots are replicas of the
+    same table by this module's contract, but a replica assembled as
+    scan + delta-union (the incremental-reconcile shape) carries a
+    garbage Catalyst estimate — measured 4.9e18 bytes for a ~20 MB
+    relation (union with a LocalRelation; the same estimate-inflation
+    family as ppjoin_pairs' post-join stats) — so gating each side on its
+    OWN estimate silently left the delta side recomputing its whole
+    digest pipeline twice per query. The honest scan-side estimate
+    stands in for both; at 100 TB it is big and both sides keep the
+    recompute plan."""
+    return (
+        min(_estimated_bytes(left), _estimated_bytes(right)) <= GATE_MAX_EST_BYTES
+    )
 
 
 def _ladder_digests(d: DataFrame, side: str) -> DataFrame:
@@ -177,7 +194,16 @@ def _ladder_digests(d: DataFrame, side: str) -> DataFrame:
 
 
 def _dirty_fine_buckets(da: DataFrame, db: DataFrame) -> DataFrame:
-    la, lb = _ladder_digests(da, "left"), _ladder_digests(db, "right")
+    # r13 optimization (guide §2.4): each side's ladder output is consumed
+    # TWICE (the coarse grain for dirty_coarse, the fine grain for fa/fb),
+    # and without a persist each reference re-runs the full rollup
+    # aggregation over the bucketed digest relation — one whole extra
+    # digest-scan pass per side per query. The ladder output is bounded by
+    # CONSTRUCTION at <= n_coarse*(n_fine+1)+1 rows (grains of a rollup
+    # over two bounded-modulus keys), independent of corpus size, so the
+    # persist is unconditionally safe at 100 TB — no stats gate needed.
+    la = caches.track(_ladder_digests(da, "left").persist())
+    lb = caches.track(_ladder_digests(db, "right").persist())
     dirty_coarse = _dirty(
         la.where(F.col("__g") == 1).select("coarse", "dig_left", "n_left"),
         lb.where(F.col("__g") == 1).select("coarse", "dig_right", "n_right"),
@@ -206,8 +232,9 @@ def merkle_bucket_diff(
     scans per side; rows never cross the wire. `value_cols` defaults to
     every non-key column of `left` (both sides must share the schema)."""
     value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
-    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine))
-    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine))
+    small = _replicas_small(left, right)
+    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine), small)
+    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine), small)
     return _dirty_fine_buckets(da, db)
 
 
@@ -230,8 +257,9 @@ def merkle_reconcile(
     and the row-pull stage (one construction per side, stats-gate
     persisted at small scale)."""
     value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
-    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine))
-    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine))
+    small = _replicas_small(left, right)
+    da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine), small)
+    db = _maybe_cached(_bucketed(right, key_cols, value_cols, n_coarse, n_fine), small)
     dirty_fine = _dirty_fine_buckets(da, db).select("coarse", "fine")
     la = da.join(F.broadcast(dirty_fine), ["coarse", "fine"]).select(
         *key_cols, F.col(_H).alias("__h_l")

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions import vectors
+from . import caches
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -663,6 +664,13 @@ def ivf_index_search(
         .withColumn("qn", vectors.pd_norm("qv"))
         .where(F.col("qn") > 0)
     )
+    # r13 optimization (guide §2.4/§4): qry is consumed TWICE — the probed-
+    # centroid collect below and the broadcast side of the candidate join —
+    # and its probe/norm Arrow kernels (plus whatever plan produced
+    # `queries`) would re-run per reference. The query panel is the SMALL
+    # side of an ANN search by contract (it broadcasts two lines down), so
+    # persisting it is bounded the same way the broadcast is.
+    qry = caches.track(qry.persist())
     probed = sorted({r["centroid"] for r in qry.select("centroid").distinct().collect()})
     postings = (
         _index_postings(spark, path)

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts
 from ..operators import dedup
-from . import query, table
+from . import query, spread_table, table
 from .llmops import (
     _SQL_SHINGLE_CTES,
     _SQL_SIG,
@@ -153,6 +153,10 @@ def corpus_band_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band max flags a hot bucket (all-identical boilerplate) that
     wants a cap. All integer; one shuffle to bucket counts (map-side
     partials on (band, key)), one tiny per-band rollup."""
+    # NOT spread (guide §2.5 boundary, measured r13: 1.67 -> 1.73 s with
+    # the scan spread — consistent with _minhash_sigs' own sf1 finding
+    # that the extra full-text exchange outweighs the kernel win for the
+    # minhash family, whose downstream shuffles overlap the kernel anyway)
     sigs = dedup._minhash_sigs(table(spark, sf_dir, "documents"), "text", "doc_id")
     bands = dedup._minhash_bands(sigs, "doc_id")
     occ = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n_b"))

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
-from ..operators import caches
-from . import query, table
+from ..operators import caches, dedup
+from . import query, spread_table, table
 from .llmops import sql_quality, sql_round, sql_toks
 
 
@@ -165,9 +165,18 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality-weighted downsampling stage of a data-mixing pipeline —
     at 100 TB it is one scan with a map-side coin, the weight total
     being the only (tiny) aggregate."""
-    docs = table(spark, sf_dir, "documents")
+    # r13 optimization (guide §2.4/§2.5): q is consumed TWICE (the weight
+    # total + the coin pass) and the regex-heavy quality expression over a
+    # single-row-group file evaluated serially on one task per reference —
+    # spread the scan (order-free: BIGINT weight sum) and stats-gate
+    # persist the narrow (doc_id, w) projection so the expression runs
+    # once, in parallel. At 100 TB the scan splits itself (spread no-op)
+    # and the gate keeps the recompute plan.
+    docs = spread_table(spark, sf_dir, "documents", min_bytes=256 << 10, key="doc_id")
     w = F.round(texts.quality_score("text") * _IS_SCALE).cast("long")
     q = docs.select("doc_id", w.alias("w"))
+    if dedup._estimated_bytes(docs) <= dedup.GATE_MAX_EST_BYTES:
+        q = caches.track(q.persist())
     tot = q.agg(F.sum("w").alias("big_w"))
     h = F.conv(
         F.substring(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import caches, dedup
 from . import query, table
 from .llmops import sql_round
 
@@ -68,6 +68,13 @@ def olap_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
+    # r13 optimization (guide §2.4): baskets feeds FOUR consumers (the
+    # basket total, the per-item counts, both pair-join sides) — persist
+    # pre-partitioned on the pair-join key so the self-join reads the
+    # cache in the distribution it needs. Stats-gated on the lineitem
+    # scan estimate; a 100 TB fact table keeps the recompute plan.
+    if dedup._estimated_bytes(li) <= dedup.GATE_MAX_EST_BYTES:
+        baskets = caches.track(baskets.repartition("okey").persist())
     n = baskets.agg(F.count_distinct("okey").alias("n_baskets"))
     item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("c"))
     a = baskets.select("okey", F.col("part").alias("part_a"))

@@ -13,10 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from ..functions import texts
-from ..operators import dedup
+from ..operators import caches, dedup
 from .llmops import sql_dot
-from . import events_table, query, table
+from . import events_table, query, spread_scan, table
 
 _DEC = "decimal(18,4)"
 _DEC9 = "decimal(18,9)"
@@ -354,11 +356,30 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel's Python log2 is (see functions/texts.py pd_unigram_xent), so
     the doubles hash-match the oracle unrounded."""
     docs = table(spark, sf_dir, "documents")
+    # r13 optimization (guide §2.5): tokenize + explode over a
+    # single-row-group file serialize on one task; downstream is integer
+    # counting. spread_scan (not spread_table) so test fixtures that
+    # substitute `table` keep working; at 100 TB the scan splits itself.
+    path = os.path.join(sf_dir, "documents.parquet")
+    spread = spread_scan(
+        docs,
+        spark,
+        os.path.getsize(path) if os.path.isfile(path) else 0,
+        min_bytes=256 << 10,
+        key="doc_id",
+    )
     toks = (
-        docs.where(F.trim(F.col("text")) != "")
+        spread.where(F.trim(F.col("text")) != "")
         .select("doc_id", F.explode(texts.tokens("text")).alias("tok"))
     )
     tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # r13 optimization (guide §2.4): tc feeds THREE passes — the token
+    # frequencies, the driver scalar N (freq.first() below), and the
+    # per-doc join — each otherwise re-running tokenize + explode + the
+    # first aggregate. Stats-gated on the INPUT scan estimate (post-explode
+    # estimates inflate); 100 TB keeps the recompute plan.
+    if dedup._estimated_bytes(docs) <= dedup.GATE_MAX_EST_BYTES:
+        tc = caches.track(tc.persist())
     freq = tc.groupBy("tok").agg(F.sum("c").alias("tf"))
     n_total = float(freq.agg(F.sum("tf").alias("n")).first()["n"])
     per_doc = (

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts
 from ..operators import caches, dedup, similarity
-from . import query, table
+from . import query, spread_table, table
 from .llmops import (
     _EMB_BANDS,
     _ROWS,
@@ -386,7 +386,13 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_value_quantiles). One map-side pass + a single one-row
     aggregate at any scale (count DISTINCT is the only extra shuffle;
     swap in approx_count_distinct at 100 TB if 1e-4 error is fine)."""
-    docs = table(spark, sf_dir, "documents")
+    # r13 optimization (guide §2.5): three regex-heavy per-doc expressions
+    # over a single-row-group file serialize on one task — spread the scan
+    # across the session cores. Every downstream aggregate is
+    # partitioning-independent (BIGINT sums/counts, count_distinct, exact
+    # percentile over the value multiset); at 100 TB the scan splits
+    # itself and the spread is a no-op.
+    docs = spread_table(spark, sf_dir, "documents", min_bytes=256 << 10, key="doc_id")
     t = docs.select(
         F.md5(F.trim(F.lower("text"))).alias("k"),
         texts.bpe_token_count("text").cast("long").alias("n_tokens"),

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts, vectors
+from ..operators import graphs
 from . import events_table, query, table
 from .llmops import sql_toks
 
@@ -470,6 +471,7 @@ def graph_label_prop_communities(
     spark: SparkSession,
     sf_dir: str,
     max_cell_members: int | None | str = "auto",
+    driver_max_edges: int = graphs.LP_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Community detection via synchronous label propagation (2 unrolled
     rounds) over the co-presence graph: users are linked when they have
@@ -513,23 +515,14 @@ def graph_label_prop_communities(
     CASE from count(*) (see _LP_SQL_CAP), so both engines always pick
     the same branch and the oracle stays exact at any scale."""
     ev = events_table(spark, sf_dir)
+    n_events = ev.count()  # metadata-backed parquet count — one cheap job
     if max_cell_members == "auto":
         max_cell_members = (
-            _LP_CELL_CAP_BIG if ev.count() > _LP_EXACT_MAX_EVENTS else _LP_CELL_CAP
+            _LP_CELL_CAP_BIG if n_events > _LP_EXACT_MAX_EVENTS else _LP_CELL_CAP
         )
     cell = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     sess = ev.select("user_id", "event_type", cell.alias("cell")).distinct()
-    b_side = sess
-    if max_cell_members is not None:
-        cap_w = Window.partitionBy("event_type", "cell").orderBy(
-            F.md5(F.col("user_id").cast("string")), F.col("user_id")
-        )
-        b_side = (
-            sess.withColumn("_r", F.row_number().over(cap_w))
-            .where(F.col("_r") <= max_cell_members)
-            .drop("_r")
-        )
-    a, b = sess.alias("a"), b_side.alias("b")
+    a, b = sess.alias("a"), sess.alias("b")
     join_cond = (F.col("a.cell") == F.col("b.cell")) & (
         F.col("a.event_type") == F.col("b.event_type")
     )
@@ -544,30 +537,79 @@ def graph_label_prop_communities(
             .repartition("u", "v")
         )
     else:
-        # star-to-representatives with normalized pairs, deduped per
-        # bucket so w still counts SHARED BUCKETS (a rep-rep pair would
-        # otherwise appear once per join direction); same explicit
-        # fan-out repartition, on the dedup key
+        # star-to-representatives with normalized pairs, emitted
+        # EXACTLY ONCE per (pair, bucket) — r13 optimization (guide
+        # §1.2/§2.4): only rep-rep pairs produce both join orientations
+        # (the b side holds representatives only, so a non-rep member
+        # can never appear as `a` against itself reversed), and keeping
+        # the a-side's bucket rank lets the predicate
+        # `a < b OR a is non-rep` keep exactly one orientation — the
+        # dropDuplicates pass over the 4-column fan-out (its own
+        # exchange + dedup aggregate over the join's full output, the
+        # measured cost center) disappears, and w = count(*) still
+        # counts SHARED BUCKETS. Both join sides now read the same
+        # ranked-window subtree, whose (event_type, cell) output
+        # partitioning is exactly the join distribution — no exchange
+        # at the join. Same explicit fan-out repartition before the
+        # aggregate (plain exchange streams blocks; no map-side hash
+        # state on the fan-out — the r8 OOM fix), now on the final
+        # (u, v) key only.
+        cap_w = Window.partitionBy("event_type", "cell").orderBy(
+            F.md5(F.col("user_id").cast("string")), F.col("user_id")
+        )
+        ranked = sess.withColumn("_r", F.row_number().over(cap_w))
+        a = ranked.alias("a")
+        b = ranked.where(F.col("_r") <= max_cell_members).drop("_r").alias("b")
         raw = (
-            a.join(b, join_cond & (F.col("a.user_id") != F.col("b.user_id")))
+            a.join(
+                b,
+                join_cond
+                & (F.col("a.user_id") != F.col("b.user_id"))
+                & (
+                    (F.col("a.user_id") < F.col("b.user_id"))
+                    | (F.col("a._r") > max_cell_members)
+                ),
+            )
             .select(
                 F.least(F.col("a.user_id"), F.col("b.user_id")).alias("u"),
                 F.greatest(F.col("a.user_id"), F.col("b.user_id")).alias("v"),
-                F.col("a.event_type").alias("t"),
-                F.col("a.cell").alias("c"),
             )
-            .repartition("u", "v", "t", "c")
-            .dropDuplicates(["u", "v", "t", "c"])
-            .select("u", "v")
+            .repartition("u", "v")
         )
     e0 = raw.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
-    # persist the symmetric edge relation: each LP round references it,
-    # and without the persist round 2's lineage re-runs the cell
-    # self-join through round 1's plan (same iterative-lineage fix as
-    # connected_components' per-round localCheckpoint)
+    # materialize the unique-pair edge relation once: each LP round
+    # references it, and without the checkpoint round 2's lineage re-runs
+    # the cell self-join through round 1's plan (same iterative-lineage
+    # fix as connected_components' per-round localCheckpoint)
+    e0 = e0.localCheckpoint(eager=False)
+    # r13 optimization (guide §1.2/§5: driver round-trips): when BOTH the
+    # node universe (distinct users <= events rows — n_events is already
+    # in hand for the cell-cap gate) and the aggregated edge list are
+    # measured under the bounded-collect contract, run the 2 synchronous
+    # LP rounds in plain Python on the driver — the edge BUILD above
+    # stays distributed; only the per-round join + vote aggregate +
+    # argmax + label left-join stages (6 shuffle stages each a driver
+    # round-trip at bench scale) collapse. graphs._driver_label_prop
+    # mirrors the struct-max tie-break bit-for-bit (pinned by
+    # tests/test_round13.py::test_label_prop_driver_and_distributed_paths_agree);
+    # larger graphs take the unchanged distributed loop by measured size.
+    if (
+        driver_max_edges
+        and n_events <= driver_max_edges
+        and e0.count() <= driver_max_edges
+    ):
+        edge_rows = [(r["u"], r["v"], r["w"]) for r in e0.collect()]
+        node_ids = [
+            r["node"]
+            for r in ev.select(F.col("user_id").alias("node")).distinct().collect()
+        ]
+        labels = graphs._driver_label_prop(edge_rows, node_ids, rounds=2)
+        return spark.createDataFrame(
+            list(labels.items()), "user_id long, community long"
+        )
     edges = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).localCheckpoint(eager=False)
+    )
     labels = ev.select(F.col("user_id").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

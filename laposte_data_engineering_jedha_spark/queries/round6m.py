@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import caches
+from ..operators.dedup import GATE_MAX_EST_BYTES, _estimated_bytes
 from . import query, table
 
 _TOP = 20
@@ -61,6 +63,12 @@ def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
     )
+    # r13 optimization (guide §2.4): b feeds FOUR consumers (order total,
+    # brand counts, both pair-join sides) — persist pre-partitioned on the
+    # pair-join key. Stats-gated on the lineitem scan estimate; a 100 TB
+    # fact table keeps the recompute plan.
+    if _estimated_bytes(li) <= GATE_MAX_EST_BYTES:
+        b = caches.track(b.repartition("o").persist())
     n = b.agg(F.count_distinct("o").alias("n_orders"))
     s = b.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     a2 = b.select(F.col("o"), F.col("brand").alias("brand_b"))

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, table
+from ..operators import caches
+from ..operators.dedup import GATE_MAX_EST_BYTES, _estimated_bytes
+from . import query, spread_table, table
 
 
 _P = 8  # tokens per passage — the dedup_passage grain
@@ -62,7 +64,13 @@ def corpus_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle cap); pairs dedupe via DISTINCT before the rollup."""
     from ..functions import texts
 
-    docs = table(spark, sf_dir, "documents")
+    # r13 optimization (guide §2.4/§2.5): spread the single-row-group scan
+    # ahead of tokenization, and stats-gate persist `p` — it feeds THREE
+    # consumers (the df-cap aggregate and both pair-join sides), each of
+    # which would otherwise re-run tokenize + passage-split + md5 +
+    # distinct. Downstream algebra is integer pair counting. At 100 TB the
+    # scan splits itself and the gate keeps recompute-per-consumer.
+    docs = spread_table(spark, sf_dir, "documents", min_bytes=256 << 10, key="doc_id")
     toks = docs.select("doc_id", "source", texts.tokens("text").alias("t"))
     pl = toks.select(
         "doc_id",
@@ -78,6 +86,8 @@ def corpus_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.md5("passage").alias("k"))
         .distinct()
     )
+    if _estimated_bytes(docs) <= GATE_MAX_EST_BYTES:
+        p = caches.track(p.persist())
     keys = (
         p.groupBy("k")
         .agg(F.count_distinct("doc_id").alias("nd"))

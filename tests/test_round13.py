@@ -659,6 +659,26 @@ def test_kcore_driver_and_distributed_paths_agree(spark):
     assert graphs.kcore_peel(pairs, k=3, rounds=None)[-1][1:] == (5, 10)
 
 
+def test_label_prop_driver_and_distributed_paths_agree(spark, sf_dir):
+    """r13 optimization: under LP_DRIVER_MAX_EDGES the 2 synchronous LP
+    rounds run in plain Python on the driver; both paths must emit the
+    identical (user_id, community) labelling on the real fixture, for the
+    auto cell cap AND a tight cap that actually binds (driver_max_edges=0
+    keeps the distributed loop covered)."""
+    from laposte_data_engineering_jedha_spark.queries.round6 import (
+        graph_label_prop_communities,
+    )
+
+    for cap in ("auto", 2):
+        fast = graph_label_prop_communities(spark, sf_dir, max_cell_members=cap)
+        dist = graph_label_prop_communities(
+            spark, sf_dir, max_cell_members=cap, driver_max_edges=0
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, dist.collect())
+        ), cap
+
+
 def test_triangles_driver_and_distributed_paths_agree(spark, sf_dir):
     """r13 optimization: thresholded edge lists under TRI_DRIVER_MAX_EDGES
     orient/wedge/close on the driver. Both paths must agree on the real

@@ -151,11 +151,20 @@ def test_q4_plan_is_semi_join_with_residual(spark, sf_dir_small):
 
 
 def test_winnow_plan_mapside_selection_no_self_cartesian(spark, sf_dir_small):
-    """Fingerprint selection is map-side array ops — NO window function
-    (no per-doc shuffle+sort for selection) — and candidate generation is
-    an equi-join on fp with no cartesian anywhere."""
+    """Fingerprint selection is map-side array ops — no PER-DOC
+    window/shuffle for selection — and candidate generation is an
+    equi-join on fp with no cartesian anywhere. (Since the r13
+    optimization the stop-fingerprint DF cap is a count window keyed on
+    fp — the join key, so its exchange is the one the self-join needs
+    anyway, replacing the former groupBy+join's two exchanges; a window
+    partitioned by doc_id would be the selection-shuffle regression this
+    test exists to catch.)"""
+    import re as _re
+
     plan = _plan(round4.dedup_winnow(spark, sf_dir_small))
-    assert "Window" not in plan  # selection never shuffles
+    assert not _re.search(r"windowspecdefinition\(doc_id", plan)
+    for spec in _re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "fp", plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
