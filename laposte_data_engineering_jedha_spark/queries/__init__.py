@@ -142,6 +142,30 @@ def spread_table(
     return spread_scan(df, spark, os.path.getsize(path), min_bytes=min_bytes, key=key)
 
 
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of an input table, read from the parquet FOOTER
+    metadata when the input is the single file the bench/driver layout
+    uses (no Spark job, ~1 ms) and from a count() job otherwise.
+
+    r13 optimization (guide §1.2): the count-derived auto gates
+    (auto_band_planes, the LP/triangles cap switches, the cosine-histogram
+    rate) re-ran a full count() JOB every execution — measured ~0.22 s of
+    plan-compile + job overhead per query run for a number that is a pure
+    property of the INPUT file. Footer num_rows is exactly count() for
+    parquet (both engines derive the same value), so every gate stays
+    bit-identical; non-file inputs (test fixtures substituting `table`,
+    partitioned dirs) keep the count() path."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        try:
+            import pyarrow.parquet as pq
+
+            return int(pq.ParquetFile(path).metadata.num_rows)
+        except Exception:  # pragma: no cover - corrupt footer/odd codec
+            pass
+    return table(spark, sf_dir, name).count()
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` as a proper TimestampType.
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import texts, vectors
 from ..operators import corpus, dedup, joins, multimodal, similarity
 from ..streaming import jobs as streaming_jobs
-from . import events_table, query, table
+from . import events_table, query, table, table_rowcount
 
 # --- DuckDB SQL fragments mirroring functions/texts.py + vectors.py ----------
 
@@ -420,7 +420,7 @@ def dedup_embedding_cosine(
     emb = table(spark, sf_dir, "embeddings")
     planes = _EMB_BAND_PLANES
     if strategy != "pinned":
-        n = emb.count()
+        n = table_rowcount(spark, sf_dir, "embeddings")
         if strategy == "scaled" or n > _EMB_PINNED_MAX_N:
             planes = dedup.auto_band_planes(n)
     return dedup.embedding_dup_pairs_lsh(
@@ -1777,7 +1777,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(texts.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n_docs = table_rowcount(spark, sf_dir, "documents")
     scored = tf.join(docfreq, "term").select(
         "doc_id",
         "term",

@@ -108,6 +108,10 @@ def eval_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )
     )
+    # NOT persisted (guide §2.4 boundary, measured r13: same-process A/B
+    # put the gated persist of `base` at 1.6-2.0 s vs 1.56-1.6 s without —
+    # the prefix-norm fold is a pure Catalyst expression, cheap per scan,
+    # and the cache only adds materialization + memory pressure)
     base = emb.withColumn("__pn", pre_norm).where(F.col("__pn") > 0)
     q_pred = (F.col("vec_id") >= _NDCG_Q_LO) & (F.col("vec_id") < _NDCG_Q_HI)
     gt = (

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
-from . import query, table
+from . import query, table, table_rowcount
 from .llmops import _EMB_BANDS, _sql_band_key, SQL_NORM, sql_dot, sql_round
 from .round5 import _EMB_DIM, _IVF_K
 from .round7 import _IVF_PROBE, _IVF_TOPK
@@ -79,7 +79,7 @@ def dedup_embedding_cosine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planes is one column-pruned scan, amortized across the 8-band
     key generation."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = dedup.auto_band_planes(emb.count())
+    planes = dedup.auto_band_planes(table_rowcount(spark, sf_dir, "embeddings"))
     return dedup.embedding_dup_pairs_lsh(
         emb, threshold=0.4, bands=_EMB_BANDS, band_planes=planes
     )

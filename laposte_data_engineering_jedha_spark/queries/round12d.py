@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..operators import ranking
-from . import query, table
+from . import query, table, table_rowcount
 from .llmops import SQL_NORM, sql_dot, sql_round
 
 # ========================== order total drift =================================
@@ -287,7 +287,7 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine at 0.1 grain (`div` and `//` both truncate toward zero —
     identical on negatives)."""
     emb = table(spark, sf_dir, "embeddings")
-    n_total = emb.count()
+    n_total = table_rowcount(spark, sf_dir, "embeddings")
     rate = max(_CH_RATE_FLOOR, (n_total * n_total) // _CH_RATE_DIV)
     bucket = (
         F.conv(

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
-from . import query, table
+from . import query, table, table_rowcount
 from .llmops import (
     _GRAPH_BANDS,
     SQL_NORM,
@@ -66,7 +66,7 @@ knn AS (SELECT query_id, cand_id, cosine, rank FROM granked WHERE rank <= 3)"""
 
 def _auto_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    planes = dedup.auto_band_planes(emb.count())
+    planes = dedup.auto_band_planes(table_rowcount(spark, sf_dir, "embeddings"))
     return similarity.knn_graph(
         emb, k=3, dim=64, bands=_GRAPH_BANDS, band_planes=planes
     )

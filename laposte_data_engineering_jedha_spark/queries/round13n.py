@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from . import query, table
+from . import query, table, table_rowcount
 from .llmops import _EMB_BANDS, SQL_NORM, _sql_band_key, sql_dot, sql_round
 from .round12a import _SQL_AUTO_PLANES
 
@@ -97,7 +97,7 @@ def embedding_dbscan_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector. The oracle mirrors it with a recursive min-label
     CTE."""
     emb = table(spark, sf_dir, "embeddings")
-    planes = dedup.auto_band_planes(emb.count())
+    planes = dedup.auto_band_planes(table_rowcount(spark, sf_dir, "embeddings"))
     from ..operators import caches
 
     # the verified pair relation feeds FOUR consumers (degrees, both

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texts
-from . import events_table, query, table
+from . import events_table, query, table, table_rowcount
 from .llmops import sql_md5i, sql_round, sql_toks
 
 
@@ -291,6 +291,9 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans as TRUE literals, so a gross sketch regression flips the
     value hash."""
     ev = events_table(spark, sf_dir)
+    # NOT persisted (guide §2.4 boundary, measured r13: same-process A/B of
+    # a gated persist of `pairs` was within noise both ways — the exact
+    # two-level countDistinct aggregates dominate, not the scan+distinct)
     pairs = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     contrib = pairs.select(
         F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
@@ -700,7 +703,11 @@ def events_user_triangles(
         raise ValueError(f"unknown strategy {strategy!r}")
     ev = events_table(spark, sf_dir)
     if strategy == "auto":
-        strategy = "capped" if ev.count() > _TRI_EXACT_MAX_EVENTS else "exact"
+        strategy = (
+            "capped"
+            if table_rowcount(spark, sf_dir, "events") > _TRI_EXACT_MAX_EVENTS
+            else "exact"
+        )
     from ..operators import graphs
 
     if strategy == "capped":

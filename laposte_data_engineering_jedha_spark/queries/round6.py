@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts, vectors
 from ..operators import graphs
-from . import events_table, query, table
+from . import events_table, query, table, table_rowcount
 from .llmops import sql_toks
 
 _P = 8  # tokens per passage — matches dedup_passage
@@ -515,7 +515,7 @@ def graph_label_prop_communities(
     CASE from count(*) (see _LP_SQL_CAP), so both engines always pick
     the same branch and the oracle stays exact at any scale."""
     ev = events_table(spark, sf_dir)
-    n_events = ev.count()  # metadata-backed parquet count — one cheap job
+    n_events = table_rowcount(spark, sf_dir, "events")  # footer metadata, no job
     if max_cell_members == "auto":
         max_cell_members = (
             _LP_CELL_CAP_BIG if n_events > _LP_EXACT_MAX_EVENTS else _LP_CELL_CAP

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import events_table, query, table
+from . import events_table, query, spread_table, table
 
 # ====================== blocked fuzzy entity resolution ======================
 
@@ -134,7 +134,16 @@ def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregates union into the report."""
     frames = []
     for t, _ in _PK_TABLES:
-        df = table(spark, sf_dir, t)
+        # r13 optimization (guide §2.5): the composite-key canonicalization
+        # + count-distinct partials over the biggest single-row-group file
+        # serialize on one task — spread lineitem only (measured 1.50 ->
+        # 0.86 s isolated; events/orders spreads REGRESS, the recorded
+        # events-family finding). Distinct counts are
+        # partitioning-independent; at 100 TB the scan splits itself.
+        if t == "lineitem":
+            df = spread_table(spark, sf_dir, t, key="l_orderkey")
+        else:
+            df = table(spark, sf_dir, t)
         key = _SPARK_PK[t]()
         frames.append(
             df.agg(
