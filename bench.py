@@ -83,10 +83,10 @@ from laposte_data_engineering_jedha_spark.session import get_spark  # noqa: E402
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 # bump once per round after the driver records BENCH_r{N}: the snapshot the
-# prev_intersection_* fields compare against (round 13 took no start
-# snapshot — the r12 CLOSE detail is the most recent committed state of
-# the previous round's code, measured on its closing host)
-_PREV_DETAIL = "BENCH_DETAIL_r12close.json"
+# prev_intersection_* fields compare against (the r13 OPTIMIZATION close is
+# the most recent committed state of the previous round's code, measured on
+# its closing host)
+_PREV_DETAIL = "BENCH_DETAIL_r13opt_close.json"
 
 
 def run_query(fn, spark, sf_dir) -> None:

@@ -230,7 +230,14 @@ def merkle_bucket_diff(
     as (coarse, fine, dig_left, dig_right, n_left, n_right) — digests /
     counts are NULL for a side with no rows in that bucket. Two digest
     scans per side; rows never cross the wire. `value_cols` defaults to
-    every non-key column of `left` (both sides must share the schema)."""
+    every non-key column of `left` (both sides must share the schema).
+
+    Contract note (ADVICE r13): `left` and `right` must be REPLICAS of
+    the same table — the small-scale persist gate reads
+    min(est(left), est(right)) because a replica assembled as
+    scan + delta-union carries a garbage Catalyst estimate
+    (_replicas_small). Passing two genuinely different-sized relations
+    violates that contract and can persist an O(big-side) relation."""
     value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
     small = _replicas_small(left, right)
     da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine), small)
@@ -255,7 +262,9 @@ def merkle_reconcile(
     repair job would pull/push/overwrite. Empty when the snapshots
     agree. The bucketed digest relations are shared between the ladder
     and the row-pull stage (one construction per side, stats-gate
-    persisted at small scale)."""
+    persisted at small scale). Same replica contract as
+    merkle_bucket_diff: both inputs must be snapshots of the SAME table
+    (the persist gate reads the minimum of the two estimates)."""
     value_cols = _resolve_value_cols(left, right, key_cols, value_cols)
     small = _replicas_small(left, right)
     da = _maybe_cached(_bucketed(left, key_cols, value_cols, n_coarse, n_fine), small)

@@ -49,6 +49,38 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _ranked_topk_dedup(pairs: DataFrame, k: int) -> DataFrame:
+    """`_ranked_topk` over a pair stream that may repeat (query_id,
+    cand_id) rows — the multi-band/multi-probe candidate shape, where the
+    same pair collides in several buckets and each copy carries the SAME
+    cosine (a deterministic function of the two vectors).
+
+    r14 optimization (guide §2.4: remove shuffles outright): the previous
+    `dropDuplicates(["query_id", "cand_id"])` + rank-window form paid an
+    exchange on (query_id, cand_id) + two hash aggregates BEFORE the
+    window's own (query_id) exchange — and because multi-band copies of a
+    pair are emitted in DIFFERENT bucket partitions, the dedup's map-side
+    partial removed almost nothing, so the extra exchange carried the full
+    candidate fan-out. Here the dedup rides the ranking window instead:
+    within (query_id ORDER BY cosine DESC, cand_id) every copy of a pair
+    sorts to the same key, so copies are adjacent and `lag(cand_id)`
+    flags all but the first; the row_number over the SAME window spec then
+    ranks the deduped stream with no new exchange and no new sort
+    (Filter preserves both). One exchange total where there were two.
+
+    Identical output to dropDuplicates + _ranked_topk by construction:
+    same survivor per duplicate group (copies are indistinguishable), same
+    ordering, same rank values."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("_dup", F.col("cand_id") == F.lag("cand_id").over(w))
+        .where(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def _sides(
     df: DataFrame, queries: DataFrame, vec_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -232,9 +264,11 @@ def knn_graph(
         a.join(b, ["band", "key"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
-        .dropDuplicates(["query_id", "cand_id"])
     )
-    return _ranked_topk(pairs, k)
+    # multi-band copies of a pair dedup inside the ranking window (one
+    # exchange; the dropDuplicates form paid a second one — see
+    # _ranked_topk_dedup)
+    return _ranked_topk_dedup(pairs, k)
 
 
 def pinned_codebook(m: int, k: int, sub: int) -> np.ndarray:
@@ -341,9 +375,11 @@ def ivf_knn(
         cand.join(F.broadcast(qry), "centroid")
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
-        .dropDuplicates(["query_id", "cand_id"])
     )
-    return _ranked_topk(pairs, k)
+    # each candidate posts under ONE centroid here, but the dedup stays
+    # (as the windowed form — no extra exchange) so the operator contract
+    # is unchanged if a caller ever feeds multi-posted candidates
+    return _ranked_topk_dedup(pairs, k)
 
 
 def ivf_index_write(
@@ -668,9 +704,15 @@ def ivf_index_search(
     # centroid collect below and the broadcast side of the candidate join —
     # and its probe/norm Arrow kernels (plus whatever plan produced
     # `queries`) would re-run per reference. The query panel is the SMALL
-    # side of an ANN search by contract (it broadcasts two lines down), so
-    # persisting it is bounded the same way the broadcast is.
-    qry = caches.track(qry.persist())
+    # side of an ANN search by contract (it broadcasts two lines down).
+    # Stats-gated on the queries input estimate (ADVICE r13: an
+    # out-of-contract large panel would otherwise silently cache without
+    # bound before the broadcast even failed) — consistent with every
+    # other r13 persist gate.
+    from .ranking import GATE_MAX_EST_BYTES, _estimated_bytes
+
+    if _estimated_bytes(queries) <= GATE_MAX_EST_BYTES:
+        qry = caches.track(qry.persist())
     probed = sorted({r["centroid"] for r in qry.select("centroid").distinct().collect()})
     postings = (
         _index_postings(spark, path)
@@ -683,9 +725,12 @@ def ivf_index_search(
         postings.join(F.broadcast(qry), "centroid")
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", (F.round(cos * 1000000) / 1000000).alias("cosine"))
-        .dropDuplicates(["query_id", "cand_id"])
     )
-    return _ranked_topk(pairs, k)
+    # base + delta postings carry one centroid per posting row; a cand_id
+    # re-published across segments (same vector — the append idempotency
+    # contract) still dedups, inside the ranking window now instead of a
+    # dedicated (query, cand) exchange
+    return _ranked_topk_dedup(pairs, k)
 
 
 #: quantization scale for the pinned Lloyd fit: embedding components live

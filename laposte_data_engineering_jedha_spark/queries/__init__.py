@@ -83,6 +83,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # a plan conversion per query
 _MAX_PARTITION_BYTES = 128 << 20
 
+# test-only override of every spread site's min_bytes floor (VERDICT r13
+# item 7: the floors mean the sf0.01/sf0.001 oracle gates never execute the
+# repartitioned branch). Set to 0 in tests to force the spread branch at the
+# correctness SFs and hash-compare against the oracle; None in production.
+_SPREAD_MIN_BYTES_OVERRIDE: int | None = None
+
 
 def spread_scan(
     df: DataFrame,
@@ -118,6 +124,8 @@ def spread_scan(
     deterministic under task retry and skips round-robin's
     sort-before-repartition pass; omit for round-robin.
     """
+    if _SPREAD_MIN_BYTES_OVERRIDE is not None:
+        min_bytes = _SPREAD_MIN_BYTES_OVERRIDE
     n = spark.sparkContext.defaultParallelism
     est_scan_parts = input_bytes // _MAX_PARTITION_BYTES + 1
     if est_scan_parts >= n or input_bytes < min_bytes:
@@ -154,7 +162,13 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     property of the INPUT file. Footer num_rows is exactly count() for
     parquet (both engines derive the same value), so every gate stays
     bit-identical; non-file inputs (test fixtures substituting `table`,
-    partitioned dirs) keep the count() path."""
+    partitioned dirs) keep the count() path.
+
+    Monkeypatch caveat (ADVICE r13): a test that substitutes `table`
+    while `{sf_dir}/{name}.parquet` still EXISTS on disk gets the file's
+    footer count, not the substituted DataFrame's — substitute the file
+    path (tmp dir) or patch this function too when the fixture changes
+    row counts."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(path):
         try:

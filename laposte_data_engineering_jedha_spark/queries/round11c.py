@@ -20,7 +20,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
 from . import query, table
 from .llmops import SQL_NORM, sql_dot, sql_round
 
@@ -100,46 +99,81 @@ def eval_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (the corpus never shuffles); the DCG sum is an exact
     integer aggregate (order-free by construction), and the only float
     op is one division by the constant IDCG per query."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors
+
     emb = table(spark, sf_dir, "embeddings")
-    pre_norm = F.sqrt(
-        F.aggregate(
-            F.slice("embedding", 1, _NDCG_DIM),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
+    # ONE corpus pass computing BOTH cosines (r14 optimization, guide
+    # §1.2/§2.4 — the VERDICT r13 item-2 fusion, same construction as
+    # eval_matryoshka_prefix_recall's r12 fix): the two-brute_force_knn
+    # form scanned the corpus + ran the norm/dot Arrow kernels TWICE and
+    # joined the two top-k lists on (query_id, cand_id). Fused, the cross
+    # join carries cos_full AND cos_pre, the two rank windows share one
+    # query_id exchange, and the gt/ret join disappears — a row of the
+    # prefix top-k is a ground-truth hit exactly when its full rank is
+    # also <= K. Rounding (1e-6) and tie order (cosine desc, cand_id) are
+    # unchanged, so both top-k sets — and every output row — stay
+    # bit-identical to the SQL twin. NOT persisted (the r13 measured
+    # negative: the prefix-norm fold is cheap per scan); this shape also
+    # halves the COLD pass, which persists cannot.
+    sides = []
+    for id_alias, v, n, np_ in (
+        ("cand_id", "cv", "cn", "cnp"),
+        ("query_id", "qv", "qn", "qnp"),
+    ):
+        sides.append(
+            emb.select(
+                F.col("vec_id").alias(id_alias),
+                F.col("embedding").alias(v),
+                vectors.pd_norm("embedding").alias(n),
+                F.sqrt(
+                    F.aggregate(
+                        F.slice("embedding", 1, _NDCG_DIM),
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                ).alias(np_),
+            ).where((F.col(n) > 0) & (F.col(np_) > 0))
         )
-    )
-    # NOT persisted (guide §2.4 boundary, measured r13: same-process A/B
-    # put the gated persist of `base` at 1.6-2.0 s vs 1.56-1.6 s without —
-    # the prefix-norm fold is a pure Catalyst expression, cheap per scan,
-    # and the cache only adds materialization + memory pressure)
-    base = emb.withColumn("__pn", pre_norm).where(F.col("__pn") > 0)
-    q_pred = (F.col("vec_id") >= _NDCG_Q_LO) & (F.col("vec_id") < _NDCG_Q_HI)
-    gt = (
-        similarity.brute_force_knn(base, base.where(q_pred), k=_NDCG_K)
+    cand, qry = sides
+    q_pred = (F.col("query_id") >= _NDCG_Q_LO) & (F.col("query_id") < _NDCG_Q_HI)
+    qry = qry.where(q_pred)
+    cos_full = vectors.pd_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    cos_pre = vectors.pd_dot("qv16", "cv16") / (F.col("qnp") * F.col("cnp"))
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("qv16", F.slice("qv", 1, _NDCG_DIM))
+        .withColumn("cv16", F.slice("cv", 1, _NDCG_DIM))
         .select(
             "query_id",
             "cand_id",
-            (F.lit(_NDCG_K) - F.col("rank") + 1).alias("rel"),
+            (F.round(cos_full * 1e6) / 1e6).alias("cos_full"),
+            (F.round(cos_pre * 1e6) / 1e6).alias("cos_pre"),
         )
     )
-    pre = base.select(
-        "vec_id", F.slice("embedding", 1, _NDCG_DIM).alias("embedding")
-    )
-    ret = similarity.brute_force_knn(pre, pre.where(q_pred), k=_NDCG_K).select(
-        "query_id", "cand_id", "rank"
-    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "cand_id")
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos_pre").desc(), "cand_id")
     w_expr = F.lit(None).cast("long")
     for i, w in _NDCG_W.items():
-        w_expr = F.when(F.col("rank") == i, F.lit(w)).otherwise(w_expr)
+        w_expr = F.when(F.col("rp") == i, F.lit(w)).otherwise(w_expr)
     scored = (
-        ret.join(gt, ["query_id", "cand_id"], "left")
+        pairs.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rp", F.row_number().over(wp))
+        .where(F.col("rp") <= _NDCG_K)
         .select(
             "query_id",
-            (F.coalesce("rel", F.lit(0)) * w_expr).alias("units"),
-            F.when(F.col("rel").isNull(), 0).otherwise(1).alias("hit"),
+            (
+                F.when(
+                    F.col("rf") <= _NDCG_K, F.lit(_NDCG_K) - F.col("rf") + 1
+                ).otherwise(F.lit(0))
+                * w_expr
+            ).alias("units"),
+            F.when(F.col("rf") <= _NDCG_K, 1).otherwise(0).alias("hit"),
         )
     )
-    queries = base.where(q_pred).select(F.col("vec_id").alias("query_id"))
+    queries = qry.select("query_id")
     return (
         queries.join(scored, "query_id", "left")
         .groupBy("query_id")

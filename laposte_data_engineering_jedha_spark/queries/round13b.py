@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texts
 from ..operators import dedup
-from . import query, spread_table, table
+from . import query, table
 from .llmops import (
     _SQL_SHINGLE_CTES,
     _SQL_SIG,
