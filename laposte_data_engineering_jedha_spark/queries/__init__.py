@@ -73,9 +73,34 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+# schema memo for table(): (resolved path, mtime_ns, size) -> inferred schema.
+# r14 optimization (guide §1.2 — the same footer-metadata family as
+# table_rowcount): schema INFERENCE re-reads the parquet footer and pays a
+# py4j DataSource-resolution round trip on EVERY table() call — measured
+# 0.084 s vs 0.014 s with an explicit schema, and the bench pays it once
+# per table per timed run (~2 reads/query x 379 queries). The memo caches
+# only the INFERRED SCHEMA (immutable metadata of the file, keyed on
+# mtime+size so a rewritten fixture re-infers); every run still scans the
+# parquet data in full — no rows, plans, or results are reused across runs.
+# At 100 TB the same declare-don't-infer discipline is what keeps a
+# many-query session off the footer-read path.
+_SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if not os.path.isfile(path):
+        # directory tables / remote paths: a dir's mtime+size does not
+        # track rewrites of the files inside it — always infer
+        return spark.read.parquet(path)
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = sch
+    return spark.read.schema(sch).parquet(path)
 
 
 # matches the session default for spark.sql.files.maxPartitionBytes (128 MiB,
@@ -148,6 +173,25 @@ def spread_table(
     if not os.path.isfile(path):
         return df
     return spread_scan(df, spark, os.path.getsize(path), min_bytes=min_bytes, key=key)
+
+
+def sort_report(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a CONSTANT-BOUNDED report relation without a range
+    exchange (r14, guide §2.4 "an orderBy used only to make output
+    deterministic"): `coalesce(1).sortWithinPartitions(...)` produces the
+    identical global order — one partition, fully sorted — while a final
+    `orderBy` plans Exchange(rangepartitioning) plus its bounds-sampling
+    job on every run.
+
+    ONLY for outputs bounded by a constant-cardinality group key (event
+    types, segments, digits, bands, fixed histogram buckets): coalesce(1)
+    caps the final stage at one task, which is exactly right for a
+    few-row report at any corpus scale (the map-side partial aggregation
+    still runs wide; only the constant-size merge serializes) but would
+    serialize real work for corpus-proportional outputs — those keep
+    orderBy. Same single-partition total-order construction as the r13
+    kcore audit emission."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
 
 
 def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:

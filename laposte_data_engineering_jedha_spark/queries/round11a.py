@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..functions import exprs
 from ..operators import layout
 from ..operators.reconcile import _digest52
-from . import events_table, query, sql_round2, table
+from . import events_table, query, sort_report, sql_round2, table
 
 _LC_N_FILES = 8
 
@@ -269,5 +269,5 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             exprs.round2(F.sum("o_totalprice")).alias("revenue"),
         )
-        .orderBy("mktsegment")
+        .transform(sort_report, "mktsegment")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ranking
-from . import query, table
+from . import query, sort_report, table
 from .llmops import sql_round
 
 # ========================= Pareto frontier (skyline) ==========================
@@ -192,7 +192,7 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").cast("long").alias("min_dist"),
             F.max("d").cast("long").alias("max_dist"),
         )
-        .orderBy("noun")
+        .transform(sort_report, "noun")
     )
 
 
@@ -343,5 +343,5 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_total") * exp_share)
             ).alias("chi2_term"),
         )
-        .orderBy("digit")
+        .transform(sort_report, "digit")
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ranking
-from . import query, table
+from . import query, sort_report, table
 from .llmops import sql_round
 
 # ============================ RFM segmentation ================================
@@ -130,7 +130,7 @@ def olap_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("monetary_cents").cast("long").alias("segment_cents"),
         )
-        .orderBy("r_recent", "f_high", "m_high")
+        .transform(sort_report, "r_recent", "f_high", "m_high")
     )
 
 
@@ -214,7 +214,7 @@ def dq_outlier_mad_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
-        .orderBy("event_type")
+        .transform(sort_report, "event_type")
     )
 
 
@@ -283,7 +283,7 @@ def olap_price_quantity_slope_by_brand(spark: SparkSession, sf_dir: str) -> Data
             .otherwise(F.round(num / vx.cast("double") * 1e12) / 1e12)
             .alias("slope_per_cent"),
         )
-        .orderBy("brand")
+        .transform(sort_report, "brand")
     )
 
 
@@ -342,7 +342,7 @@ def events_user_hhi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_users"),
             F.sum("mhhi").cast("long").alias("sum_micro_hhi"),
         )
-        .orderBy("hhi_decile")
+        .transform(sort_report, "hhi_decile")
     )
 
 

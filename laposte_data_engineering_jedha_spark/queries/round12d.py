@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..operators import ranking
-from . import query, table, table_rowcount
+from . import query, sort_report, table, table_rowcount
 from .llmops import SQL_NORM, sql_dot, sql_round
 
 # ========================== order total drift =================================
@@ -179,7 +179,7 @@ def olap_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("skew_ratio"),
         )
-        .orderBy("heavy_rank")
+        .transform(sort_report, "heavy_rank")
     )
 
 
@@ -216,7 +216,7 @@ def corpus_fixed_n_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.where(F.col("rk") <= _FIX_N)
         .select("doc_id", F.col("rk").cast("long").alias("sample_rank"))
-        .orderBy("sample_rank")
+        .transform(sort_report, "sample_rank")
     )
 
 
@@ -329,5 +329,5 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cos_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("cos_bucket")
+        .transform(sort_report, "cos_bucket")
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, sql_round2, table
+from . import query, sort_report, sql_round2, table
 from ..functions import exprs
 
 # ========================== IVM for a join ====================================
@@ -82,7 +82,7 @@ def olap_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             exprs.round2(F.sum("o_totalprice")).alias("revenue"),
         )
-        .orderBy("mktsegment")
+        .transform(sort_report, "mktsegment")
     )
 
 

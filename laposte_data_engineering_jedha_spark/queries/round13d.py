@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texts
-from . import events_table, query, table
+from . import events_table, query, sort_report, table
 
 _CM_DEPTH = 4
 _CM_WIDTH = 256
@@ -122,7 +122,7 @@ def events_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cm_estimate",
             (F.col("cm_estimate") - F.col("true_n")).cast("long").alias("overcount"),
         )
-        .orderBy("event_type")
+        .transform(sort_report, "event_type")
     )
 
 
@@ -216,7 +216,7 @@ def corpus_mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("deficit_tokens"),
-    ).orderBy("source")
+    ).transform(sort_report, "source")
 
 
 _SLH_CAP = 10  # histogram cap: sessions with >= cap events share a bucket
@@ -273,5 +273,5 @@ def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(F.least("n_events", F.lit(_SLH_CAP)).cast("long").alias("len_bucket"))
         .groupBy("len_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-        .orderBy("len_bucket")
+        .transform(sort_report, "len_bucket")
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import caches, dedup
-from . import query, table
+from . import query, sort_report, table
 from .llmops import sql_round
 
 _MB_MIN_SUPPORT = 3  # pair must co-occur in >= 3 baskets
@@ -169,5 +169,5 @@ def corpus_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= _AUD_PER_BAND)
         .select("band", "id_a", "id_b", "jaccard")
-        .orderBy("band", "id_a", "id_b")
+        .transform(sort_report, "band", "id_a", "id_b")
     )
